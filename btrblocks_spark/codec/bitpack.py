@@ -1,0 +1,114 @@
+"""Vectorized byte/bit packing for integer residuals.
+
+Plays the role of FastBinaryPacking/FastPFor in the reference
+(``/root/reference/btrblocks/scheme/integer/PBP.cpp:126-163``,
+``/root/reference/btrblocks/extern/FastPFOR.cpp:19-29``). Instead of
+arbitrary bit widths with SIMD kernels, we pack at numpy-friendly widths
+{1, 2, 4, 8, 16, 32, 64} bits (sub-byte widths via ``np.packbits``), which
+keeps both pack and unpack a handful of vectorized numpy ops. The width
+formula mirrors ``Utils::getBitsNeeded``
+(``/root/reference/btrblocks/common/Utils.hpp:19-31``) rounded up to the
+next supported width.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_WIDTHS = (0, 1, 2, 4, 8, 16, 32, 64)
+_DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+
+
+def bits_needed(max_value: int) -> int:
+    """Smallest supported width (bits) that can hold values in [0, max_value]."""
+    if max_value < 0:
+        raise ValueError("bits_needed expects a non-negative max")
+    raw = int(max_value).bit_length()
+    for w in _WIDTHS:
+        if raw <= w:
+            return w
+    return 64
+
+
+def pack(values: np.ndarray) -> bytes:
+    """Pack non-negative integers at the smallest supported bit width.
+
+    Layout: u8 width | u32 count | payload.
+    """
+    v = np.ascontiguousarray(values)
+    n = len(v)
+    if n == 0:
+        return struct.pack("<BI", 0, 0)
+    maxv = int(v.max()) if n else 0
+    if int(v.min()) < 0:
+        raise ValueError("pack expects non-negative values (apply FOR bias first)")
+    w = bits_needed(maxv)
+    head = struct.pack("<BI", w, n)
+    if w == 0:
+        return head
+    if w == 1:
+        return head + np.packbits(v.astype(np.uint8)).tobytes()
+    if w == 2:
+        u = v.astype(np.uint8)
+        pad = (-n) % 4
+        if pad:
+            u = np.concatenate([u, np.zeros(pad, np.uint8)])
+        u = u.reshape(-1, 4)
+        b = u[:, 0] | (u[:, 1] << 2) | (u[:, 2] << 4) | (u[:, 3] << 6)
+        return head + b.tobytes()
+    if w == 4:
+        u = v.astype(np.uint8)
+        pad = (-n) % 2
+        if pad:
+            u = np.concatenate([u, np.zeros(pad, np.uint8)])
+        u = u.reshape(-1, 2)
+        b = u[:, 0] | (u[:, 1] << 4)
+        return head + b.tobytes()
+    return head + v.astype(_DTYPES[w]).tobytes()
+
+
+def unpack(buf: memoryview, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Inverse of :func:`pack`. Returns (uint64 array, bytes consumed)."""
+    w, n = struct.unpack_from("<BI", buf, offset)
+    pos = offset + 5
+    if n == 0:
+        return np.empty(0, np.uint64), pos - offset
+    if w == 0:
+        return np.zeros(n, np.uint64), pos - offset
+    if w == 1:
+        nbytes = (n + 7) // 8
+        bits = np.unpackbits(np.frombuffer(buf, np.uint8, nbytes, pos))[:n]
+        return bits.astype(np.uint64), pos + nbytes - offset
+    if w == 2:
+        nbytes = (n + 3) // 4
+        b = np.frombuffer(buf, np.uint8, nbytes, pos)
+        out = np.empty((nbytes, 4), np.uint8)
+        out[:, 0] = b & 3
+        out[:, 1] = (b >> 2) & 3
+        out[:, 2] = (b >> 4) & 3
+        out[:, 3] = (b >> 6) & 3
+        return out.reshape(-1)[:n].astype(np.uint64), pos + nbytes - offset
+    if w == 4:
+        nbytes = (n + 1) // 2
+        b = np.frombuffer(buf, np.uint8, nbytes, pos)
+        out = np.empty((nbytes, 2), np.uint8)
+        out[:, 0] = b & 15
+        out[:, 1] = b >> 4
+        return out.reshape(-1)[:n].astype(np.uint64), pos + nbytes - offset
+    dt = _DTYPES[w]
+    nbytes = n * dt().itemsize
+    return (
+        np.frombuffer(buf, dt, n, pos).astype(np.uint64),
+        pos + nbytes - offset,
+    )
+
+
+def packed_size(values: np.ndarray) -> int:
+    """Size in bytes :func:`pack` would produce, without materializing."""
+    n = len(values)
+    if n == 0:
+        return 5
+    w = bits_needed(int(values.max()))
+    return 5 + (n * w + 7) // 8

@@ -1,0 +1,251 @@
+"""String/binary cascading compression schemes.
+
+Re-implements ``/root/reference/btrblocks/scheme/string/``:
+
+  UNCOMPRESSED — offsets + byte pool (Uncompressed.cpp); offsets themselves
+                 cascade through the integer codec (they are sorted, so
+                 DELTA_BP usually wins — mirroring Fsst.cpp:72-77 which
+                 cascades the offsets array through the integer picker)
+  ONE_VALUE    — single string, offsets rematerialized on decode
+                 (OneValue.cpp:14-110)
+  DICT         — sorted distinct strings + codes; the *codes* stream goes
+                 through the full integer picker, which gives the reference's
+                 forced-RLE fast path for free when runs are long
+                 (DynamicDictionary.cpp:183-188); the dictionary *pool* is
+                 entropy-compressed when >= 16 KiB
+                 (dict_fsst_input_size_threshold, SchemeConfig.hpp:44-60)
+  POOL_COMPRESS— whole-pool entropy compression + cascaded offsets. This is
+                 the FSST slot (Fsst.cpp:17-80). Real FSST is not available
+                 in this environment, so the pool codec is stdlib zlib
+                 (level 1) behind the same scheme slot and gates
+                 (usable when unique >= non_null/2 and total_length > 16 KiB,
+                 Fsst.cpp:119-127); a true FSST kernel can be plugged in
+                 without changing the block format.
+
+Strings are (offsets:int64[n+1], pool:bytes) — the Arrow large_utf8 layout,
+which is also the reference's StringArrayViewer layout
+(``/root/reference/btrblocks/storage/MMapVector.hpp:74-110``).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from btrblocks_spark.codec import numeric
+
+UNCOMPRESSED = 0
+ONE_VALUE = 1
+DICT = 2
+POOL_COMPRESS = 3
+
+SCHEME_NAMES = {
+    UNCOMPRESSED: "UNCOMPRESSED",
+    ONE_VALUE: "ONE_VALUE",
+    DICT: "DICT",
+    POOL_COMPRESS: "POOL_COMPRESS",
+}
+
+POOL_COMPRESS_MIN_BYTES = 16 * 1024  # fsst_input_size_threshold analogs
+_ZLIB_LEVEL = 1
+
+
+def to_arrow(offsets: np.ndarray, pool: bytes) -> pa.Array:
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int64).tobytes()), pa.py_buffer(pool)],
+    )
+
+
+def from_arrow(arr: pa.Array) -> tuple[np.ndarray, bytes]:
+    """(offsets:int64[n+1], pool bytes) from a large_binary/large_utf8 array."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
+    elif pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_binary())
+    if arr.null_count:
+        arr = arr.fill_null(b"")
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], np.int64, len(arr) + 1, arr.offset * 8)
+    data = buffers[2]
+    pool = bytes(data)[offsets[0] : offsets[-1]] if data is not None else b""
+    if offsets[0] != 0:
+        offsets = offsets - offsets[0]
+    return offsets.copy(), pool
+
+
+def unique_strings(
+    offsets: np.ndarray, pool: bytes
+) -> tuple[np.ndarray, bytes, np.ndarray]:
+    """Sorted-unique strings + codes. Returns (uoffsets, upool, codes)."""
+    arr = to_arrow(offsets, pool)
+    import pyarrow.compute as pc
+
+    dict_arr = pc.dictionary_encode(arr)
+    dictionary = dict_arr.dictionary
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = pc.sort_indices(dictionary).to_numpy(zero_copy_only=False)
+    inverse = np.empty_like(order)
+    inverse[order] = np.arange(len(order))
+    sorted_dict = dictionary.take(pa.array(order))
+    uoffsets, upool = from_arrow(sorted_dict)
+    return uoffsets, upool, inverse[codes]
+
+
+def _enc_offsets(offsets: np.ndarray, level: int, seed: int) -> bytes:
+    blob = numeric.encode(offsets.astype(np.int64), max(level, 1), seed)
+    return struct.pack("<I", len(blob)) + blob
+
+
+def _dec_offsets(buf: memoryview, pos: int) -> tuple[np.ndarray, int]:
+    (blen,) = struct.unpack_from("<I", buf, pos)
+    offsets, _ = numeric.decode(buf, pos + 4, "i")
+    return offsets, pos + 4 + blen
+
+
+def encode(
+    offsets: np.ndarray,
+    pool: bytes,
+    level: int,
+    seed: int,
+    force_scheme: int | None = None,
+) -> bytes:
+    n = len(offsets) - 1
+    scheme = (
+        force_scheme
+        if force_scheme is not None
+        else pick_string(offsets, pool, level, seed)
+    )
+    if scheme == UNCOMPRESSED:
+        return (
+            struct.pack("<BI", UNCOMPRESSED, n)
+            + _enc_offsets(offsets, level, seed)
+            + pool
+        )
+    if scheme == ONE_VALUE:
+        one = pool[offsets[0] : offsets[1]] if n else b""
+        return struct.pack("<BII", ONE_VALUE, n, len(one)) + one
+    if scheme == DICT:
+        uoffsets, upool, codes = unique_strings(offsets, pool)
+        codes_blob = numeric.encode(codes, level - 1, seed)
+        pool_compressed = len(upool) >= POOL_COMPRESS_MIN_BYTES
+        upool_out = zlib.compress(upool, _ZLIB_LEVEL) if pool_compressed else upool
+        return (
+            struct.pack(
+                "<BIIBI",
+                DICT,
+                n,
+                len(uoffsets) - 1,
+                1 if pool_compressed else 0,
+                len(upool_out),
+            )
+            + _enc_offsets(uoffsets, level, seed)
+            + upool_out
+            + codes_blob
+        )
+    if scheme == POOL_COMPRESS:
+        comp = zlib.compress(pool, _ZLIB_LEVEL)
+        return (
+            struct.pack("<BII", POOL_COMPRESS, n, len(comp))
+            + comp
+            + _enc_offsets(offsets, level, seed)
+        )
+    raise ValueError(f"unknown string scheme {scheme}")
+
+
+def decode(buf: memoryview, offset: int) -> tuple[np.ndarray, bytes, int]:
+    """Returns (offsets, pool, consumed)."""
+    scheme = buf[offset]
+    pos = offset + 1
+    if scheme == UNCOMPRESSED:
+        (n,) = struct.unpack_from("<I", buf, pos)
+        offsets, pos = _dec_offsets(buf, pos + 4)
+        pool_len = int(offsets[-1]) if n else 0
+        pool = bytes(buf[pos : pos + pool_len])
+        return offsets, pool, pos + pool_len - offset
+    if scheme == ONE_VALUE:
+        n, slen = struct.unpack_from("<II", buf, pos)
+        pos += 8
+        one = bytes(buf[pos : pos + slen])
+        offsets = np.arange(n + 1, dtype=np.int64) * slen
+        return offsets, one * n, pos + slen - offset
+    if scheme == DICT:
+        n, n_uniq, pool_compressed, plen = struct.unpack_from("<IIBI", buf, pos)
+        pos += 13
+        uoffsets, pos = _dec_offsets(buf, pos)
+        upool = bytes(buf[pos : pos + plen])
+        pos += plen
+        if pool_compressed:
+            upool = zlib.decompress(upool)
+        codes, consumed = numeric.decode(buf, pos, "i")
+        pos += consumed
+        # gather: vectorized via arrow take
+        arr = to_arrow(uoffsets, upool).take(pa.array(codes))
+        offsets, pool = from_arrow(arr)
+        return offsets, pool, pos - offset
+    if scheme == POOL_COMPRESS:
+        n, clen = struct.unpack_from("<II", buf, pos)
+        pos += 8
+        pool = zlib.decompress(bytes(buf[pos : pos + clen]))
+        pos += clen
+        offsets, pos = _dec_offsets(buf, pos)
+        return offsets, pool, pos - offset
+    raise ValueError(f"unknown string scheme {scheme}")
+
+
+def pick_string(offsets: np.ndarray, pool: bytes, level: int, seed: int) -> int:
+    """Greedy sampled selection among string schemes (SchemePicker analog)."""
+    from btrblocks_spark.codec.stats import sample_indices
+
+    n = len(offsets) - 1
+    if n == 0 or level <= 0:
+        return UNCOMPRESSED
+    lengths = np.diff(offsets)
+    total_len = int(offsets[-1])
+    # cheap unique probe on a sample
+    idx = sample_indices(n, seed)
+    arr = to_arrow(offsets, pool)
+    import pyarrow.compute as pc
+
+    sample = arr.take(pa.array(idx))
+    n_uniq_sample = len(pc.unique(sample))
+    if n_uniq_sample <= 1 and (len(idx) == n or len(pc.unique(arr)) <= 1):
+        return ONE_VALUE
+    unique_ratio = n_uniq_sample / max(len(idx), 1)
+    cands = []
+    if unique_ratio < 0.5:
+        cands.append(DICT)
+    if total_len > POOL_COMPRESS_MIN_BYTES and unique_ratio >= 0.5:
+        cands.append(POOL_COMPRESS)
+    if not cands:
+        if total_len > POOL_COMPRESS_MIN_BYTES:
+            cands.append(POOL_COMPRESS)
+        else:
+            return UNCOMPRESSED
+    # measure on the sample
+    soff, spool = from_arrow(sample)
+    raw = len(spool) + len(soff) * 2  # optimistic raw baseline
+    best, best_size = UNCOMPRESSED, raw
+    for scheme in cands:
+        try:
+            size = len(encode(soff, spool, level, seed, force_scheme=scheme))
+        except Exception:
+            continue
+        if size < best_size:
+            best, best_size = scheme, size
+    return best
+
+
+def scheme_tree(buf: memoryview, offset: int = 0) -> dict:
+    scheme = buf[offset]
+    node: dict = {"scheme": SCHEME_NAMES.get(scheme, f"?{scheme}")}
+    if scheme == DICT:
+        n, n_uniq, pool_compressed, _plen = struct.unpack_from("<IIBI", buf, offset + 1)
+        node["unique"] = n_uniq
+        node["pool_compressed"] = bool(pool_compressed)
+    return node
