@@ -1,0 +1,115 @@
+"""Deterministic synthesis of the image+caption table (FIXTURES.md §1).
+
+Schema (BASELINE.json input_hint):
+    image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+    caption:string, phash:int64
+
+Generated fully vectorized with numpy seed 42; images are procedural
+(gradient + per-image noise) encoded with the stub codecs in
+:mod:`btrblocks_spark.functions.images`. ``phash`` has a deliberate hot
+range (~20% of rows in a narrow band) to exercise salted-repartition skew
+handling, and ``fmt`` is skewed ~90% jpeg.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from btrblocks_spark.functions.images import encode_image, phash64
+
+_SIZES = np.array([64, 96, 128, 160, 224], np.int32)
+_FMTS = np.array(["jpeg", "png", "bmp"])
+_FMT_P = np.array([0.9, 0.07, 0.03])
+
+_VOCAB = (
+    "a the photo image picture of with on in under over beside "
+    "cat dog tree house car mountain river city street person sky cloud "
+    "red blue green golden dark bright small large tiny huge "
+    "running sleeping standing looking smiling walking sitting flying"
+).split()
+
+
+def make_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
+    gy = np.linspace(0, 255, h, dtype=np.float32)[:, None]
+    gx = np.linspace(0, 255, w, dtype=np.float32)[None, :]
+    base = (gy + gx) / 2
+    px = np.empty((h, w, 3), np.uint8)
+    for c in range(3):
+        noise = rng.normal(0, 20, (h, w))
+        px[..., c] = np.clip(base * (0.5 + 0.25 * c) + noise, 0, 255).astype(np.uint8)
+    return px
+
+
+def make_caption(rng: np.random.Generator) -> str:
+    n = rng.integers(5, 30)
+    idx = rng.integers(0, len(_VOCAB), n)
+    return " ".join(_VOCAB[i] for i in idx)
+
+
+def image_caption_table(n_rows: int, seed: int = 42) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    size_idx = rng.integers(0, len(_SIZES), n_rows)
+    w = _SIZES[size_idx]
+    # h correlated with w via aspect buckets
+    aspect = rng.choice([1.0, 0.75, 1.33], n_rows, p=[0.5, 0.25, 0.25])
+    h = (w * aspect).astype(np.int32)
+    fmt_idx = rng.choice(len(_FMTS), n_rows, p=_FMT_P)
+    fmts = _FMTS[fmt_idx]
+
+    ids, blobs, captions, phashes = [], [], [], []
+    hot = rng.uniform(0, 1, n_rows) < 0.2  # hot phash band
+    for i in range(n_rows):
+        irng = np.random.default_rng(seed * 1_000_003 + i)
+        px = make_image(irng, int(w[i]), int(h[i]))
+        blobs.append(encode_image(px, str(fmts[i])))
+        ids.append(f"{i:012x}")
+        captions.append(make_caption(irng))
+        ph = phash64(px)
+        if hot[i]:
+            # squeeze into a narrow band → skewed key range
+            ph = int(0x7FFF_0000_0000_0000 + (ph & 0xFFFF))
+        phashes.append(ph)
+    return pa.table(
+        {
+            "image_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "w": pa.array(w, pa.int32()),
+            "h": pa.array(h, pa.int32()),
+            "fmt": pa.array(fmts.tolist(), pa.string()),
+            "caption": pa.array(captions, pa.string()),
+            "phash": pa.array(phashes, pa.int64()),
+        }
+    )
+
+
+def write_fragmented(
+    table: pa.Table, out_dir: str, rows_per_file: int = 500
+) -> list[str]:
+    """Write the table as many small parquet files (compaction workload)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    k = 0
+    for start in range(0, table.num_rows, rows_per_file):
+        p = f"{out_dir}/frag-{k:05d}.parquet"
+        pq.write_table(table.slice(start, rows_per_file), p)
+        paths.append(p)
+        k += 1
+    return paths
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--rows", type=int, default=5000)
+    ap.add_argument("--rows-per-file", type=int, default=500)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    t = image_caption_table(args.rows, args.seed)
+    paths = write_fragmented(t, args.out, args.rows_per_file)
+    print(f"wrote {len(paths)} files, {t.num_rows} rows to {args.out}")

@@ -1,0 +1,105 @@
+"""Block-file encode/decode kernels (Arrow-level, used inside Spark tasks).
+
+A block file is parquet with schema::
+
+    block_id: int64, tuple_count: int32, b_<col>: binary ...
+
+Each ``b_<col>`` cell is one compressed block (codec blob). Block row
+geometry mirrors the reference: <= 65536 tuples per block
+(``/root/reference/btrblocks/btrblocks.hpp:24``) but additionally bounded
+so one block's *bytes* stay near the 16 MiB part-size threshold
+(``/root/reference/btrblocks/storage/Chunk.cpp:12``) — essential for wide
+binary (image) columns where 65536 tuples would be gigabytes.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from btrblocks_spark import BLOCK_SIZE, PART_SIZE_BYTES
+from btrblocks_spark.codec import decode_block, encode_block
+
+STAT_TYPES = (
+    pa.int32(),
+    pa.int64(),
+    pa.float64(),
+    pa.string(),
+    pa.large_string(),
+)
+
+
+def choose_block_rows(table: pa.Table) -> int:
+    """Rows per block: min(65536, rows that fit the widest column in 16MiB)."""
+    n = table.num_rows
+    if n == 0:
+        return BLOCK_SIZE
+    widest = max(
+        (col.nbytes / max(n, 1)) for col in table.columns
+    )
+    by_bytes = int(PART_SIZE_BYTES / max(widest, 1))
+    return max(256, min(BLOCK_SIZE, by_bytes))
+
+
+def encode_table(
+    table: pa.Table, seed: int = 42, level: int = 3, block_rows: int | None = None
+) -> tuple[pa.Table, dict]:
+    """Encode a logical Arrow table into block rows + file-level stats.
+
+    Returns (block_table, stats) where stats =
+    {col: {min, max, null_count}} (min/max None for binary cols) plus
+    ``row_count`` / ``raw_bytes``.
+    """
+    n = table.num_rows
+    rows = block_rows or choose_block_rows(table)
+    names = table.schema.names
+    blocks: dict[str, list] = {name: [] for name in names}
+    block_ids, tuple_counts = [], []
+    for b, start in enumerate(range(0, max(n, 1), rows)):
+        chunk = table.slice(start, rows)
+        if chunk.num_rows == 0 and n > 0:
+            break
+        block_ids.append(b)
+        tuple_counts.append(chunk.num_rows)
+        for name in names:
+            col = chunk.column(name)
+            blocks[name].append(
+                encode_block(col.combine_chunks(), level=level, seed=seed + b)
+            )
+    out = {
+        "block_id": pa.array(block_ids, pa.int64()),
+        "tuple_count": pa.array(tuple_counts, pa.int32()),
+    }
+    for name in names:
+        out[f"b_{name}"] = pa.array(blocks[name], pa.large_binary())
+    stats: dict = {"row_count": n, "raw_bytes": table.nbytes, "columns": {}}
+    for name in names:
+        col = table.column(name)
+        entry = {"null_count": int(col.null_count), "min": None, "max": None}
+        typ = col.type
+        if typ in STAT_TYPES or pa.types.is_timestamp(typ):
+            if n and col.null_count < n:
+                mm = pc.min_max(col)
+                entry["min"] = str(mm["min"].as_py())
+                entry["max"] = str(mm["max"].as_py())
+        stats["columns"][name] = entry
+    return pa.table(out), stats
+
+
+def decode_batches(
+    batch_iter, logical_schema: pa.Schema, columns: list[str] | None = None
+):
+    """mapInArrow kernel: block rows -> logical record batches."""
+    want = columns or logical_schema.names
+    fields = [logical_schema.field(name) for name in want]
+    out_schema = pa.schema(fields)
+    for batch in batch_iter:
+        for i in range(batch.num_rows):
+            arrays = []
+            for f in fields:
+                blob = batch.column(f"b_{f.name}")[i].as_py()
+                arr = decode_block(blob)
+                if not arr.type.equals(f.type):
+                    arr = arr.cast(f.type)
+                arrays.append(arr)
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)

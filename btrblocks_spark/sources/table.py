@@ -1,0 +1,512 @@
+"""BtrTable — Iceberg-style block-compressed table with snapshot commits.
+
+Layout under ``root/``::
+
+    data/<job>-p<task>-<k>.parquet     immutable block files
+    manifests/manifest-<snapshot>.parquet
+    metadata.json                       atomic pointer + snapshot log
+    _checkpoints/<job>/<task>.json      per-task resume markers
+
+Commit protocol (driver-side, the analog of the reference's
+single-threaded ``writeMetadata`` finale,
+``/root/reference/tools/conversion/csvtobtr.cpp:190``):
+
+1. executors write immutable data files + per-task checkpoint markers
+   (temp file + ``os.replace`` → atomic; a marker holds the manifest rows
+   for that task, so a killed-and-rerun job skips finished tasks);
+2. the driver collects manifest rows, writes ``manifest-<id>.parquet``;
+3. the driver rewrites ``metadata.json`` via temp + ``os.replace`` —
+   the single atomic step that makes the snapshot visible.
+
+Readers resolve ``metadata.json`` once per scan; data files are immutable,
+so a concurrent maintenance commit never disturbs a running scan
+(snapshot isolation). Single-writer is assumed (guarded by a lock file);
+a real deployment would swap step 3 for a catalog CAS.
+
+Scale notes (100 TB / 1000 executors): the manifest is itself a DataFrame
+— file pruning is a Catalyst filter over it, never a driver loop over
+file lists; block files are sized to ~16 MiB parts x N blocks so a scan
+task reads one file; stats-based pruning (min/max per column per file)
+happens before any data I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from btrblocks_spark import PART_SIZE_BYTES
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("file_path", pa.string()),
+        ("partition", pa.string()),  # JSON {col: value}
+        ("row_count", pa.int64()),
+        ("block_count", pa.int64()),
+        ("file_bytes", pa.int64()),
+        ("raw_bytes", pa.int64()),
+        ("stats", pa.string()),  # JSON {col: {min,max,null_count}}
+        ("job_id", pa.string()),
+        ("source_files", pa.string()),  # JSON [paths] — per-file lineage
+        ("sort_key", pa.string()),  # clustering state, e.g. "zorder(phash,w,h)"
+    ]
+)
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+    os.replace(tmp, path)
+
+
+def _write_parquet_atomic(table: pa.Table, path: str) -> int:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp, compression="zstd")
+    os.replace(tmp, path)
+    return os.path.getsize(path)
+
+
+class CommitConflict(RuntimeError):
+    pass
+
+
+class BtrTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------ metadata
+    @property
+    def _meta_path(self) -> str:
+        return os.path.join(self.root, "metadata.json")
+
+    def metadata(self) -> dict:
+        with open(self._meta_path) as f:
+            return json.load(f)
+
+    def current_snapshot_id(self) -> int:
+        return self.metadata()["current_snapshot_id"]
+
+    def snapshots(self) -> list[dict]:
+        return self.metadata()["snapshots"]
+
+    def schema_arrow(self) -> pa.Schema:
+        meta = self.metadata()
+        return pa.ipc.read_schema(
+            pa.py_buffer(bytes.fromhex(meta["arrow_schema_hex"]))
+        )
+
+    def partition_by(self) -> list[str]:
+        return self.metadata().get("partition_by", [])
+
+    # ------------------------------------------------------------ create
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        target_file_bytes: int = PART_SIZE_BYTES,
+        max_rows_per_file: int | None = None,
+        num_files: int | None = None,
+        job_id: str | None = None,
+    ) -> "BtrTable":
+        """Create a table at ``root`` from ``df`` (initial snapshot)."""
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_checkpoints"), exist_ok=True)
+        arrow_schema = df.limit(0).toArrow().schema
+        meta = {
+            "format_version": 1,
+            "table_uuid": uuid.uuid4().hex,
+            "arrow_schema_hex": arrow_schema.serialize().hex().decode(),
+            "spark_schema_json": df.schema.json(),
+            "partition_by": partition_by or [],
+            "current_snapshot_id": 0,
+            "snapshots": [
+                {
+                    "snapshot_id": 0,
+                    "parent": None,
+                    "ts": time.time(),
+                    "operation": "create-empty",
+                    "manifest": None,
+                    "summary": {},
+                }
+            ],
+        }
+        _atomic_write_json(os.path.join(root, "metadata.json"), meta)
+        table = cls(spark, root)
+        table.append(
+            df,
+            job_id=job_id or f"create-{uuid.uuid4().hex[:8]}",
+            num_files=num_files,
+            max_rows_per_file=max_rows_per_file,
+        )
+        return table
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "BtrTable":
+        t = cls(spark, root)
+        t.metadata()  # raises if missing
+        return t
+
+    # ------------------------------------------------------------ write
+    def append(
+        self,
+        df: DataFrame,
+        job_id: str | None = None,
+        num_files: int | None = None,
+        max_rows_per_file: int | None = None,
+        operation: str = "append",
+    ) -> int:
+        """Encode ``df`` into new block files and commit a snapshot.
+
+        The encode fan-out is one Spark task per output file group:
+        ``repartition`` on the partition columns (hash co-location; a
+        task may still see several partition values and then writes one
+        file per value — no strict co-location needed, so no expensive
+        global sort). Checkpoint-resumable per task.
+        """
+        job_id = job_id or f"append-{uuid.uuid4().hex[:8]}"
+        rows = self._write_files(
+            df, job_id, num_files=num_files, max_rows_per_file=max_rows_per_file
+        )
+        self._commit(rows, operation=operation, replaced=None)
+        return len(rows)
+
+    def _write_files(
+        self,
+        df: DataFrame,
+        job_id: str,
+        num_files: int | None = None,
+        max_rows_per_file: int | None = None,
+    ) -> list[dict]:
+        """Run the distributed encode; returns manifest row dicts."""
+        root = self.root
+        parts = self.partition_by()
+        arrow_schema = df.limit(0).toArrow().schema
+
+        if num_files is None:
+            # size the fan-out from a cheap estimate: Spark's own input size
+            est_bytes = df.inputFiles() and sum(
+                os.path.getsize(p.replace("file:", "")) for p in df.inputFiles()
+                if os.path.exists(p.replace("file:", ""))
+            ) or 0
+            num_files = max(1, min(512, est_bytes // PART_SIZE_BYTES or 8))
+        if parts:
+            work = df.repartition(num_files, *[F.col(c) for c in parts])
+        else:
+            work = df.repartition(num_files)
+
+        ckpt_dir = os.path.join(root, "_checkpoints", job_id)
+        os.makedirs(ckpt_dir, exist_ok=True)
+        result_schema = "rows string"
+        max_rows = max_rows_per_file
+
+        def encode_task(batch_iter):
+            from pyspark import TaskContext
+
+            from btrblocks_spark.sources.blockfile import encode_table
+
+            task_id = TaskContext.get().partitionId()
+            marker = os.path.join(ckpt_dir, f"{task_id}.json")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    yield pa.RecordBatch.from_pydict({"rows": [f.read()]})
+                return
+            batches = list(batch_iter)
+            rows_out: list[dict] = []
+            if batches:
+                tbl = pa.Table.from_batches(batches)
+                # one file per partition value present in this task
+                if parts:
+                    import pyarrow.compute as pc
+
+                    keys = [tbl.column(c) for c in parts]
+                    key_str = None
+                    for c in parts:
+                        col = pc.cast(tbl.column(c), pa.string())
+                        key_str = (
+                            col
+                            if key_str is None
+                            else pc.binary_join_element_wise(key_str, col, "\x1f")
+                        )
+                    uniq = pc.unique(key_str)
+                    groups = [
+                        (
+                            json.dumps(
+                                dict(
+                                    zip(
+                                        parts,
+                                        u.as_py().split("\x1f"),
+                                    )
+                                )
+                            ),
+                            tbl.filter(pc.equal(key_str, u)),
+                        )
+                        for u in uniq
+                    ]
+                else:
+                    groups = [("{}", tbl)]
+                k = 0
+                for part_json, sub in groups:
+                    step = max_rows or sub.num_rows or 1
+                    for start in range(0, sub.num_rows, step):
+                        piece = sub.slice(start, step)
+                        block_table, stats = encode_table(piece, seed=42)
+                        fname = f"{job_id}-p{task_id:05d}-{k}.parquet"
+                        fpath = os.path.join(root, "data", fname)
+                        fbytes = _write_parquet_atomic(block_table, fpath)
+                        rows_out.append(
+                            {
+                                "file_path": fpath,
+                                "partition": part_json,
+                                "row_count": stats["row_count"],
+                                "block_count": block_table.num_rows,
+                                "file_bytes": fbytes,
+                                "raw_bytes": stats["raw_bytes"],
+                                "stats": json.dumps(stats["columns"]),
+                                "job_id": job_id,
+                                "source_files": "[]",
+                                "sort_key": "",
+                            }
+                        )
+                        k += 1
+            payload = json.dumps(rows_out)
+            tmp = f"{marker}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(payload)
+            os.replace(tmp, marker)
+            yield pa.RecordBatch.from_pydict({"rows": [payload]})
+
+        collected = work.mapInArrow(encode_task, result_schema).collect()
+        rows: list[dict] = []
+        for r in collected:
+            rows.extend(json.loads(r.rows))
+        return rows
+
+    # ------------------------------------------------------------ commit
+    def _commit(
+        self,
+        new_rows: list[dict],
+        operation: str,
+        replaced: set[str] | None,
+        extra_summary: dict | None = None,
+    ) -> int:
+        """Atomic snapshot commit: new manifest = old - replaced + new."""
+        lock = os.path.join(self.root, "_commit.lock")
+        fd = None
+        try:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise CommitConflict(f"another commit holds {lock}")
+            meta = self.metadata()
+            current = meta["current_snapshot_id"]
+            old_rows = self._manifest_rows(current)
+            if replaced:
+                missing = replaced - {r["file_path"] for r in old_rows}
+                if missing:
+                    raise CommitConflict(f"files vanished from manifest: {missing}")
+                old_rows = [r for r in old_rows if r["file_path"] not in replaced]
+            all_rows = old_rows + new_rows
+            snapshot_id = current + 1
+            manifest_name = f"manifest-{snapshot_id}.parquet"
+            manifest_path = os.path.join(self.root, "manifests", manifest_name)
+            cols = {
+                f.name: pa.array(
+                    [r[f.name] for r in all_rows], f.type
+                )
+                for f in MANIFEST_SCHEMA
+            }
+            _write_parquet_atomic(
+                pa.table(cols, schema=MANIFEST_SCHEMA), manifest_path
+            )
+            meta["snapshots"].append(
+                {
+                    "snapshot_id": snapshot_id,
+                    "parent": current,
+                    "ts": time.time(),
+                    "operation": operation,
+                    "manifest": manifest_name,
+                    "summary": {
+                        "added_files": len(new_rows),
+                        "removed_files": len(replaced or ()),
+                        "total_files": len(all_rows),
+                        "total_rows": sum(r["row_count"] for r in all_rows),
+                        **(extra_summary or {}),
+                    },
+                }
+            )
+            meta["current_snapshot_id"] = snapshot_id
+            _atomic_write_json(self._meta_path, meta)
+            return snapshot_id
+        finally:
+            if fd is not None:
+                os.close(fd)
+                os.unlink(lock)
+
+    def _manifest_rows(self, snapshot_id: int) -> list[dict]:
+        snap = self._snapshot(snapshot_id)
+        if snap["manifest"] is None:
+            return []
+        path = os.path.join(self.root, "manifests", snap["manifest"])
+        return pq.read_table(path).to_pylist()
+
+    def _snapshot(self, snapshot_id: int) -> dict:
+        for s in self.metadata()["snapshots"]:
+            if s["snapshot_id"] == snapshot_id:
+                return s
+        raise KeyError(f"no snapshot {snapshot_id}")
+
+    # ------------------------------------------------------------ read
+    def manifest_df(self, snapshot_id: int | None = None) -> DataFrame:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        snap = self._snapshot(sid)
+        if snap["manifest"] is None:
+            return self.spark.createDataFrame([], schema=self._manifest_spark_schema())
+        return self.spark.read.parquet(
+            os.path.join(self.root, "manifests", snap["manifest"])
+        )
+
+    @staticmethod
+    def _manifest_spark_schema():
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        return StructType(
+            [
+                StructField("file_path", StringType()),
+                StructField("partition", StringType()),
+                StructField("row_count", LongType()),
+                StructField("block_count", LongType()),
+                StructField("file_bytes", LongType()),
+                StructField("raw_bytes", LongType()),
+                StructField("stats", StringType()),
+                StructField("job_id", StringType()),
+                StructField("source_files", StringType()),
+                StructField("sort_key", StringType()),
+            ]
+        )
+
+    def data_files(self, snapshot_id: int | None = None) -> list[dict]:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        return self._manifest_rows(sid)
+
+    def scan(
+        self,
+        columns: list[str] | None = None,
+        snapshot_id: int | None = None,
+        prune: dict | None = None,
+        files: list[str] | None = None,
+    ) -> DataFrame:
+        """Read the table back as a logical DataFrame.
+
+        ``prune`` = {col: (lo, hi)} filters *files* via manifest min/max
+        stats before any data I/O (the stats live outside the data files,
+        like Iceberg manifests — Catalyst cannot see inside our blocks, so
+        this pruning is explicit). Parquet column pruning then skips the
+        ``b_<col>`` blobs of unselected columns at I/O level.
+        """
+        rows = self.data_files(snapshot_id)
+        if files is not None:
+            rows = [r for r in rows if r["file_path"] in files]
+        if prune:
+            rows = [r for r in rows if _file_may_match(r, prune)]
+        arrow_schema = self.schema_arrow()
+        want = columns or arrow_schema.names
+        spark_schema = self._spark_schema_for(want)
+        if not rows:
+            return self.spark.createDataFrame([], schema=spark_schema)
+        paths = [r["file_path"] for r in rows]
+        block_df = self.spark.read.parquet(*paths).select(
+            *[f"b_{c}" for c in want]
+        )
+        schema_hex = arrow_schema.serialize().hex().decode()
+
+        def decode(batch_iter):
+            from btrblocks_spark.sources.blockfile import decode_batches
+
+            logical = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(schema_hex)))
+            yield from decode_batches(batch_iter, logical, list(want))
+
+        return block_df.mapInArrow(decode, spark_schema)
+
+    def _spark_schema_for(self, columns: list[str]):
+        from pyspark.sql.types import StructType
+
+        full = StructType.fromJson(json.loads(self.metadata()["spark_schema_json"]))
+        return StructType([f for f in full.fields if f.name in set(columns)])
+
+    # ------------------------------------------------------------ maintenance
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Drop all but the last ``keep_last`` snapshots; delete orphans."""
+        meta = self.metadata()
+        snaps = meta["snapshots"]
+        retained = snaps[-keep_last:]
+        expired = snaps[:-keep_last]
+        keep_files: set[str] = set()
+        for s in retained:
+            for r in self._manifest_rows(s["snapshot_id"]):
+                keep_files.add(r["file_path"])
+        removed_data, removed_manifests = 0, 0
+        for s in expired:
+            for r in self._manifest_rows(s["snapshot_id"]):
+                if r["file_path"] not in keep_files and os.path.exists(
+                    r["file_path"]
+                ):
+                    os.unlink(r["file_path"])
+                    removed_data += 1
+            if s["manifest"]:
+                mp = os.path.join(self.root, "manifests", s["manifest"])
+                if os.path.exists(mp):
+                    os.unlink(mp)
+                    removed_manifests += 1
+        meta["snapshots"] = retained
+        _atomic_write_json(self._meta_path, meta)
+        return {
+            "expired_snapshots": len(expired),
+            "removed_data_files": removed_data,
+            "removed_manifests": removed_manifests,
+        }
+
+    def lineage_df(self) -> DataFrame:
+        """Per-file lineage as a DataFrame (job ids + source files)."""
+        df = self.manifest_df()
+        return df.select(
+            "file_path",
+            "partition",
+            "job_id",
+            F.from_json("source_files", "array<string>").alias("source_files"),
+            "row_count",
+            "file_bytes",
+            "raw_bytes",
+            "sort_key",
+        )
+
+
+def _file_may_match(row: dict, prune: dict) -> bool:
+    stats = json.loads(row["stats"])
+    for col, (lo, hi) in prune.items():
+        st = stats.get(col)
+        if not st or st["min"] is None:
+            continue
+        smin, smax = st["min"], st["max"]
+        try:
+            smin, smax = float(smin), float(smax)
+        except ValueError:
+            pass
+        if lo is not None and smax < lo:
+            return False
+        if hi is not None and smin > hi:
+            return False
+    return True
