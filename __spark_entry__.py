@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query on sf0.001.
+``queries()``    — every SQL-checkable operator (SURVEY.md §2 / §5.4) plus
+                   the training-data ops; callables take (spark, sf_dir).
+``oracle_sql()`` — DuckDB twins (same aliases, same rounding, same tie
+                   rules). Ops that hinge on xxhash64 / numpy internals
+                   (simhash, LSH variants) are rows-only checked.
 """
 
 from __future__ import annotations
@@ -12,27 +13,455 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-style pricing summary on sf0.001."""
+    from btrblocks_spark.plans import codec_queries as cq
+
+    return cq.pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------- helpers
+
+_STOP_EN = "'the','and','of','to','in','is','that','it','was','for'"
+_STOP_DE = "'der','die','das','und','ist','von','mit','den','nicht','ein'"
+_STOP_FR = "'le','la','les','et','est','dans','pour','que','une','des'"
+_STOP_ES = "'el','la','los','y','es','en','por','que','una','con'"
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+def _docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.text import quality_score
+
+    return quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.text import token_count
+
+    return token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _docs_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.text import lang_id
+
+    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.text import fingerprint
+
+    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.6
+    )
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.dedup import minhash_signatures
+
+    return minhash_signatures(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_fast,
+    )
+
+    sigs = minhash_signatures_fast(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    return lsh_candidate_pairs(sigs)
+
+
+def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.dedup import simhash64
+
+    return simhash64(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.dedup import simhash64, simhash_near_pairs
+
+    return simhash_near_pairs(
+        simhash64(spark.read.parquet(f"{sf_dir}/documents.parquet")),
+        max_hamming=3,
+    )
+
+
+def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.similarity import knn_bruteforce
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+    return knn_bruteforce(emb, queries, k=5)
+
+
+def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.similarity import knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return knn_lsh(emb, queries, dim=dim, k=5, nbits=8)
+
+
+def _near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.9
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from btrblocks_spark.plans import codec_queries as cq
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # codec-analysis operators (SURVEY.md §2 → §5.4)
+        "rle_runs": cq.rle_runs,
+        "dict_build": cq.dict_build,
+        "for_bias": cq.for_bias,
+        "frequency_mode": cq.frequency_mode,
+        "delta_sorted": cq.delta_sorted,
+        "one_value_guard": cq.one_value_guard,
+        "block_stats": cq.block_stats,
+        # relational / streaming-twin queries
+        "pricing_summary": cq.pricing_summary,
+        "top_revenue_orders": cq.top_revenue_orders,
+        "events_hourly": cq.events_hourly,
+        # text analysis
+        "text_quality": _docs_quality,
+        "token_count": _docs_tokens,
+        "lang_id": _docs_lang,
+        "doc_fingerprint": _docs_fingerprint,
+        # dedup
+        "dedup_exact": _dedup_exact,
+        "ngram_jaccard_pairs": _ngram_jaccard,
+        "minhash_signatures": _minhash_sig,
+        "minhash_lsh_pairs": _minhash_lsh_pairs,  # rows-only (xxhash64)
+        "simhash": _simhash,  # rows-only (xxhash64)
+        "simhash_near_pairs": _simhash_pairs,  # rows-only (xxhash64)
+        # similarity search
+        "knn_bruteforce": _knn,
+        "knn_lsh": _knn_lsh,  # rows-only (numpy hyperplanes)
+        "embedding_near_dup": _near_dup_embeddings,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rle_runs": """
+            WITH ordered AS (
+              SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                     l_returnflag,
+                     CASE WHEN lag(l_returnflag) OVER w IS NULL
+                            OR lag(l_returnflag) OVER w <> l_returnflag
+                          THEN 1 ELSE 0 END AS new_run
+              FROM lineitem
+              WINDOW w AS (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+            ), runs2 AS (
+              SELECT l_returnflag,
+                     sum(new_run) OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+                        ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM ordered
+            ), run_lens AS (
+              SELECT run_id, l_returnflag, count(*) AS run_len
+              FROM runs2 GROUP BY run_id, l_returnflag
+            )
+            SELECT l_returnflag,
+                   count(*) AS n_runs,
+                   sum(run_len) AS n_rows,
+                   round(avg(run_len), 6) AS avg_run_len,
+                   max(run_len) AS max_run_len
+            FROM run_lens GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "dict_build": """
+            SELECT p_brand,
+                   CAST(dense_rank() OVER (ORDER BY p_brand) - 1 AS BIGINT) AS code,
+                   n_rows
+            FROM (SELECT p_brand, count(*) AS n_rows FROM part GROUP BY p_brand) t
+            ORDER BY code
+        """,
+        "for_bias": """
+            SELECT l_suppkey,
+                   min(l_partkey) AS bias,
+                   max(l_partkey) - min(l_partkey) AS residual_range,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+        """,
+        "frequency_mode": """
+            WITH counts AS (
+              SELECT p_type, p_brand, count(*) AS cnt
+              FROM part GROUP BY p_type, p_brand
+            ), ranked AS (
+              SELECT *, row_number() OVER
+                (PARTITION BY p_type ORDER BY cnt DESC, p_brand ASC) AS rn
+              FROM counts
+            ), totals AS (
+              SELECT p_type, count(*) AS total FROM part GROUP BY p_type
+            )
+            SELECT r.p_type, r.p_brand AS top_value, r.cnt AS top_count,
+                   t.total - r.cnt AS exception_count,
+                   round(r.cnt * 1.0 / t.total, 6) AS occupancy
+            FROM ranked r JOIN totals t ON r.p_type = t.p_type
+            WHERE r.rn = 1 ORDER BY r.p_type
+        """,
+        "delta_sorted": """
+            WITH d AS (
+              SELECT o_orderkey - lag(o_orderkey)
+                       OVER (ORDER BY o_orderkey) AS delta
+              FROM orders
+            )
+            SELECT count(*) AS n_deltas,
+                   min(delta) AS min_delta,
+                   max(delta) AS max_delta,
+                   round(avg(delta), 6) AS avg_delta,
+                   sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS inversions,
+                   CAST(ceil(log2(max(delta) + 1)) AS BIGINT) AS delta_bits
+            FROM d WHERE delta IS NOT NULL
+        """,
+        "one_value_guard": """
+            SELECT o_orderstatus,
+                   count(DISTINCT o_orderpriority) AS n_distinct,
+                   count(*) AS n_rows,
+                   count(DISTINCT o_orderpriority) <= 1 AS is_one_value
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "block_stats": """
+            WITH pos AS (
+              SELECT l_partkey,
+                     CAST(floor((row_number() OVER
+                       (ORDER BY l_orderkey, l_linenumber, l_partkey,
+                        l_suppkey) - 1) / 8192.0)
+                       AS BIGINT) AS block_id
+              FROM lineitem
+            )
+            SELECT block_id, count(*) AS n_rows,
+                   min(l_partkey) AS min_val, max(l_partkey) AS max_val,
+                   count(DISTINCT l_partkey) AS n_distinct
+            FROM pos GROUP BY block_id ORDER BY block_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "top_revenue_orders": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events, round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "text_quality": f"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                 x -> x <> '') AS tok
+              FROM documents
+            )
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CAST(len(tok) AS INT) AS n_tokens,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     * 1.0 / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     * 1.0 / greatest(length(text), 1), 6) AS digit_ratio,
+                   round(length(regexp_replace(text,
+                     '[^.,;:!?''"()-]', '', 'g'))
+                     * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter(tok, x -> x IN ({_STOP_EN})))
+                     * 1.0 / greatest(len(tok), 1), 6) AS stopword_ratio,
+                   round((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                     * 1.0 / greatest(length(text), 1))
+                     * least(len(tok) / 100.0, 1.0), 6) AS quality
+            FROM toks
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT)
+                     AS n_tokens,
+                   greatest(
+                     CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT),
+                     CAST(floor(length(regexp_replace(text, '\\s+', '', 'g'))
+                       / 4.0) AS BIGINT)
+                   ) AS n_subwords_est
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                 x -> x <> '') AS tok
+              FROM documents
+            ), hits AS (
+              SELECT doc_id,
+                     len(list_filter(tok, x -> x IN ({_STOP_EN}))) AS h_en,
+                     len(list_filter(tok, x -> x IN ({_STOP_DE}))) AS h_de,
+                     len(list_filter(tok, x -> x IN ({_STOP_FR}))) AS h_fr,
+                     len(list_filter(tok, x -> x IN ({_STOP_ES}))) AS h_es
+              FROM toks
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'und'
+                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                        WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        ELSE 'es' END AS pred_lang,
+                   CAST(greatest(h_en, h_de, h_fr, h_es) AS INT) AS best_hits
+            FROM hits
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fingerprint,
+                   length({_NORM}) AS norm_len
+            FROM documents
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM}) AS content_hash,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH norm AS (
+              SELECT doc_id, {_NORM} AS n FROM documents
+              WHERE length({_NORM}) >= 5
+            ), sh AS (
+              SELECT DISTINCT doc_id, substring(n, CAST(i AS INT), 5) AS shingle
+              FROM (SELECT doc_id, n, unnest(range(1, length(n) - 3)) AS i
+                    FROM norm) t
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(common * 1.0 /
+                     (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(common * 1.0 /
+                     (sa.n_shingles + sb.n_shingles - common), 6) >= 0.6
+        """,
+        "minhash_signatures": f"""
+            WITH norm AS (
+              SELECT doc_id, {_NORM} AS n FROM documents
+              WHERE length({_NORM}) >= 5
+            ), sh AS (
+              SELECT DISTINCT doc_id, substring(n, CAST(i AS INT), 5) AS shingle
+              FROM (SELECT doc_id, n, unnest(range(1, length(n) - 3)) AS i
+                    FROM norm) t
+            ), dict AS (
+              SELECT shingle,
+                     CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT)
+                       AS shingle_id
+              FROM (SELECT DISTINCT shingle FROM sh) u
+            ), ids AS (
+              SELECT sh.doc_id, dict.shingle_id
+              FROM sh JOIN dict USING (shingle)
+            ), params(hash_idx, a, b) AS (VALUES
+              (0, 1610612741, 12345), (1, 805306457, 67891),
+              (2, 402653189, 23457), (3, 201326611, 78913),
+              (4, 100663319, 34569), (5, 50331653, 89125),
+              (6, 25165843, 45671), (7, 12582917, 1237),
+              (8, 6291469, 56789), (9, 3145739, 11113),
+              (10, 1572869, 22229), (11, 786433, 33331),
+              (12, 393241, 44449), (13, 196613, 55557),
+              (14, 98317, 66667), (15, 49157, 77783))
+            SELECT ids.doc_id, CAST(params.hash_idx AS INT) AS hash_idx,
+                   min((ids.shingle_id * params.a + params.b) % 2147483647)
+                     AS minhash
+            FROM ids CROSS JOIN params
+            GROUP BY ids.doc_id, params.hash_idx
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS query_vec
+              FROM embeddings WHERE vec_id < 3
+            ), scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(
+                       list_dot_product(q.query_vec::DOUBLE[],
+                                        e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.query_vec::DOUBLE[],
+                                                q.query_vec::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))),
+                       4) AS cosine
+              FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, cosine,
+                   CAST(row_number() OVER
+                     (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                              a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]))),
+                     4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_dot_product(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                              a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]))),
+                     4) >= 0.9
+        """,
+    }

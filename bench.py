@@ -1,0 +1,260 @@
+"""Benchmark harness. Prints ONE JSON line per the driver contract:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": <sf>, ...extras}
+
+Covers:
+- headline SQL/operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+  on local[$SPARK_GRAFT_CPUS];
+- the graft metric: compaction + re-encode GB/s on the synthetic
+  image+caption table at TWO parallelism levels (N and 4N cores on the
+  same input — the sandbox stand-in for N vs 4N executors) with scaling
+  efficiency = throughput_4N / (4 * throughput_N);
+- compression ratio on the Public BI-style column-mix table.
+
+Child invocations (one per parallelism level) are subprocesses so each
+gets its own JVM with its own core count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE = os.environ.get("BTRSPARK_BENCH_CACHE", "/tmp/btrspark_bench_cache")
+IMG_ROWS = int(os.environ.get("BTRSPARK_BENCH_IMG_ROWS", "12000"))
+MIX_ROWS = int(os.environ.get("BTRSPARK_BENCH_MIX_ROWS", "1000000"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "events_hourly",
+    "rle_runs",
+    "block_stats",
+    "frequency_mode",
+    "dedup_exact",
+    "text_quality",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "simhash",
+    "knn_bruteforce",
+]
+
+
+def _spark(cores: int):
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"btrblocks-bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _ensure_fixture_parquet() -> tuple[str, str]:
+    """Cache the image table (fragmented parquet) + mix table parquet."""
+    os.makedirs(CACHE, exist_ok=True)
+    img_dir = os.path.join(CACHE, f"img-{IMG_ROWS}")
+    mix_path = os.path.join(CACHE, f"mix-{MIX_ROWS}.parquet")
+    if not os.path.exists(os.path.join(img_dir, "_DONE")):
+        from btrblocks_spark.fixtures import image_caption_table, write_fragmented
+
+        shutil.rmtree(img_dir, ignore_errors=True)
+        t = image_caption_table(IMG_ROWS, seed=42)
+        write_fragmented(t, img_dir, rows_per_file=IMG_ROWS // 96 or 1)
+        open(os.path.join(img_dir, "_DONE"), "w").close()
+    if not os.path.exists(mix_path):
+        import pyarrow.parquet as pq
+
+        from btrblocks_spark.fixtures import public_bi_mix_table
+
+        pq.write_table(public_bi_mix_table(MIX_ROWS, seed=42), mix_path)
+    return img_dir, mix_path
+
+
+def compact_job(cores: int) -> dict:
+    """Child role: build btr table from fragmented parquet, compact, report."""
+    img_dir, _ = _ensure_fixture_parquet()
+    spark = _spark(cores)
+    from btrblocks_spark.operators.compact import compact
+    from btrblocks_spark.sources.table import BtrTable
+
+    work_root = os.path.join(CACHE, f"compactrun-{cores}-{os.getpid()}")
+    shutil.rmtree(work_root, ignore_errors=True)
+    df = spark.read.parquet(img_dir)
+    table = BtrTable.create(
+        spark,
+        work_root,
+        df,
+        partition_by=["fmt"],
+        num_files=96,
+        job_id="bench-load",
+    )
+    n_input = len(table.data_files())
+    t0 = time.time()
+    res = compact(
+        table, target_file_bytes=64 * 1024 * 1024, job_id=f"bench-compact-{cores}"
+    )
+    elapsed = time.time() - t0
+    out = {
+        "cores": cores,
+        "elapsed_sec": elapsed,
+        "input_bytes": res.get("input_bytes", 0),
+        "bins": res.get("bins", 0),
+        "input_files": n_input,
+        "gbps": res.get("input_bytes", 0) / max(elapsed, 1e-9) / 1e9,
+    }
+    spark.stop()
+    shutil.rmtree(work_root, ignore_errors=True)
+    return out
+
+
+def reencode_ratio(cores: int) -> dict:
+    """Compression ratio + encode throughput on the Public BI-style mix."""
+    _, mix_path = _ensure_fixture_parquet()
+    spark = _spark(cores)
+    import pyarrow as pa
+
+    df = spark.read.parquet(mix_path).repartition(cores * 2)
+
+    def encode(batch_iter):
+        from btrblocks_spark.sources.blockfile import encode_table
+
+        for batch in batch_iter:
+            tbl = pa.Table.from_batches([batch])
+            block_table, stats = encode_table(tbl, seed=42)
+            comp = sum(
+                sum(len(v) for v in block_table.column(c).to_pylist())
+                for c in block_table.schema.names
+                if c.startswith("b_")
+            )
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "raw": pa.array([stats["raw_bytes"]], pa.int64()),
+                    "comp": pa.array([comp], pa.int64()),
+                }
+            )
+
+    t0 = time.time()
+    agg = (
+        df.mapInArrow(encode, "raw long, comp long")
+        .groupBy()
+        .sum("raw", "comp")
+        .collect()[0]
+    )
+    elapsed = time.time() - t0
+    raw, comp = agg[0], agg[1]
+    spark.stop()
+    return {
+        "raw_bytes": raw,
+        "compressed_bytes": comp,
+        "compression_ratio": raw / max(comp, 1),
+        "encode_gbps": raw / max(elapsed, 1e-9) / 1e9,
+        "elapsed_sec": elapsed,
+    }
+
+
+def run_queries(cores: int) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    spark = _spark(cores)
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        times[name] = round(time.time() - t0, 3)
+    spark.stop()
+    return times
+
+
+def _child(role: str, cores: int) -> dict:
+    env = dict(os.environ)
+    env["BENCH_ROLE"] = role
+    env["BENCH_CORES"] = str(cores)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not last:
+        raise RuntimeError(
+            f"child {role}@{cores} produced no JSON: {out.stderr[-2000:]}"
+        )
+    return json.loads(last[-1])
+
+
+def main() -> None:
+    role = os.environ.get("BENCH_ROLE")
+    if role == "compact":
+        print(json.dumps(compact_job(int(os.environ["BENCH_CORES"]))))
+        return
+    if role == "ratio":
+        print(json.dumps(reencode_ratio(int(os.environ["BENCH_CORES"]))))
+        return
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    _ensure_fixture_parquet()  # synthesize once, outside the timed children
+
+    n_small = max(CPUS // 4, 1)
+    compact_small = _child("compact", n_small)
+    compact_big = _child("compact", CPUS)
+    ratio = _child("ratio", CPUS)
+    eff = compact_big["gbps"] / (4 * compact_small["gbps"]) if compact_small[
+        "gbps"
+    ] else 0.0
+
+    t0 = time.time()
+    qtimes = run_queries(CPUS)
+    total = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "compaction+re-encode GB/s, compression ratio, "
+                "query suite sec",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "compaction_gbps_n": round(compact_small["gbps"], 4),
+                "compaction_gbps_4n": round(compact_big["gbps"], 4),
+                "compaction_cores_n": compact_small["cores"],
+                "compaction_cores_4n": compact_big["cores"],
+                "scaling_efficiency": round(eff, 3),
+                "compression_ratio_mix": round(ratio["compression_ratio"], 3),
+                "encode_gbps_mix": round(ratio["encode_gbps"], 4),
+                "image_table_rows": IMG_ROWS,
+                "mix_table_rows": MIX_ROWS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

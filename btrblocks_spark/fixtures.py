@@ -84,6 +84,75 @@ def image_caption_table(n_rows: int, seed: int = 42) -> pa.Table:
     )
 
 
+def public_bi_mix_table(n_rows: int, seed: int = 42) -> pa.Table:
+    """Public BI-style column mix (FIXTURES.md §3): ~9 ints, 5 doubles,
+    4 strings with the reference benchmark's distribution characters
+    (/root/reference/bench/bench-cases/regression_benchmark.cpp:13-24).
+    Fully vectorized generation."""
+    rng = np.random.default_rng(seed)
+    n = n_rows
+    ids = np.arange(n, dtype=np.int64) * 3 + rng.integers(0, 3, n)
+    cat8 = rng.integers(0, 255, n).astype(np.int32)
+    top = rng.integers(0, 10**6)
+    cat_freq = np.full(n, top, np.int32)
+    idx = rng.choice(n, max(n // 50, 1), replace=False)
+    cat_freq[idx] = rng.integers(0, 10**6, len(idx))
+    run_vals = rng.integers(0, 1000, n // 16 + 1)
+    rle_int = np.repeat(run_vals, 16)[:n].astype(np.int32)
+    big_bias = (rng.integers(0, 200, n) + 10**9).astype(np.int32)
+    sorted_ts = np.cumsum(rng.integers(0, 5, n)).astype(np.int64) + 1_600_000_000
+    m1 = rng.integers(0, 10**4, n).astype(np.int32)
+    m2 = rng.integers(-(10**8), 10**8, n).astype(np.int32)
+    m3 = rng.integers(0, 30, n).astype(np.int32)
+    price = rng.integers(0, 10**7, n).astype(np.float64) / 100.0
+    ratio = rng.integers(0, 10**4, n).astype(np.float64) / 10**4
+    rand_double = rng.uniform(-999999, 999999, n)
+    freq_double = np.full(n, 0.5)
+    fidx = rng.choice(n, max(n // 50, 1), replace=False)
+    freq_double[fidx] = rng.uniform(-1, 1, len(fidx))
+    dpool = rng.uniform(-1000, 1000, 255)
+    dict_double = dpool[rng.integers(0, 255, n)]
+    vocab = np.array([f"category_{i:03d}" for i in range(300)])
+    str_cat = vocab[rng.integers(0, 300, n)]
+    words = np.array(_VOCAB)
+    widx = rng.integers(0, len(words), (n, 6))
+    str_fsst = np.char.add(
+        np.char.add(
+            words[widx[:, 0]],
+            np.char.add(" ", words[widx[:, 1]]),
+        ),
+        np.char.add(
+            np.char.add(" ", words[widx[:, 2]]),
+            np.char.add("-", np.arange(n).astype(str)),
+        ),
+    )
+    str_one = np.full(n, "CONSTANT", dtype=object)
+    pool16 = np.array([f"v{i:05d}" for i in range(1020)])
+    str_dict16 = pool16[rng.integers(0, 1020, n)]
+    return pa.table(
+        {
+            "id": pa.array(ids),
+            "cat8": pa.array(cat8),
+            "cat_freq": pa.array(cat_freq),
+            "rle_int": pa.array(rle_int),
+            "big_bias": pa.array(big_bias),
+            "sorted_ts": pa.array(sorted_ts),
+            "m1": pa.array(m1),
+            "m2": pa.array(m2),
+            "m3": pa.array(m3),
+            "price": pa.array(price),
+            "ratio": pa.array(ratio),
+            "rand_double": pa.array(rand_double),
+            "freq_double": pa.array(freq_double),
+            "dict_double": pa.array(dict_double),
+            "str_cat": pa.array(str_cat.tolist(), pa.string()),
+            "str_fsst": pa.array(str_fsst.tolist(), pa.string()),
+            "str_one": pa.array(str_one.tolist(), pa.string()),
+            "str_dict16": pa.array(str_dict16.tolist(), pa.string()),
+        }
+    )
+
+
 def write_fragmented(
     table: pa.Table, out_dir: str, rows_per_file: int = 500
 ) -> list[str]:

@@ -1,0 +1,270 @@
+"""Deduplication operators over the ``documents`` table.
+
+Scale design notes (the point of each variant):
+
+- *exact*       — one shuffle on a 16-byte digest; at 10^12 docs the digest
+                  groupBy is the cheapest possible full dedup.
+- *n-gram Jaccard* — char-5-gram shingles, inverted-index join on shingle
+                  (explode → join on shingle → pair-count); candidate pairs
+                  are bounded by shared shingles, never a cross join.
+- *MinHash+LSH* — k=16 signatures, b=4 bands of r=4: only band-bucket
+                  collisions become candidate pairs; the signature pass is
+                  a single explode+groupBy, the banding pass another —
+                  two shuffles end-to-end regardless of corpus size.
+- *SimHash*     — 64-bit near-dup fingerprint via xxhash64 (JVM-side);
+                  hamming-near pairs found by 4x16-bit block buckets
+                  (pigeonhole: hamming<=3 ⇒ some block equal).
+- *embedding cosine* — see :mod:`similarity`.
+
+The oracle-checkable formulations (shingles, signatures, fingerprints)
+use engine-agnostic arithmetic (dictionary ids + (a*x+b) mod p) so DuckDB
+reproduces them bit-for-bit; xxhash64 variants are Spark-only fast paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# fixed MinHash parameters (deterministic, shared with the DuckDB oracle)
+MINHASH_K = 16
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+MINHASH_A = [
+    1_610_612_741, 805_306_457, 402_653_189, 201_326_611,
+    100_663_319, 50_331_653, 25_165_843, 12_582_917,
+    6_291_469, 3_145_739, 1_572_869, 786_433,
+    393_241, 196_613, 98_317, 49_157,
+]
+MINHASH_B = [
+    12_345, 67_891, 23_457, 78_913,
+    34_569, 89_125, 45_671, 1_237,
+    56_789, 11_113, 22_229, 33_331,
+    44_449, 55_557, 66_667, 77_783,
+]
+
+
+def _norm_text(text_col: str):
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized content digest; keeps min doc_id per group."""
+    h = F.md5(_norm_text(text_col))
+    return (
+        df.select("doc_id", h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
+    """Distinct char-k-gram shingles per doc (engine-agnostic)."""
+    norm = _norm_text(text_col)
+    base = df.select("doc_id", norm.alias("_norm")).filter(
+        F.length("_norm") >= k
+    )
+    return (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(_norm) - {k - 1}),"
+                    f" i -> substring(_norm, i, {k}))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", k: int = 5, threshold: float = 0.6
+) -> DataFrame:
+    """Near-dup pairs by char-k-gram Jaccard via inverted-index join."""
+    sh = shingles(df, text_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("n_shingles", "size_a")
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_shingles", "size_b"
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common")
+                / (F.col("size_a") + F.col("size_b") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def shingle_dictionary(sh: DataFrame) -> DataFrame:
+    """Global dense ids for shingles (sorted order → engine-agnostic).
+
+    NOTE: a global sort of the distinct-shingle set. Fine for the
+    oracle-checkable variant; the production path at 10^12 docs is
+    :func:`minhash_signatures_fast` (xxhash64, no dictionary).
+    """
+    w = Window.orderBy("shingle")
+    return sh.select("shingle").distinct().withColumn(
+        "shingle_id", F.dense_rank().over(w).cast("long")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """(doc_id, hash_idx, minhash) — deterministic, oracle-checkable."""
+    sh = shingles(df, text_col, k)
+    ids = sh.join(shingle_dictionary(sh), "shingle").select(
+        "doc_id", "shingle_id"
+    )
+    rows = []
+    for i in range(MINHASH_K):
+        rows.append(
+            ids.select(
+                "doc_id",
+                F.lit(i).alias("hash_idx"),
+                (
+                    (F.col("shingle_id") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i]))
+                    % F.lit(MINHASH_PRIME)
+                ).alias("h"),
+            )
+        )
+    allh = rows[0]
+    for r in rows[1:]:
+        allh = allh.unionByName(r)
+    return allh.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("minhash"))
+
+
+def minhash_signatures_fast(
+    df: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Production MinHash: xxhash64(shingle, seed_i) — no global dictionary.
+
+    One explode + K column-wise mins in a single groupBy (map-side partial
+    aggregation); scales to arbitrary corpora with one shuffle.
+    """
+    sh = shingles(df, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+        for i in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4
+) -> DataFrame:
+    """Band-bucket join: docs sharing any band of the signature."""
+    rows_per_band = MINHASH_K // bands
+    sig_cols = [c for c in signatures.columns if c.startswith("mh_")]
+    assert len(sig_cols) == MINHASH_K
+    band_exprs = []
+    for b in range(bands):
+        cols = sig_cols[b * rows_per_band : (b + 1) * rows_per_band]
+        band_exprs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(c) for c in cols]).alias("bucket"),
+            )
+        )
+    buckets = signatures.select(
+        "doc_id", F.explode(F.array(*band_exprs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    return (
+        buckets.alias("a")
+        .join(buckets.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over token xxhash64s — fully JVM-side.
+
+    sim bit b = sign of sum over tokens of (2*bit_b(hash(token)) - 1).
+    """
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+            )
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    aggs = [
+        F.sum(
+            (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            * F.lit(2 ** b if b < 63 else -(2**63)).cast("long")
+        )
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near pairs by 16-bit block pigeonhole + exact hamming filter."""
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.blk", "bv.val")
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), on=["blk", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

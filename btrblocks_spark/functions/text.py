@@ -1,0 +1,112 @@
+"""Text analysis over the ``documents`` table — all JVM-side expressions.
+
+Every function here returns a DataFrame built purely from
+``pyspark.sql.functions`` (whole-stage-codegen friendly, no Python in the
+hot path) and has a matching DuckDB oracle SQL in ``__spark_entry__.py``.
+
+Ops: token counting (regex), quality scoring (length/alpha/punct/stopword
+ratios), language ID (stopword-hit heuristic over 4 languages), document
+fingerprinting (normalized-content md5; the rolling-hash/winnowing variant
+lives in dedup.simhash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[A-Za-z0-9]+"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"],
+    "es": ["el", "la", "los", "y", "es", "en", "por", "que", "una", "con"],
+}
+
+
+def _tokens(col):
+    return F.expr(f"filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace/punct-delimited token count + BPE-ish subword estimate."""
+    return df.select(
+        "doc_id",
+        F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)).alias("n_tokens"),
+        # BPE-ish proxy: ~1 token per 4 chars of compact text, at least word count
+        F.greatest(
+            F.regexp_count(F.col(text_col), F.lit(TOKEN_RE)),
+            (F.length(F.regexp_replace(text_col, r"\s+", "")) / F.lit(4)).cast(
+                "long"
+            ),
+        ).alias("n_subwords_est"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / alpha / stopword-ratio quality features."""
+    n = F.length(F.col(text_col))
+    alpha = F.length(F.regexp_replace(text_col, "[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(text_col, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text_col, r"[^.,;:!?'\"()-]", ""))
+    toks = _tokens(text_col)
+    en_stops = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+    stop_hits = F.expr(
+        f"size(filter(filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != ''),"
+        f" x -> x in ({en_stops})))"
+    )
+    ntok = F.size(toks)
+    return df.select(
+        "doc_id",
+        n.alias("n_chars"),
+        ntok.alias("n_tokens"),
+        F.round(alpha / F.greatest(n, F.lit(1)), 6).alias("alpha_ratio"),
+        F.round(digits / F.greatest(n, F.lit(1)), 6).alias("digit_ratio"),
+        F.round(punct / F.greatest(n, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(ntok, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(
+            (alpha / F.greatest(n, F.lit(1)))
+            * F.least(ntok / F.lit(100.0), F.lit(1.0)),
+            6,
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID over {en, de, fr, es} with deterministic ties.
+
+    score(lang) = stopword hits; winner = argmax, ties broken by language
+    code order; 'und' (undetermined) when no stopword hits at all.
+    """
+    out = df
+    for lang, words in STOPWORDS.items():
+        lst = ",".join(f"'{w}'" for w in words)
+        out = out.withColumn(
+            f"_hits_{lang}",
+            F.expr(
+                f"size(filter(filter(split(lower({text_col}), '[^a-z0-9]+'),"
+                f" x -> x != ''), x -> x in ({lst})))"
+            ),
+        )
+    langs = list(STOPWORDS)
+    best = F.greatest(*[F.col(f"_hits_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → build reversed
+        pred = F.when(F.col(f"_hits_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    return out.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        best.alias("best_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: md5 of lowercased, space-collapsed text."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )

@@ -1,0 +1,12 @@
+"""Table-maintenance jobs (the north rule's operator set).
+
+- :mod:`compact`  — bin-packing small-file compaction with block re-encode
+  (the distributed analog of the reference's 16 MiB ColumnPart packing,
+  ``/root/reference/btrblocks/storage/Chunk.cpp:233-290``).
+- :mod:`cluster`  — Z-order / Hilbert clustering over (phash, w, h) with
+  explicit salted-repartition skew handling on hot phash ranges.
+- :mod:`merge`    — MERGE INTO (upsert/delete) rewriting only touched files.
+- :mod:`verify`   — post-maintenance scan-equality + PSNR invariants.
+
+Snapshot expiry and manifest rewrite live on :class:`BtrTable` itself.
+"""

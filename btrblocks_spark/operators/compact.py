@@ -1,0 +1,161 @@
+"""Bin-packing compaction with fused block re-encode.
+
+Greedy first-fit-decreasing bin packing of small files into
+``target_file_bytes`` bins per partition — the distributed analog of the
+reference's ColumnPart packing loop (greedily append compressed chunks
+until 16 MiB, then flush — ``/root/reference/btrblocks/storage/
+Chunk.cpp:233-243``, ``tools/conversion/csvtobtr.cpp:160-187``).
+
+Planning is a *driver-side* computation over the manifest (file counts are
+~10^4-10^6 rows even at 100 TB — trivially driver-sized since one row per
+16-MiB-class file; the 100 TB of *data* is never collected). Execution is
+one Spark task per output bin: the task reads its bin's block files,
+decodes, re-encodes fresh blocks (picking schemes anew over the bigger
+blocks — this is where compression ratio improves), writes one new file,
+and leaves a checkpoint marker so a killed job resumes by skipping
+finished bins.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+
+from btrblocks_spark import PART_SIZE_BYTES
+from btrblocks_spark.sources.table import BtrTable, _write_parquet_atomic
+
+
+def plan_bins(
+    files: list[dict],
+    target_file_bytes: int,
+    min_input_files: int = 2,
+    small_file_bytes: int | None = None,
+) -> list[list[dict]]:
+    """First-fit-decreasing bin packing of compactable files, per partition."""
+    small_file_bytes = small_file_bytes or int(target_file_bytes * 0.75)
+    by_part: dict[str, list[dict]] = {}
+    for r in files:
+        if r["file_bytes"] < small_file_bytes:
+            by_part.setdefault(r["partition"], []).append(r)
+    bins: list[list[dict]] = []
+    for part_files in by_part.values():
+        if len(part_files) < min_input_files:
+            continue
+        part_files.sort(key=lambda r: -r["file_bytes"])
+        part_bins: list[tuple[int, list[dict]]] = []
+        for r in part_files:
+            placed = False
+            for i, (used, members) in enumerate(part_bins):
+                if used + r["file_bytes"] <= target_file_bytes:
+                    part_bins[i] = (used + r["file_bytes"], members + [r])
+                    placed = True
+                    break
+            if not placed:
+                part_bins.append((r["file_bytes"], [r]))
+        bins.extend(members for _, members in part_bins if len(members) >= 2)
+    return bins
+
+
+def compact(
+    table: BtrTable,
+    target_file_bytes: int = PART_SIZE_BYTES,
+    min_input_files: int = 2,
+    job_id: str | None = None,
+) -> dict:
+    """Compact small files; returns job metrics. Checkpoint-resumable."""
+    job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
+    files = table.data_files()
+    bins = plan_bins(files, target_file_bytes, min_input_files)
+    if not bins:
+        return {"job_id": job_id, "bins": 0, "rewritten_files": 0}
+
+    root = table.root
+    ckpt_dir = os.path.join(root, "_checkpoints", job_id)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    spark = table.spark
+
+    specs = [
+        {
+            "bin_id": i,
+            "partition": members[0]["partition"],
+            "paths": json.dumps([m["file_path"] for m in members]),
+        }
+        for i, members in enumerate(bins)
+    ]
+    spec_df = spark.createDataFrame(specs).repartition(len(specs), "bin_id")
+    schema_hex = table.schema_arrow().serialize().hex().decode()
+
+    def rebuild(batch_iter):
+        import pyarrow.parquet as pq
+
+        from btrblocks_spark.sources.blockfile import decode_batches, encode_table
+
+        for batch in batch_iter:
+            for row in batch.to_pylist():
+                bin_id = row["bin_id"]
+                marker = os.path.join(ckpt_dir, f"bin-{bin_id}.json")
+                if os.path.exists(marker):
+                    with open(marker) as f:
+                        yield pa.RecordBatch.from_pydict({"rows": [f.read()]})
+                    continue
+                paths = json.loads(row["paths"])
+                schema = pa.ipc.read_schema(
+                    pa.py_buffer(bytes.fromhex(schema_hex))
+                )
+                logical_batches = []
+                for p in paths:
+                    bt = pq.read_table(p)
+                    logical_batches.extend(
+                        decode_batches(bt.to_batches(), schema, schema.names)
+                    )
+                merged = pa.Table.from_batches(logical_batches)
+                block_table, stats = encode_table(merged, seed=42)
+                fname = f"{job_id}-bin{bin_id:05d}.parquet"
+                fpath = os.path.join(root, "data", fname)
+                fbytes = _write_parquet_atomic(block_table, fpath)
+                out = [
+                    {
+                        "file_path": fpath,
+                        "partition": row["partition"],
+                        "row_count": stats["row_count"],
+                        "block_count": block_table.num_rows,
+                        "file_bytes": fbytes,
+                        "raw_bytes": stats["raw_bytes"],
+                        "stats": json.dumps(stats["columns"]),
+                        "job_id": job_id,
+                        "source_files": json.dumps(paths),
+                        "sort_key": "",
+                    }
+                ]
+                payload = json.dumps(out)
+                tmp = f"{marker}.tmp-{uuid.uuid4().hex}"
+                with open(tmp, "w") as f:
+                    f.write(payload)
+                os.replace(tmp, marker)
+                yield pa.RecordBatch.from_pydict({"rows": [payload]})
+
+    collected = spec_df.mapInArrow(rebuild, "rows string").collect()
+    new_rows: list[dict] = []
+    for r in collected:
+        new_rows.extend(json.loads(r.rows))
+    replaced = {m["file_path"] for members in bins for m in members}
+    sid = table._commit(
+        new_rows,
+        operation="compact",
+        replaced=replaced,
+        extra_summary={"bins": len(bins)},
+    )
+    return {
+        "job_id": job_id,
+        "snapshot_id": sid,
+        "bins": len(bins),
+        "rewritten_files": len(replaced),
+        "new_files": len(new_rows),
+        "new_bytes": sum(r["file_bytes"] for r in new_rows),
+        "input_bytes": sum(
+            m["file_bytes"] for members in bins for m in members
+        ),
+    }

@@ -1,0 +1,213 @@
+"""Operator-analysis queries over the TPC-H-ish test tables.
+
+Every query returns deterministic, fully-aliased columns; the matching
+oracle SQL lives in ``__spark_entry__.py``. Scale notes are inline: these
+are one-or-two-shuffle plans whose group keys are low-cardinality, so at
+100 TB they stay map-side-combine friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length stats of l_returnflag in (l_orderkey, l_linenumber) order.
+
+    The declarative form of TRLE compress (RLE.hpp:20-85): lag -> change
+    flag -> prefix-sum run ids -> per-run lengths -> per-value run stats.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    runs = (
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_returnflag")
+        .withColumn("_prev", F.lag("l_returnflag").over(w))
+        .withColumn(
+            "_new_run",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("_prev") != F.col("l_returnflag")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("_new_run").over(w))
+        .groupBy("run_id", "l_returnflag")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        runs.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.sum("run_len").alias("n_rows"),
+            F.round(F.avg("run_len"), 6).alias("avg_run_len"),
+            F.max("run_len").alias("max_run_len"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def dict_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-dictionary build for p_brand: code = dense_rank, plus counts.
+
+    Declarative TDynamicDictionary (DynamicDictionary.hpp:29-75): distinct
+    + sort = the dictionary, dense_rank = the code assignment.
+    """
+    part = _t(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand").agg(F.count("*").alias("n_rows"))
+    w = Window.orderBy("p_brand")
+    return counts.withColumn(
+        "code", (F.dense_rank().over(w) - 1).cast("long")
+    ).select("p_brand", "code", "n_rows").orderBy("code")
+
+
+def for_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOR bias per l_suppkey group: min bias + residual range (FOR.cpp:14-65)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.min("l_partkey").alias("bias"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("residual_range"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+def frequency_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 value + exception count per p_type (TFrequency estimate,
+    Frequency.hpp:23-48). Deterministic ties: higher count, then brand asc."""
+    part = _t(spark, sf_dir, "part")
+    counts = part.groupBy("p_type", "p_brand").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("p_type").orderBy(F.desc("cnt"), F.asc("p_brand"))
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    totals = part.groupBy("p_type").agg(F.count("*").alias("total"))
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .join(totals, "p_type")
+        .select(
+            "p_type",
+            F.col("p_brand").alias("top_value"),
+            F.col("cnt").alias("top_count"),
+            (F.col("total") - F.col("cnt")).alias("exception_count"),
+            F.round(F.col("cnt") / F.col("total"), 6).alias("occupancy"),
+        )
+        .orderBy("p_type")
+    )
+
+
+def delta_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortedness + delta stats of o_orderkey (the PFOR_DELTA gate,
+    PBP.cpp:60-65): is_sorted, max/avg delta, bits needed for deltas."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    d = (
+        o.select("o_orderkey")
+        .withColumn("_delta", F.col("o_orderkey") - F.lag("o_orderkey").over(w))
+        .filter(F.col("_delta").isNotNull())
+    )
+    return d.agg(
+        F.count("*").alias("n_deltas"),
+        F.min("_delta").alias("min_delta"),
+        F.max("_delta").alias("max_delta"),
+        F.round(F.avg("_delta"), 6).alias("avg_delta"),
+        F.sum(F.when(F.col("_delta") < 0, 1).otherwise(0)).alias("inversions"),
+        F.ceil(F.log2(F.max("_delta") + F.lit(1))).alias("delta_bits"),
+    )
+
+
+def one_value_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE_VALUE short-circuit detection per group (SchemePicker.hpp:118-129):
+    which o_orderstatus groups have a single distinct o_orderpriority?"""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_orderpriority").alias("n_distinct"),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn("is_one_value", (F.col("n_distinct") <= 1).cast("boolean"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block NumberStats (NumberStats.hpp:78-130): min/max/count/distinct
+    of l_partkey per 8192-row block in (l_orderkey, l_linenumber) order."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    blocks = li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").withColumn(
+        "block_id", ((F.row_number().over(w) - 1) / F.lit(8192)).cast("long")
+    )
+    return (
+        blocks.groupBy("block_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_partkey").alias("min_val"),
+            F.max("l_partkey").alias("max_val"),
+            F.countDistinct("l_partkey").alias("n_distinct"),
+        )
+        .orderBy("block_id")
+    )
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary (pure built-in aggregates;
+    single shuffle on a 6-value key — map-side combine does the heavy
+    lifting at any scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: join customer ⋈ orders ⋈ lineitem; the customer and
+    orders sides are broadcast at any realistic dim/fact ratio."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation over the events table — the
+    batch twin of the streaming job in streaming/ingest.py."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )

@@ -87,19 +87,34 @@ def encode_table(
 
 
 def decode_batches(
-    batch_iter, logical_schema: pa.Schema, columns: list[str] | None = None
+    batch_iter,
+    logical_schema: pa.Schema,
+    columns: list[str] | None = None,
+    with_file: bool = False,
 ):
-    """mapInArrow kernel: block rows -> logical record batches."""
+    """mapInArrow kernel: block rows -> logical record batches.
+
+    With ``with_file`` the incoming batches must carry a ``_file`` column
+    (from ``input_file_name()``); it is repeated per decoded row so callers
+    can trace each row to its data file (MERGE touched-file discovery).
+    """
     want = columns or logical_schema.names
     fields = [logical_schema.field(name) for name in want]
-    out_schema = pa.schema(fields)
+    out_schema = pa.schema(
+        fields + ([pa.field("_file", pa.string())] if with_file else [])
+    )
     for batch in batch_iter:
         for i in range(batch.num_rows):
             arrays = []
+            n = None
             for f in fields:
                 blob = batch.column(f"b_{f.name}")[i].as_py()
                 arr = decode_block(blob)
                 if not arr.type.equals(f.type):
                     arr = arr.cast(f.type)
                 arrays.append(arr)
+                n = len(arr)
+            if with_file:
+                fname = batch.column("_file")[i].as_py()
+                arrays.append(pa.array([fname] * (n or 0), pa.string()))
             yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)

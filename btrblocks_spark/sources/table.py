@@ -190,20 +190,26 @@ class BtrTable:
         job_id: str,
         num_files: int | None = None,
         max_rows_per_file: int | None = None,
+        preserve_partitioning: bool = False,
+        sort_key: str = "",
     ) -> list[dict]:
         """Run the distributed encode; returns manifest row dicts."""
         root = self.root
         parts = self.partition_by()
         arrow_schema = df.limit(0).toArrow().schema
 
-        if num_files is None:
+        if preserve_partitioning:
+            num_files = None
+        elif num_files is None:
             # size the fan-out from a cheap estimate: Spark's own input size
             est_bytes = df.inputFiles() and sum(
                 os.path.getsize(p.replace("file:", "")) for p in df.inputFiles()
                 if os.path.exists(p.replace("file:", ""))
             ) or 0
             num_files = max(1, min(512, est_bytes // PART_SIZE_BYTES or 8))
-        if parts:
+        if preserve_partitioning:
+            work = df
+        elif parts:
             work = df.repartition(num_files, *[F.col(c) for c in parts])
         else:
             work = df.repartition(num_files)
@@ -278,7 +284,7 @@ class BtrTable:
                                 "stats": json.dumps(stats["columns"]),
                                 "job_id": job_id,
                                 "source_files": "[]",
-                                "sort_key": "",
+                                "sort_key": sort_key,
                             }
                         )
                         k += 1
@@ -408,6 +414,7 @@ class BtrTable:
         snapshot_id: int | None = None,
         prune: dict | None = None,
         files: list[str] | None = None,
+        with_file: bool = False,
     ) -> DataFrame:
         """Read the table back as a logical DataFrame.
 
@@ -428,16 +435,24 @@ class BtrTable:
         if not rows:
             return self.spark.createDataFrame([], schema=spark_schema)
         paths = [r["file_path"] for r in rows]
-        block_df = self.spark.read.parquet(*paths).select(
-            *[f"b_{c}" for c in want]
-        )
+        sel = [F.col(f"b_{c}") for c in want]
+        if with_file:
+            sel.append(F.input_file_name().alias("_file"))
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            spark_schema = StructType(
+                spark_schema.fields + [StructField("_file", StringType())]
+            )
+        block_df = self.spark.read.parquet(*paths).select(*sel)
         schema_hex = arrow_schema.serialize().hex().decode()
 
         def decode(batch_iter):
             from btrblocks_spark.sources.blockfile import decode_batches
 
             logical = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(schema_hex)))
-            yield from decode_batches(batch_iter, logical, list(want))
+            yield from decode_batches(
+                batch_iter, logical, list(want), with_file=with_file
+            )
 
         return block_df.mapInArrow(decode, spark_schema)
 
@@ -501,10 +516,13 @@ def _file_may_match(row: dict, prune: dict) -> bool:
         if not st or st["min"] is None:
             continue
         smin, smax = st["min"], st["max"]
-        try:
-            smin, smax = float(smin), float(smax)
-        except ValueError:
-            pass
+        # stats are stored stringified; coerce them to the bound's type
+        numeric_bound = isinstance(lo, (int, float)) or isinstance(hi, (int, float))
+        if numeric_bound:
+            try:
+                smin, smax = float(smin), float(smax)
+            except (TypeError, ValueError):
+                continue  # non-numeric stats can't prune a numeric bound
         if lo is not None and smax < lo:
             return False
         if hi is not None and smin > hi:

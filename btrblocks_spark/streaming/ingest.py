@@ -1,0 +1,161 @@
+"""Streaming ingest: file-source events → watermarked windowed aggregates.
+
+The streaming twin of ``plans.codec_queries.events_hourly``: same logical
+aggregation, expressed as an incremental plan with a watermark for late
+data. ``run_events_stream`` uses ``availableNow`` so tests and backfills
+drain the source and stop — the identical query keeps running on a live
+directory in production.
+
+Also: ``sessionize`` — a custom stateful operator
+(``applyInPandasWithState``) building per-user sessions with an
+inactivity gap, the pattern for stateful ops Spark lacks built-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+
+
+def hourly_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h window per event_type with late-data watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_events_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint_dir: str,
+    query_name: str = "events_hourly_stream",
+) -> None:
+    """Drain the source with availableNow into an in-memory sink."""
+    stream = read_events_stream(spark, input_dir)
+    agg = hourly_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def sessionize(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessions split on inactivity gaps (custom stateful op)."""
+    import pandas as pd
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        ts_us = rows["ts"].astype("int64") // 1000
+        vals = rows["value"].to_numpy()
+        if state.exists:
+            start_us, end_us, n, total = state.get
+        else:
+            start_us, end_us, n, total = int(ts_us.iloc[0]), int(ts_us.iloc[0]), 0, 0.0
+        out = []
+        for t, v in zip(ts_us, vals):
+            if t - end_us > gap_us and n > 0:
+                out.append((user_id, start_us, end_us, n, total))
+                start_us, n, total = int(t), 0, 0.0
+            end_us = int(t)
+            n += 1
+            total += float(v)
+        state.update((start_us, end_us, n, total))
+        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "session_start": [pd.Timestamp(o[1], unit="us") for o in out],
+                    "session_end": [pd.Timestamp(o[2], unit="us") for o in out],
+                    "n_events": [o[3] for o in out],
+                    "total_value": [o[4] for o in out],
+                }
+            )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

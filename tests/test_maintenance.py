@@ -1,0 +1,153 @@
+"""Maintenance jobs E2E: compact, Z-order cluster, MERGE INTO, verify.
+
+Mirrors SURVEY.md §5.5: synthesize the image+caption table fragmented,
+run each maintenance job, assert row-set equality / PSNR invariants and
+snapshot isolation after every job.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrblocks_spark.fixtures import image_caption_table
+from btrblocks_spark.operators.cluster import cluster, morton3
+from btrblocks_spark.operators.compact import compact, plan_bins
+from btrblocks_spark.operators.merge import merge_into
+from btrblocks_spark.operators.verify import verify_images, verify_snapshots_equal
+from btrblocks_spark.sources.table import BtrTable
+
+N = 1200
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("maint"))
+    df = spark.createDataFrame(image_caption_table(N, seed=11))
+    # fragment: many tiny files so compaction has real work
+    return BtrTable.create(
+        spark, root, df, partition_by=["fmt"], num_files=8,
+        max_rows_per_file=100, job_id="m0",
+    )
+
+
+def test_compact_preserves_rows(spark, table):
+    sid0 = table.current_snapshot_id()
+    files_before = len(table.data_files())
+    res = compact(table, target_file_bytes=64 * 1024 * 1024, job_id="c1")
+    assert res["bins"] >= 1
+    files_after = len(table.data_files())
+    assert files_after < files_before
+    chk = verify_snapshots_equal(table, sid0, None)
+    assert chk["ok"], chk
+    # snapshot isolation: pre-compaction snapshot still scans
+    assert table.scan(snapshot_id=sid0).count() == N
+    # lineage recorded
+    src = [
+        json.loads(r["source_files"])
+        for r in table.data_files()
+        if r["job_id"] == "c1"
+    ]
+    assert all(len(s) >= 2 for s in src)
+
+
+def test_compact_resume_idempotent(spark, table):
+    # second run with same job id: markers say done; no new snapshot needed
+    before = table.current_snapshot_id()
+    res = compact(table, target_file_bytes=64 * 1024 * 1024, job_id="c2")
+    after_files = {r["file_path"] for r in table.data_files()}
+    res2_files = {r["file_path"] for r in table.data_files()}
+    assert after_files == res2_files
+    assert table.scan().count() == N
+
+
+def test_cluster_zorder(spark, table):
+    sid0 = table.current_snapshot_id()
+    res = cluster(table, job_id="z1", max_rows_per_file=300)
+    assert res["rewritten_files"] >= 1
+    chk = verify_snapshots_equal(table, sid0, None)
+    assert chk["ok"], chk
+    # clustered files carry the sort key in the manifest
+    keys = {r["sort_key"] for r in table.data_files()}
+    assert "zorder(phash,w,h)" in keys
+    # stats-pruned scan on phash returns exactly the right rows
+    hot_lo = 0x7FFF_0000_0000_0000
+    pruned = table.scan(columns=["phash"], prune={"phash": (hot_lo, None)})
+    full = table.scan(columns=["phash"])
+    want = full.filter(F.col("phash") >= hot_lo).count()
+    got = pruned.filter(F.col("phash") >= hot_lo).count()
+    assert got == want
+
+
+def test_morton_key_orders_locality():
+    import numpy as np
+
+    a = np.array([0, 0, 1, 2**21 - 1], np.uint64)
+    b = np.array([0, 1, 0, 2**21 - 1], np.uint64)
+    c = np.array([0, 0, 0, 2**21 - 1], np.uint64)
+    z = morton3(a, b, c)
+    assert z[0] == 0
+    assert z[3] == 2**63 - 1
+    assert len(set(z.tolist())) == 4
+
+
+def test_merge_update_and_insert(spark, table):
+    sid0 = table.current_snapshot_id()
+    base = table.scan(columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"])
+    # update 30 rows' captions + insert 20 brand-new rows
+    upd = (
+        base.limit(30)
+        .withColumn("caption", F.lit("UPDATED CAPTION"))
+    )
+    new = spark.createDataFrame(image_caption_table(20, seed=99)).withColumn(
+        "image_id", F.concat(F.lit("new-"), F.col("image_id"))
+    )
+    source = upd.unionByName(new)
+    res = merge_into(table, source, on="image_id", job_id="mg1")
+    assert res["touched_files"] >= 1
+    cur = table.scan()
+    assert cur.count() == N + 20
+    assert cur.filter(F.col("caption") == "UPDATED CAPTION").count() == 30
+    assert cur.filter(F.col("image_id").startswith("new-")).count() == 20
+    # old snapshot untouched
+    old = table.scan(snapshot_id=sid0)
+    assert old.count() == N
+    assert old.filter(F.col("caption") == "UPDATED CAPTION").count() == 0
+
+
+def test_merge_delete(spark, table):
+    n_before = table.scan().count()
+    victims = table.scan().filter(F.col("image_id").startswith("new-"))
+    res = merge_into(table, victims, on="image_id", when_matched="delete",
+                     when_not_matched="ignore", job_id="mg2")
+    assert table.scan().count() == n_before - 20
+    assert table.scan().filter(F.col("image_id").startswith("new-")).count() == 0
+
+
+def test_images_psnr_invariant(spark, table):
+    res = verify_images(table)
+    assert res["ok"], res
+    assert res["min_psnr"] >= 40.0
+
+
+def test_expire_keeps_current(spark, table):
+    n = table.scan().count()
+    res = table.expire_snapshots(keep_last=1)
+    assert res["expired_snapshots"] >= 1
+    assert table.scan().count() == n
+    # all remaining files referenced
+    for r in table.data_files():
+        assert os.path.exists(r["file_path"])
+
+
+def test_plan_bins_first_fit():
+    files = [
+        {"file_path": f"f{i}", "partition": "{}", "file_bytes": b}
+        for i, b in enumerate([10, 20, 30, 40, 90])
+    ]
+    bins = plan_bins(files, target_file_bytes=100, small_file_bytes=95)
+    packed = sorted(sorted(m["file_bytes"] for m in b) for b in bins)
+    assert sum(len(b) for b in bins) == 5
+    for b in bins:
+        assert sum(m["file_bytes"] for m in b) <= 100
