@@ -3,10 +3,12 @@
 Plays the role of FastBinaryPacking/FastPFor in the reference
 (``/root/reference/btrblocks/scheme/integer/PBP.cpp:126-163``,
 ``/root/reference/btrblocks/extern/FastPFOR.cpp:19-29``). Instead of
-arbitrary bit widths with SIMD kernels, we pack at numpy-friendly widths
-{1, 2, 4, 8, 16, 32, 64} bits (sub-byte widths via ``np.packbits``), which
-keeps both pack and unpack a handful of vectorized numpy ops. The width
-formula mirrors ``Utils::getBitsNeeded``
+arbitrary bit widths with SIMD kernels, we pack at numpy-friendly widths:
+sub-byte {1, 2, 4} via ``np.packbits``-style shifts, whole-byte
+{8, 16, 32, 64} via dtype casts, and byte-sliced {24, 40, 48, 56} by
+viewing the 4/8-byte representation as a byte matrix and dropping the
+constant-zero high bytes — every path a handful of vectorized numpy ops.
+The width formula mirrors ``Utils::getBitsNeeded``
 (``/root/reference/btrblocks/common/Utils.hpp:19-31``) rounded up to the
 next supported width.
 """
@@ -17,8 +19,9 @@ import struct
 
 import numpy as np
 
-_WIDTHS = (0, 1, 2, 4, 8, 16, 32, 64)
+_WIDTHS = (0, 1, 2, 4, 8, 16, 24, 32, 40, 48, 56, 64)
 _DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+_SLICED = {24: (np.uint32, 3), 40: (np.uint64, 5), 48: (np.uint64, 6), 56: (np.uint64, 7)}
 
 
 def bits_needed(max_value: int) -> int:
@@ -66,6 +69,10 @@ def pack(values: np.ndarray) -> bytes:
         u = u.reshape(-1, 2)
         b = u[:, 0] | (u[:, 1] << 4)
         return head + b.tobytes()
+    if w in _SLICED:
+        dt, nbytes = _SLICED[w]
+        mat = np.ascontiguousarray(v.astype(dt)).view(np.uint8).reshape(n, dt().itemsize)
+        return head + np.ascontiguousarray(mat[:, :nbytes]).tobytes()
     return head + v.astype(_DTYPES[w]).tobytes()
 
 
@@ -97,6 +104,16 @@ def unpack(buf: memoryview, offset: int = 0) -> tuple[np.ndarray, int]:
         out[:, 0] = b & 15
         out[:, 1] = b >> 4
         return out.reshape(-1)[:n].astype(np.uint64), pos + nbytes - offset
+    if w in _SLICED:
+        dt, nbytes = _SLICED[w]
+        width = dt().itemsize
+        raw = np.frombuffer(buf, np.uint8, n * nbytes, pos).reshape(n, nbytes)
+        mat = np.zeros((n, width), np.uint8)
+        mat[:, :nbytes] = raw
+        return (
+            mat.view(dt).reshape(n).astype(np.uint64),
+            pos + n * nbytes - offset,
+        )
     dt = _DTYPES[w]
     nbytes = n * dt().itemsize
     return (

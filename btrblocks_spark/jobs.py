@@ -1,0 +1,159 @@
+"""Job entrypoints for spark-submit.
+
+Package the library and submit any maintenance job against a table root::
+
+    python tools/make_pyfiles.py               # -> dist/btrblocks_spark.zip
+    spark-submit --py-files dist/btrblocks_spark.zip \
+        -m btrblocks_spark.jobs compact --table /data/imgtable \
+        --target-file-bytes 67108864
+
+(or ``python -m btrblocks_spark.jobs ...`` locally — the driver builds its
+own SparkSession; on a cluster, spark-submit's conf wins).
+
+Subcommands: create, append, compact, cluster, merge, expire, verify,
+describe. Every job prints a one-line JSON result.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _spark(app: str):
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+    )
+    if not os.environ.get("SPARK_SUBMIT_MODE"):
+        builder = builder.master(
+            os.environ.get("SPARK_MASTER", "local[*]")
+        )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="btrblocks_spark.jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("create", help="create a table from parquet input")
+    c.add_argument("--table", required=True)
+    c.add_argument("--input", required=True, help="parquet path/glob")
+    c.add_argument("--partition-by", default="")
+    c.add_argument("--num-files", type=int, default=None)
+
+    a = sub.add_parser("append")
+    a.add_argument("--table", required=True)
+    a.add_argument("--input", required=True)
+
+    k = sub.add_parser("compact")
+    k.add_argument("--table", required=True)
+    k.add_argument("--target-file-bytes", type=int, default=16 * 2**20)
+    k.add_argument("--job-id", default=None)
+
+    z = sub.add_parser("cluster")
+    z.add_argument("--table", required=True)
+    z.add_argument("--by", default="phash,w,h")
+    z.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
+    z.add_argument("--job-id", default=None)
+
+    m = sub.add_parser("merge")
+    m.add_argument("--table", required=True)
+    m.add_argument("--source", required=True, help="parquet path of source")
+    m.add_argument("--on", required=True)
+    m.add_argument("--when-matched", default="update")
+    m.add_argument("--when-not-matched", default="insert")
+
+    e = sub.add_parser("expire")
+    e.add_argument("--table", required=True)
+    e.add_argument("--keep-last", type=int, default=3)
+
+    v = sub.add_parser("verify")
+    v.add_argument("--table", required=True)
+    v.add_argument("--before", type=int, required=True)
+    v.add_argument("--images", action="store_true")
+
+    d = sub.add_parser("describe")
+    d.add_argument("--table", required=True)
+
+    args = p.parse_args(argv)
+    from btrblocks_spark.sources.table import BtrTable
+
+    spark = _spark(f"btrblocks-{args.cmd}")
+    out: dict
+    if args.cmd == "create":
+        df = spark.read.parquet(args.input)
+        parts = [c for c in args.partition_by.split(",") if c]
+        t = BtrTable.create(
+            spark, args.table, df, partition_by=parts, num_files=args.num_files
+        )
+        out = {"table": args.table, "files": len(t.data_files())}
+    elif args.cmd == "append":
+        t = BtrTable.load(spark, args.table)
+        n = t.append(spark.read.parquet(args.input))
+        out = {"appended_files": n}
+    elif args.cmd == "compact":
+        from btrblocks_spark.operators.compact import compact
+
+        t = BtrTable.load(spark, args.table)
+        out = compact(t, args.target_file_bytes, job_id=args.job_id)
+    elif args.cmd == "cluster":
+        from btrblocks_spark.operators.cluster import cluster
+
+        t = BtrTable.load(spark, args.table)
+        out = cluster(
+            t,
+            by=tuple(args.by.split(",")),
+            job_id=args.job_id,
+            curve=args.curve,
+        )
+    elif args.cmd == "merge":
+        from btrblocks_spark.operators.merge import merge_into
+
+        t = BtrTable.load(spark, args.table)
+        out = merge_into(
+            t,
+            spark.read.parquet(args.source),
+            on=args.on,
+            when_matched=args.when_matched,
+            when_not_matched=args.when_not_matched,
+        )
+    elif args.cmd == "expire":
+        t = BtrTable.load(spark, args.table)
+        out = t.expire_snapshots(keep_last=args.keep_last)
+    elif args.cmd == "verify":
+        from btrblocks_spark.operators.verify import (
+            verify_images,
+            verify_snapshots_equal,
+        )
+
+        t = BtrTable.load(spark, args.table)
+        out = verify_snapshots_equal(t, args.before)
+        if args.images:
+            out["images"] = verify_images(t)
+    else:  # describe
+        t = BtrTable.load(spark, args.table)
+        rows = t.data_files()
+        out = {
+            "snapshot": t.current_snapshot_id(),
+            "snapshots": len(t.snapshots()),
+            "files": len(rows),
+            "rows": sum(r["row_count"] for r in rows),
+            "bytes": sum(r["file_bytes"] for r in rows),
+            "partitions": sorted({r["partition"] for r in rows}),
+        }
+    print(json.dumps(out, default=str))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,6 +55,50 @@ def morton3(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     ).astype(np.int64)
 
 
+def hilbert3(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """63-bit Hilbert-curve index from three 21-bit coordinates.
+
+    Vectorized Skilling transform (public-domain AxesToTranspose,
+    Skilling 2004) followed by bit interleave. Hilbert preserves locality
+    strictly better than Z-order (no long diagonal jumps), at ~21
+    vectorized passes instead of 6.
+    """
+    X = [
+        a.astype(np.uint64) & np.uint64(0x1FFFFF),
+        b.astype(np.uint64) & np.uint64(0x1FFFFF),
+        c.astype(np.uint64) & np.uint64(0x1FFFFF),
+    ]
+    M = np.uint64(1 << (Z_BITS - 1))
+    Q = int(M)
+    while Q > 1:
+        P = np.uint64(Q - 1)
+        Qu = np.uint64(Q)
+        for i in range(3):
+            hit = (X[i] & Qu) != 0
+            # if bit set: invert low bits of X[0]; else swap low bits X[0]<->X[i]
+            t = (X[0] ^ X[i]) & P
+            X[0] = np.where(hit, X[0] ^ P, X[0] ^ t)
+            X[i] = np.where(hit, X[i], X[i] ^ t)
+        Q >>= 1
+    # Gray encode
+    X[1] ^= X[0]
+    X[2] ^= X[1]
+    t = np.zeros_like(X[2])
+    Q = int(M)
+    while Q > 1:
+        Qu = np.uint64(Q)
+        t ^= np.where((X[2] & Qu) != 0, np.uint64(Q - 1), np.uint64(0))
+        Q >>= 1
+    X[0] ^= t
+    X[1] ^= t
+    X[2] ^= t
+    return (
+        (_spread_bits_21(X[0]) << np.uint64(2))
+        | (_spread_bits_21(X[1]) << np.uint64(1))
+        | _spread_bits_21(X[2])
+    ).astype(np.int64)
+
+
 def _normalize_21(v: pd.Series) -> np.ndarray:
     """Map an int64 column into its top-21-bit bucket, order-preserving."""
     x = v.to_numpy(dtype=np.int64, na_value=0)
@@ -63,12 +107,21 @@ def _normalize_21(v: pd.Series) -> np.ndarray:
     return (u >> np.uint64(64 - Z_BITS)).astype(np.uint64)
 
 
-@F.pandas_udf(LongType())
-def zkey_udf(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
-    a = _normalize_21(phash)
-    b = _normalize_21(w.astype(np.int64))
-    c = _normalize_21(h.astype(np.int64))
-    return pd.Series(morton3(a, b, c))
+def make_key_udf(curve: str = "zorder"):
+    """Vectorized pandas UDF computing the clustering key for 3 columns."""
+    fn = morton3 if curve == "zorder" else hilbert3
+
+    @F.pandas_udf(LongType())
+    def key_udf(phash: pd.Series, w: pd.Series, h: pd.Series) -> pd.Series:
+        a = _normalize_21(phash)
+        b = _normalize_21(w.astype(np.int64))
+        c = _normalize_21(h.astype(np.int64))
+        return pd.Series(fn(a, b, c))
+
+    return key_udf
+
+
+zkey_udf = make_key_udf("zorder")
 
 
 def cluster(
@@ -79,15 +132,18 @@ def cluster(
     salt_buckets: int = 8,
     hot_share_threshold: float = 0.15,
     max_rows_per_file: int | None = None,
+    curve: str = "zorder",
 ) -> dict:
-    """Rewrite the whole table in Z-order; returns job metrics."""
+    """Rewrite the whole table in Z-order/Hilbert order; returns metrics."""
+    assert curve in ("zorder", "hilbert")
     job_id = job_id or f"cluster-{uuid.uuid4().hex[:8]}"
     spark = table.spark
     files = table.data_files()
     if not files:
         return {"job_id": job_id, "rewritten_files": 0}
     total_rows = sum(r["row_count"] for r in files)
-    df = table.scan().withColumn("_zkey", zkey_udf(*[F.col(c) for c in by]))
+    key_udf = make_key_udf(curve)
+    df = table.scan().withColumn("_zkey", key_udf(*[F.col(c) for c in by]))
 
     if num_files is None:
         total_bytes = sum(r["file_bytes"] for r in files)
@@ -131,7 +187,7 @@ def cluster(
         num_files=None,  # partitioning already fixed by repartitionByRange
         max_rows_per_file=max_rows_per_file,
         preserve_partitioning=True,
-        sort_key=f"zorder({','.join(by)})",
+        sort_key=f"{curve}({','.join(by)})",
     )
     replaced = {r["file_path"] for r in files}
     sid = table._commit(
@@ -139,7 +195,7 @@ def cluster(
         operation="cluster",
         replaced=replaced,
         extra_summary={
-            "sort_key": f"zorder({','.join(by)})",
+            "sort_key": f"{curve}({','.join(by)})",
             "hot_ranges": len(hot_ranges),
             "salt_buckets": salt_buckets if hot_ranges else 0,
         },

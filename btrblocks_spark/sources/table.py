@@ -209,9 +209,11 @@ class BtrTable:
             num_files = max(1, min(512, est_bytes // PART_SIZE_BYTES or 8))
         if preserve_partitioning:
             work = df
-        elif parts:
-            work = df.repartition(num_files, *[F.col(c) for c in parts])
         else:
+            # round-robin fan-out; the encode kernel splits each task's
+            # rows by partition value, so hash co-location on the (few)
+            # partition columns would only collapse the fan-out to one
+            # task per value — the opposite of what a parallel write wants
             work = df.repartition(num_files)
 
         ckpt_dir = os.path.join(root, "_checkpoints", job_id)

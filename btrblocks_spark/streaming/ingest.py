@@ -103,15 +103,22 @@ _STATE_SCHEMA = StructType(
 )
 
 
-def sessionize(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Per-user sessions split on inactivity gaps (custom stateful op)."""
+def sessionize(
+    stream: DataFrame, gap_minutes: int = 30, use_timeout: bool = False
+) -> DataFrame:
+    """Per-user sessions split on inactivity gaps (custom stateful op).
+
+    ``use_timeout=True`` additionally flushes idle sessions via
+    ProcessingTimeTimeout — for live streams only (an availableNow drain
+    never fires processing-time timeouts and would wait forever).
+    """
     import pandas as pd
 
     gap_us = gap_minutes * 60 * 1_000_000
 
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
-        if state.hasTimedOut:
+        if use_timeout and state.hasTimedOut:
             start_us, end_us, n, total = state.get
             state.remove()
             yield pd.DataFrame(
@@ -140,7 +147,8 @@ def sessionize(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
             n += 1
             total += float(v)
         state.update((start_us, end_us, n, total))
-        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        if use_timeout:
+            state.setTimeoutDuration(gap_minutes * 60 * 1000)
         if out:
             yield pd.DataFrame(
                 {
@@ -157,5 +165,9 @@ def sessionize(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -1,0 +1,133 @@
+"""Training-data function tests: dedup, text, similarity, images."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_exact_dedup_counts(spark, docs):
+    from btrblocks_spark.functions.dedup import exact_dedup
+
+    out = exact_dedup(docs)
+    total = out.agg(F.sum("dup_count")).collect()[0][0]
+    assert total == docs.count()
+    assert out.count() <= docs.count()
+
+
+def test_ngram_jaccard_self_duplicate(spark, docs):
+    from btrblocks_spark.functions.dedup import ngram_jaccard_pairs
+
+    # plant an exact duplicate pair with distinct ids
+    d = docs.limit(1).select(F.lit(900001).alias("doc_id"), "text")
+    d2 = docs.limit(1).select(F.lit(900002).alias("doc_id"), "text")
+    planted = docs.select("doc_id", "text").unionByName(d).unionByName(d2)
+    pairs = ngram_jaccard_pairs(planted, threshold=0.99)
+    hits = pairs.filter(
+        (F.col("doc_a") == 900001) & (F.col("doc_b") == 900002)
+    ).collect()
+    assert len(hits) == 1 and hits[0].jaccard == 1.0
+
+
+def test_minhash_lsh_finds_planted_dup(spark, docs):
+    from btrblocks_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_fast,
+    )
+
+    d = docs.limit(1).select(F.lit(900001).alias("doc_id"), "text")
+    d2 = docs.limit(1).select(F.lit(900002).alias("doc_id"), "text")
+    planted = docs.select("doc_id", "text").unionByName(d).unionByName(d2)
+    sigs = minhash_signatures_fast(planted)
+    cands = lsh_candidate_pairs(sigs)
+    assert (
+        cands.filter(
+            (F.col("doc_a") == 900001) & (F.col("doc_b") == 900002)
+        ).count()
+        == 1
+    )
+
+
+def test_simhash_identical_docs_same_hash(spark, docs):
+    from btrblocks_spark.functions.dedup import simhash64
+
+    d = docs.limit(1).select(F.lit(900001).alias("doc_id"), "text")
+    d2 = docs.limit(1).select(F.lit(900002).alias("doc_id"), "text")
+    planted = d.unionByName(d2)
+    out = {r.doc_id: r.simhash for r in simhash64(planted).collect()}
+    assert out[900001] == out[900002]
+
+
+def test_lang_id_obvious_cases(spark):
+    from btrblocks_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in the house that was for it"),
+            (2, "der hund und die katze ist von den nicht ein haus mit"),
+            (3, "le chat est dans la maison pour les amis et une fois des"),
+            (4, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in lang_id(df).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr"
+    assert out[4] == "und"
+
+
+def test_knn_self_is_nearest(spark):
+    from btrblocks_spark.functions.similarity import knn_bruteforce
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_bruteforce(emb, q, k=3).collect()
+    best = [r for r in out if r.rank == 1][0]
+    assert best.vec_id == 0 and best.cosine == 1.0
+
+
+def test_knn_lsh_subset_of_bruteforce_universe(spark):
+    from btrblocks_spark.functions.similarity import knn_lsh
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_lsh(emb, q, dim=dim, k=3, nbits=6).collect()
+    assert any(r.vec_id == 0 and r.rank == 1 for r in out)
+
+
+def test_image_roundtrip_and_psnr():
+    from btrblocks_spark.functions.images import (
+        decode_image,
+        encode_image,
+        psnr,
+    )
+
+    rng = np.random.default_rng(0)
+    px = rng.integers(0, 256, (64, 48, 3)).astype(np.uint8)
+    for fmt in ("bmp", "png"):
+        assert np.array_equal(decode_image(encode_image(px, fmt)), px)
+    lossy = decode_image(encode_image(px, "jpeg"))
+    assert psnr(px, lossy) >= 40.0
+
+
+def test_image_decode_stats_kernel(spark):
+    from btrblocks_spark.fixtures import image_caption_table
+    from btrblocks_spark.functions.images import decode_stats_batches
+
+    df = spark.createDataFrame(image_caption_table(50, seed=5))
+    out = df.select("image_id", "bytes").mapInArrow(
+        decode_stats_batches, "image_id string, pixel_mean double, pixel_std double"
+    )
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(0 <= r.pixel_mean <= 255 for r in rows)
