@@ -7,12 +7,16 @@ beats 1.0. ONE_VALUE short-circuits when unique<=1 (SchemePicker.hpp:118-129)
 and depth 0 forces UNCOMPRESSED.
 
 Usability guards are the reference's tuned thresholds
-(``/root/reference/btrblocks/scheme/SchemeConfig.hpp``):
+(``/root/reference/btrblocks/scheme/SchemeConfig.hpp``), evaluated on the
+stratified sample (the reference also samples — NumberStats.hpp:34-76):
   RLE        — average_run_length > 2            (SchemeConfig.hpp:20)
   FREQUENCY  — unique/n <= 0.5 and top-1 >= 0.9  (SchemeConfig.hpp:17)
   DELTA_BP   — is_sorted                         (PBP.cpp:60-65)
   DICT       — unique < n/2                      (DynamicDictionary isUsable)
   PSEUDODEC  — unique_ratio >= 0.1, <=50% patches (Pseudodecimal.cpp:112-119,476-483)
+
+Full-block ``np.unique`` happens only inside the encoder of the scheme
+that actually wins — never during selection.
 """
 
 from __future__ import annotations
@@ -20,42 +24,7 @@ from __future__ import annotations
 import numpy as np
 
 from btrblocks_spark.codec import numeric
-from btrblocks_spark.codec.stats import number_stats, sample_indices
-
-
-def _candidates_int(v: np.ndarray, stats) -> list[int]:
-    out = [numeric.FOR_BP]
-    if stats.average_run_length > 2.0:
-        out.append(numeric.RLE)
-    if stats.unique_count < stats.n / 2:
-        out.append(numeric.DICT)
-        uniq_ratio = stats.unique_count / max(stats.n, 1)
-        if uniq_ratio <= 0.5:
-            out.append(numeric.FREQUENCY)
-    if stats.is_sorted:
-        out.append(numeric.DELTA_BP)
-    return out
-
-
-def _candidates_double(v: np.ndarray, stats) -> list[int]:
-    out = []
-    if stats.average_run_length > 2.0:
-        out.append(numeric.RLE)
-    if stats.unique_count < stats.n / 2:
-        out.append(numeric.DICT)
-        if stats.unique_count / max(stats.n, 1) <= 0.5:
-            out.append(numeric.FREQUENCY)
-    if stats.unique_count / max(stats.n, 1) >= 0.1:
-        out.append(numeric.PSEUDODECIMAL)
-    return out
-
-
-def _frequency_top_ratio(v: np.ndarray) -> float:
-    if len(v) == 0:
-        return 0.0
-    view = v.view(np.int64) if v.dtype == np.float64 else v
-    _, counts = np.unique(view, return_counts=True)
-    return counts.max() / len(v)
+from btrblocks_spark.codec.stats import sample_indices
 
 
 def pick_numeric(
@@ -64,25 +33,48 @@ def pick_numeric(
     n = len(v)
     if n == 0 or level <= 0:
         return numeric.UNCOMPRESSED
-    stats = number_stats(v, None)
-    if stats.unique_count <= 1:
-        return numeric.ONE_VALUE
     is_float = v.dtype == np.float64
-    cands = _candidates_double(v, stats) if is_float else _candidates_int(v, stats)
-    cands = [c for c in cands if c not in exclude]
-    if numeric.FREQUENCY in cands and _frequency_top_ratio(v) < 0.9:
-        cands.remove(numeric.FREQUENCY)
-    if not cands:
-        return numeric.UNCOMPRESSED
-    if len(cands) == 1 and not is_float and cands[0] == numeric.FOR_BP:
-        return numeric.FOR_BP
+    rv = v.view(np.int64) if is_float else v
+
+    # exact ONE_VALUE short-circuit (bit-pattern compare; cheap single pass)
+    if rv.min() == rv.max():
+        return numeric.ONE_VALUE
+
+    diffs = np.diff(rv)
+    run_breaks = int(np.count_nonzero(diffs)) + 1
+    avg_run_length = n / run_breaks
+    is_sorted = not is_float and bool(np.all(np.diff(v) >= 0))
 
     sample = v[sample_indices(n, seed)]
+    s_rv = sample.view(np.int64) if is_float else sample
+    s_uniq, s_counts = np.unique(s_rv, return_counts=True)
+    unique_ratio = len(s_uniq) / len(sample)
+    top_ratio = s_counts.max() / len(sample)
+
+    cands: list[int] = []
+    if not is_float:
+        cands.append(numeric.FOR_BP)
+    if avg_run_length > 2.0:
+        cands.append(numeric.RLE)
+    if unique_ratio < 0.5:
+        cands.append(numeric.DICT)
+        if top_ratio >= 0.9:
+            cands.append(numeric.FREQUENCY)
+    if is_sorted:
+        cands.append(numeric.DELTA_BP)
+    if is_float and unique_ratio >= 0.1:
+        cands.append(numeric.PSEUDODECIMAL)
+    cands = [c for c in cands if c not in exclude]
+    if not cands:
+        return numeric.UNCOMPRESSED
+    if cands == [numeric.FOR_BP]:
+        return numeric.FOR_BP
+
     raw_size = sample.nbytes
     best, best_size = numeric.UNCOMPRESSED, raw_size + 5
     for scheme in cands:
         if scheme == numeric.DELTA_BP and not _sorted(sample):
-            continue  # sample may break sortedness only at slice joints; re-check
+            continue
         try:
             size = len(numeric.encode(sample, level, seed, force_scheme=scheme))
         except Exception:
