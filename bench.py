@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 CACHE = os.environ.get("BTRSPARK_BENCH_CACHE", "/tmp/btrspark_bench_cache")
-IMG_ROWS = int(os.environ.get("BTRSPARK_BENCH_IMG_ROWS", "12000"))
+IMG_ROWS = int(os.environ.get("BTRSPARK_BENCH_IMG_ROWS", "24000"))
 MIX_ROWS = int(os.environ.get("BTRSPARK_BENCH_MIX_ROWS", "1000000"))
 
 BENCH_QUERIES = [
@@ -81,7 +81,7 @@ def _ensure_fixture_parquet() -> tuple[str, str]:
 
         shutil.rmtree(img_dir, ignore_errors=True)
         t = image_caption_table(IMG_ROWS, seed=42)
-        write_fragmented(t, img_dir, rows_per_file=IMG_ROWS // 96 or 1)
+        write_fragmented(t, img_dir, rows_per_file=IMG_ROWS // 192 or 1)
         open(os.path.join(img_dir, "_DONE"), "w").close()
     if not os.path.exists(mix_path):
         import pyarrow.parquet as pq
@@ -107,13 +107,13 @@ def compact_job(cores: int) -> dict:
         work_root,
         df,
         partition_by=["fmt"],
-        num_files=96,
+        num_files=192,
         job_id="bench-load",
     )
     n_input = len(table.data_files())
     t0 = time.time()
     res = compact(
-        table, target_file_bytes=64 * 1024 * 1024, job_id=f"bench-compact-{cores}"
+        table, target_file_bytes=8 * 1024 * 1024, job_id=f"bench-compact-{cores}"
     )
     elapsed = time.time() - t0
     out = {
@@ -140,11 +140,13 @@ def reencode_ratio(cores: int) -> dict:
     def encode(batch_iter):
         from btrblocks_spark.sources.blockfile import encode_table
 
+        import pyarrow.compute as pc
+
         for batch in batch_iter:
             tbl = pa.Table.from_batches([batch])
             block_table, stats = encode_table(tbl, seed=42)
             comp = sum(
-                sum(len(v) for v in block_table.column(c).to_pylist())
+                int(pc.sum(pc.binary_length(block_table.column(c))).as_py())
                 for c in block_table.schema.names
                 if c.startswith("b_")
             )

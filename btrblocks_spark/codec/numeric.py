@@ -39,6 +39,7 @@ FOR_BP = 4
 DELTA_BP = 5
 FREQUENCY = 6
 PSEUDODECIMAL = 7
+DOUBLE_BP = 8
 
 SCHEME_NAMES = {
     UNCOMPRESSED: "UNCOMPRESSED",
@@ -49,6 +50,7 @@ SCHEME_NAMES = {
     DELTA_BP: "DELTA_BP",
     FREQUENCY: "FREQUENCY",
     PSEUDODECIMAL: "PSEUDODECIMAL",
+    DOUBLE_BP: "DOUBLE_BP",
 }
 
 _MAX_DECIMAL_EXPONENT = 14  # reference allows e<=22; float64 exactness caps us
@@ -161,6 +163,24 @@ def decimal_decompose(
     return digits, exponents, patch_mask
 
 
+def _enc_double_bp(v: np.ndarray) -> bytes:
+    """Reinterpret doubles as 2 x u32 and bit-pack each half
+    (scheme/double/DoubleBP.cpp:16-39). Wins when exponent/sign bits are
+    near-constant (narrow-range doubles) but mantissas are incompressible."""
+    bits = v.view(np.uint64)
+    hi = (bits >> np.uint64(32)).astype(np.uint32)
+    lo = (bits & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi_lo = int(hi.min()) if len(hi) else 0
+    lo_lo = int(lo.min()) if len(lo) else 0
+    hi_blob = bitpack.pack((hi.astype(np.int64) - hi_lo).astype(np.uint64))
+    lo_blob = bitpack.pack((lo.astype(np.int64) - lo_lo).astype(np.uint64))
+    return (
+        struct.pack("<BIqqI", DOUBLE_BP, len(v), hi_lo, lo_lo, len(hi_blob))
+        + hi_blob
+        + lo_blob
+    )
+
+
 def _enc_pseudodecimal(v: np.ndarray, level: int, seed: int) -> bytes:
     digits, exponents, patch_mask = decimal_decompose(v)
     patch_idx = np.flatnonzero(patch_mask)
@@ -214,6 +234,8 @@ def encode(
         return _enc_frequency(v, level, seed)
     if scheme == PSEUDODECIMAL:
         return _enc_pseudodecimal(v, level, seed)
+    if scheme == DOUBLE_BP:
+        return _enc_double_bp(v)
     raise ValueError(f"unknown numeric scheme {scheme}")
 
 
@@ -301,6 +323,18 @@ def decode(buf: memoryview, offset: int, kind: str) -> tuple[np.ndarray, int]:
         if len(patch_idx):
             out[patch_idx.astype(np.int64)] = patches
         return out, pos - offset
+    if scheme == DOUBLE_BP:
+        n, hi_lo, lo_lo, hlen = struct.unpack_from("<IqqI", buf, pos)
+        pos += 24
+        hi, consumed = bitpack.unpack(buf, pos)
+        pos += consumed
+        lo, consumed = bitpack.unpack(buf, pos)
+        pos += consumed
+        bits = (
+            ((hi.astype(np.int64) + hi_lo).astype(np.uint64) << np.uint64(32))
+            | (lo.astype(np.int64) + lo_lo).astype(np.uint64)
+        )
+        return bits.view(np.float64).copy(), pos - offset
     raise ValueError(f"unknown numeric scheme {scheme}")
 
 

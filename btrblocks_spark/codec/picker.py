@@ -64,6 +64,7 @@ def pick_numeric(
         cands.append(numeric.DELTA_BP)
     if is_float and unique_ratio >= 0.1:
         cands.append(numeric.PSEUDODECIMAL)
+        cands.append(numeric.DOUBLE_BP)
     cands = [c for c in cands if c not in exclude]
     if not cands:
         return numeric.UNCOMPRESSED

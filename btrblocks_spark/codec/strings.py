@@ -198,6 +198,10 @@ def decode(buf: memoryview, offset: int) -> tuple[np.ndarray, bytes, int]:
     raise ValueError(f"unknown string scheme {scheme}")
 
 
+_SAMPLE_POOL_BUDGET = 128 * 1024  # cap sampled bytes; wide binary (images)
+# would otherwise make the estimator compress megabytes per decision
+
+
 def pick_string(offsets: np.ndarray, pool: bytes, level: int, seed: int) -> int:
     """Greedy sampled selection among string schemes (SchemePicker analog)."""
     from btrblocks_spark.codec.stats import sample_indices
@@ -207,8 +211,12 @@ def pick_string(offsets: np.ndarray, pool: bytes, level: int, seed: int) -> int:
         return UNCOMPRESSED
     lengths = np.diff(offsets)
     total_len = int(offsets[-1])
-    # cheap unique probe on a sample
+    # cheap unique probe on a sample, capped by *bytes* not just rows
     idx = sample_indices(n, seed)
+    avg_len = total_len / max(n, 1)
+    max_rows = max(16, int(_SAMPLE_POOL_BUDGET / max(avg_len, 1)))
+    if len(idx) > max_rows:
+        idx = idx[:: max(1, len(idx) // max_rows)][:max_rows]
     arr = to_arrow(offsets, pool)
     import pyarrow.compute as pc
 

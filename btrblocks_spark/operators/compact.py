@@ -25,7 +25,7 @@ import uuid
 import pyarrow as pa
 
 from btrblocks_spark import PART_SIZE_BYTES
-from btrblocks_spark.sources.table import BtrTable, _write_parquet_atomic
+from btrblocks_spark.sources.table import BtrTable, _write_blockfile_atomic
 
 
 def plan_bins(
@@ -85,7 +85,9 @@ def compact(
         }
         for i, members in enumerate(bins)
     ]
-    spec_df = spark.createDataFrame(specs).repartition(len(specs), "bin_id")
+    spec_df = spark.createDataFrame(specs).repartitionByRange(
+        len(specs), "bin_id"
+    )
     schema_hex = table.schema_arrow().serialize().hex().decode()
 
     def rebuild(batch_iter):
@@ -115,7 +117,7 @@ def compact(
                 block_table, stats = encode_table(merged, seed=42)
                 fname = f"{job_id}-bin{bin_id:05d}.parquet"
                 fpath = os.path.join(root, "data", fname)
-                fbytes = _write_parquet_atomic(block_table, fpath)
+                fbytes = _write_blockfile_atomic(block_table, fpath)
                 out = [
                     {
                         "file_path": fpath,

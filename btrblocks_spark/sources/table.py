@@ -68,11 +68,19 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)
 
 
-def _write_parquet_atomic(table: pa.Table, path: str) -> int:
+def _write_parquet_atomic(
+    table: pa.Table, path: str, compression: str = "zstd"
+) -> int:
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    pq.write_table(table, tmp, compression="zstd")
+    pq.write_table(table, tmp, compression=compression)
     os.replace(tmp, path)
     return os.path.getsize(path)
+
+
+def _write_blockfile_atomic(table: pa.Table, path: str) -> int:
+    # block blobs are already entropy-coded by the codec; parquet-level
+    # recompression would only burn CPU for ~1.0 ratio
+    return _write_parquet_atomic(table, path, compression="none")
 
 
 class CommitConflict(RuntimeError):
@@ -274,7 +282,7 @@ class BtrTable:
                         block_table, stats = encode_table(piece, seed=42)
                         fname = f"{job_id}-p{task_id:05d}-{k}.parquet"
                         fpath = os.path.join(root, "data", fname)
-                        fbytes = _write_parquet_atomic(block_table, fpath)
+                        fbytes = _write_blockfile_atomic(block_table, fpath)
                         rows_out.append(
                             {
                                 "file_path": fpath,
