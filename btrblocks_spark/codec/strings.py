@@ -214,7 +214,7 @@ def pick_string(offsets: np.ndarray, pool: bytes, level: int, seed: int) -> int:
     # cheap unique probe on a sample, capped by *bytes* not just rows
     idx = sample_indices(n, seed)
     avg_len = total_len / max(n, 1)
-    max_rows = max(16, int(_SAMPLE_POOL_BUDGET / max(avg_len, 1)))
+    max_rows = max(2, int(_SAMPLE_POOL_BUDGET / max(avg_len, 1)))
     if len(idx) > max_rows:
         idx = idx[:: max(1, len(idx) // max_rows)][:max_rows]
     arr = to_arrow(offsets, pool)

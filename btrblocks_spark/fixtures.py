@@ -19,7 +19,7 @@ import pyarrow.parquet as pq
 
 from btrblocks_spark.functions.images import encode_image, phash64
 
-_SIZES = np.array([64, 96, 128, 160, 224], np.int32)
+_SIZES = np.array([64, 128, 224, 256, 512], np.int32)
 _FMTS = np.array(["jpeg", "png", "bmp"])
 _FMT_P = np.array([0.9, 0.07, 0.03])
 

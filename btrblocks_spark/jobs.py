@@ -84,8 +84,49 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("describe")
     d.add_argument("--table", required=True)
 
+    mt = sub.add_parser(
+        "meta", help="dump per-block scheme trees (btrmeta analog)"
+    )
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--file", default=None, help="specific data file")
+    mt.add_argument("--blocks", type=int, default=1, help="blocks per file")
+
     args = p.parse_args(argv)
     from btrblocks_spark.sources.table import BtrTable
+
+    if args.cmd == "meta":
+        # pure-metadata path: no Spark session needed
+        import pyarrow.parquet as pq
+
+        from btrblocks_spark.codec import block_scheme_tree
+
+        t = BtrTable(None, args.table)
+        rows = t.data_files()
+        if args.file:
+            rows = [r for r in rows if r["file_path"].endswith(args.file)]
+        out = []
+        for r in rows[:20]:
+            bt = pq.read_table(r["file_path"])
+            trees = {}
+            for c in bt.schema.names:
+                if not c.startswith("b_"):
+                    continue
+                col_trees = [
+                    block_scheme_tree(bt.column(c)[i].as_py())
+                    for i in range(min(args.blocks, bt.num_rows))
+                ]
+                trees[c[2:]] = col_trees if args.blocks > 1 else col_trees[0]
+            out.append(
+                {
+                    "file": os.path.basename(r["file_path"]),
+                    "rows": r["row_count"],
+                    "blocks": r["block_count"],
+                    "ratio": round(r["raw_bytes"] / max(r["file_bytes"], 1), 3),
+                    "schemes": trees,
+                }
+            )
+        print(json.dumps(out, indent=1))
+        return 0
 
     spark = _spark(f"btrblocks-{args.cmd}")
     out: dict

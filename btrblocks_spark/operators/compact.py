@@ -85,9 +85,7 @@ def compact(
         }
         for i, members in enumerate(bins)
     ]
-    spec_df = spark.createDataFrame(specs).repartitionByRange(
-        len(specs), "bin_id"
-    )
+    spec_df = spark.createDataFrame(specs).repartition(len(specs))
     schema_hex = table.schema_arrow().serialize().hex().decode()
 
     def rebuild(batch_iter):

@@ -69,18 +69,22 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 
 
 def _write_parquet_atomic(
-    table: pa.Table, path: str, compression: str = "zstd"
+    table: pa.Table, path: str, compression: str = "zstd", **kwargs
 ) -> int:
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    pq.write_table(table, tmp, compression=compression)
+    pq.write_table(table, tmp, compression=compression, **kwargs)
     os.replace(tmp, path)
     return os.path.getsize(path)
 
 
 def _write_blockfile_atomic(table: pa.Table, path: str) -> int:
-    # block blobs are already entropy-coded by the codec; parquet-level
-    # recompression would only burn CPU for ~1.0 ratio
-    return _write_parquet_atomic(table, path, compression="none")
+    # Block blobs are already entropy-coded by the codec: parquet-level
+    # recompression is ~1.0 ratio for pure CPU burn, and parquet
+    # *dictionary encoding* of multi-MB binary blobs costs ~10x the write
+    # (it hashes every blob) for zero wins — disable both.
+    return _write_parquet_atomic(
+        table, path, compression="none", use_dictionary=False
+    )
 
 
 class CommitConflict(RuntimeError):
@@ -366,11 +370,70 @@ class BtrTable:
             )
             meta["current_snapshot_id"] = snapshot_id
             _atomic_write_json(self._meta_path, meta)
+            self._write_job_metrics(snapshot_id, operation, new_rows, replaced)
             return snapshot_id
         finally:
             if fd is not None:
                 os.close(fd)
                 os.unlink(lock)
+
+    def _write_job_metrics(
+        self,
+        snapshot_id: int,
+        operation: str,
+        new_rows: list[dict],
+        replaced: set[str] | None,
+    ) -> None:
+        """Per-partition lineage/metrics row set for this job (north rule)."""
+        per_part: dict[str, dict] = {}
+        for r in new_rows:
+            p = per_part.setdefault(
+                r["partition"],
+                {"files": 0, "rows": 0, "bytes": 0, "raw_bytes": 0},
+            )
+            p["files"] += 1
+            p["rows"] += r["row_count"]
+            p["bytes"] += r["file_bytes"]
+            p["raw_bytes"] += r["raw_bytes"]
+        mdir = os.path.join(self.root, "metrics")
+        os.makedirs(mdir, exist_ok=True)
+        _atomic_write_json(
+            os.path.join(mdir, f"job-{snapshot_id}.json"),
+            {
+                "snapshot_id": snapshot_id,
+                "operation": operation,
+                "ts": time.time(),
+                "job_ids": sorted({r["job_id"] for r in new_rows}),
+                "replaced_files": len(replaced or ()),
+                "partitions": per_part,
+            },
+        )
+
+    def metrics_df(self) -> DataFrame:
+        """Per-partition per-job metrics as a DataFrame."""
+        mdir = os.path.join(self.root, "metrics")
+        rows = []
+        if os.path.isdir(mdir):
+            for fname in sorted(os.listdir(mdir)):
+                with open(os.path.join(mdir, fname)) as f:
+                    m = json.load(f)
+                for part, p in m["partitions"].items():
+                    rows.append(
+                        (
+                            m["snapshot_id"],
+                            m["operation"],
+                            part,
+                            p["files"],
+                            p["rows"],
+                            p["bytes"],
+                            p["raw_bytes"],
+                        )
+                    )
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, operation string, partition string, "
+            "files long, rows long, bytes long, raw_bytes long",
+        )
 
     def _manifest_rows(self, snapshot_id: int) -> list[dict]:
         snap = self._snapshot(snapshot_id)
