@@ -101,6 +101,9 @@ def compact(
                     with open(marker) as f:
                         yield pa.RecordBatch.from_pydict({"rows": [f.read()]})
                     continue
+                import time as _time
+
+                _t0 = _time.time()
                 paths = json.loads(row["paths"])
                 schema = pa.ipc.read_schema(
                     pa.py_buffer(bytes.fromhex(schema_hex))
@@ -112,10 +115,18 @@ def compact(
                         decode_batches(bt.to_batches(), schema, schema.names)
                     )
                 merged = pa.Table.from_batches(logical_batches)
+                _t1 = _time.time()
                 block_table, stats = encode_table(merged, seed=42)
+                _t2 = _time.time()
                 fname = f"{job_id}-bin{bin_id:05d}.parquet"
                 fpath = os.path.join(root, "data", fname)
                 fbytes = _write_blockfile_atomic(block_table, fpath)
+                _t3 = _time.time()
+                timing = {
+                    "read_s": round(_t1 - _t0, 3),
+                    "encode_s": round(_t2 - _t1, 3),
+                    "write_s": round(_t3 - _t2, 3),
+                }
                 out = [
                     {
                         "file_path": fpath,
@@ -128,6 +139,7 @@ def compact(
                         "job_id": job_id,
                         "source_files": json.dumps(paths),
                         "sort_key": "",
+                        "_timing": timing,
                     }
                 ]
                 payload = json.dumps(out)
@@ -141,6 +153,12 @@ def compact(
     new_rows: list[dict] = []
     for r in collected:
         new_rows.extend(json.loads(r.rows))
+    timing_totals = {"read_s": 0.0, "encode_s": 0.0, "write_s": 0.0}
+    for r in new_rows:
+        t = r.pop("_timing", None)
+        if t:
+            for k in timing_totals:
+                timing_totals[k] += t.get(k, 0.0)
     replaced = {m["file_path"] for members in bins for m in members}
     sid = table._commit(
         new_rows,
@@ -158,4 +176,5 @@ def compact(
         "input_bytes": sum(
             m["file_bytes"] for members in bins for m in members
         ),
+        "task_time_s": {k: round(v, 2) for k, v in timing_totals.items()},
     }
