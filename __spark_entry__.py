@@ -132,6 +132,18 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(emb, queries, dim=dim, k=5, nbits=8)
 
 
+def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.similarity import knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return knn_ivf(emb, queries, dim=dim, k=5, n_centroids=8, n_probe=2)
+
+
 def _near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.similarity import embedding_near_dup_pairs
 
@@ -171,6 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_bruteforce": _knn,
         "knn_lsh": _knn_lsh,  # rows-only (numpy hyperplanes)
+        "knn_ivf": _knn_ivf,  # rows-only (numpy kmeans centroids)
         "embedding_near_dup": _near_dup_embeddings,
     }
 

@@ -94,6 +94,23 @@ def phash64(pixels: np.ndarray) -> int:
     return out
 
 
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy (real, not stubbed)."""
+    h, w, _ = pixels.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return pixels[ys[:, None], xs[None, :], :]
+
+
+def sample_frames(pixels: np.ndarray, n: int) -> list[np.ndarray]:
+    """Frame sampling for a (fake) video laid out as vertical frame stack:
+    split height into n bands and return one 'frame' per band — the
+    Spark-side plumbing for video columns (real decoders plug in here)."""
+    h = pixels.shape[0]
+    bounds = (np.arange(n + 1) * h) // n
+    return [pixels[bounds[i] : bounds[i + 1]] for i in range(n)]
+
+
 # --------------------------------------------------------- Spark kernels
 
 
@@ -117,6 +134,33 @@ def decode_stats_batches(batch_iter):
                 "image_id": ids,
                 "pixel_mean": pa.array(means),
                 "pixel_std": pa.array(stds),
+            }
+        )
+
+
+def resize_batches(batch_iter, out_w: int = 64, out_h: int = 64):
+    """mapInArrow kernel: (image_id, bytes, fmt) -> resized thumbnails.
+
+    Decode -> nearest-neighbor resize -> re-encode in the same fmt. The
+    standard thumbnail/preprocess stage of a training-data pipeline; at
+    10^12 images it is one narrow map stage, no shuffle.
+    """
+    for batch in batch_iter:
+        ids = batch.column("image_id")
+        data = batch.column("bytes")
+        fmts = batch.column("fmt")
+        out = []
+        for i in range(len(batch)):
+            px = decode_image(data[i].as_py())
+            out.append(
+                encode_image(resize_nearest(px, out_w, out_h), fmts[i].as_py())
+            )
+        yield pa.RecordBatch.from_pydict(
+            {
+                "image_id": ids,
+                "thumb": pa.array(out, pa.binary()),
+                "thumb_w": pa.array([out_w] * len(batch), pa.int32()),
+                "thumb_h": pa.array([out_h] * len(batch), pa.int32()),
             }
         )
 

@@ -112,6 +112,107 @@ def knn_lsh(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    sample_rows: int = 10_000,
+    iters: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Mini-kmeans on a driver-side sample → (n_centroids, dim) float64.
+
+    The sample is tiny relative to the corpus (IVF training is always
+    sampled — FAISS does the same); the expensive assignment pass stays
+    distributed in :func:`knn_ivf`.
+    """
+    n_total = vectors.count()
+    frac = min(1.0, sample_rows / max(n_total, 1))
+    sample = np.vstack(
+        vectors.select(vec_col)
+        .sample(fraction=frac, seed=seed)
+        .toPandas()[vec_col]
+        .to_numpy()
+    ).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), n_centroids, replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(0)
+    return cents
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Vectorized pandas UDF: embedding -> nearest-centroid bucket id."""
+    cents = centroids.astype(np.float64)
+
+    @F.pandas_udf("int")
+    def assign(col: pd.Series) -> pd.Series:
+        mat = np.vstack(col.to_numpy()).astype(np.float64)
+        d = (
+            (mat**2).sum(1)[:, None]
+            - 2 * mat @ cents.T
+            + (cents**2).sum(1)[None, :]
+        )
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return assign
+
+
+def knn_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: scan only the query's n_probe nearest cells.
+
+    Corpus side: one narrow map to bucket each vector (in practice the
+    assignment is persisted/clustered into the table layout, making the
+    probe a stats-pruned file scan). Query side: each query probes
+    ``n_probe`` cells — corpus scanned fraction ≈ n_probe/n_centroids.
+    """
+    spark = vectors.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(vectors, dim, n_centroids)
+    assign = ivf_assign_udf(centroids)
+    v = vectors.withColumn("_cell", assign(F.col(vec_col)))
+
+    # per-query probe cells (tiny, computed driver-side)
+    qrows = queries.collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r.query_vec, np.float64)
+        d = ((centroids - qv) ** 2).sum(1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((r.query_id, int(cell)))
+    probes = spark.createDataFrame(probe_rows, "query_id long, _cell int")
+    q = queries.join(F.broadcast(probes), "query_id")
+
+    joined = v.join(F.broadcast(q), on="_cell")
+    scored = joined.select(
+        "query_id",
+        F.col(id_col),
+        F.round(_cosine("query_vec", vec_col), 4).alias("cosine"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

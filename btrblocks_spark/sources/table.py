@@ -567,6 +567,30 @@ class BtrTable:
             "removed_manifests": removed_manifests,
         }
 
+    def rewrite_manifests(self) -> dict:
+        """Rewrite the current manifest: sort rows by (partition, first
+        sort-key column min) so scan planning reads a clustered manifest,
+        and drop rows for files that vanished (defensive). Commits a new
+        snapshot; data files untouched (Iceberg rewrite_manifests analog).
+        """
+        rows = self.data_files()
+        kept = [r for r in rows if os.path.exists(r["file_path"])]
+
+        def sort_key(r: dict):
+            stats = json.loads(r["stats"])
+            first = next(iter(stats.values()), {})
+            return (r["partition"], str(first.get("min")))
+
+        kept.sort(key=sort_key)
+        dropped = len(rows) - len(kept)
+        sid = self._commit(
+            kept,
+            operation="rewrite-manifests",
+            replaced={r["file_path"] for r in rows},
+            extra_summary={"dropped_missing": dropped},
+        )
+        return {"snapshot_id": sid, "files": len(kept), "dropped": dropped}
+
     def lineage_df(self) -> DataFrame:
         """Per-file lineage as a DataFrame (job ids + source files)."""
         df = self.manifest_df()

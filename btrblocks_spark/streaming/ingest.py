@@ -83,6 +83,40 @@ def run_events_stream(
     q.awaitTermination()
 
 
+def stream_into_table(
+    stream: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    query_name: str = "btr_ingest",
+):
+    """Continuously ingest a stream into a BtrTable via foreachBatch.
+
+    Each micro-batch becomes one block-encoded append snapshot; the
+    streaming checkpoint gives exactly-once batch ids and the table's
+    per-task markers make each append idempotent — killed mid-batch, the
+    retry skips finished tasks (checkpoint-resumable commits, north rule).
+    """
+    from btrblocks_spark.sources.table import BtrTable
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table = BtrTable.load(batch_df.sparkSession, table_root)
+        table.append(
+            batch_df,
+            job_id=f"{query_name}-b{batch_id}",
+            operation="stream-append",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

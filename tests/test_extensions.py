@@ -1,0 +1,102 @@
+"""Round-1 extensions: rewrite_manifests, image resize, IVF ANN,
+stream-to-table ingest."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from btrblocks_spark.fixtures import image_caption_table
+from btrblocks_spark.sources.table import BtrTable
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rewrite_manifests(spark, tmp_path):
+    t = BtrTable.create(
+        spark,
+        str(tmp_path / "t"),
+        spark.createDataFrame(image_caption_table(300, seed=2)),
+        partition_by=["fmt"],
+        num_files=3,
+        job_id="rm0",
+    )
+    n = t.scan().count()
+    res = t.rewrite_manifests()
+    assert res["dropped"] == 0
+    assert t.scan().count() == n
+    # manifest rows now sorted by (partition, min)
+    rows = t.data_files()
+    parts = [r["partition"] for r in rows]
+    assert parts == sorted(parts)
+
+
+def test_resize_kernel(spark):
+    from btrblocks_spark.functions.images import (
+        decode_image,
+        resize_batches,
+    )
+
+    df = spark.createDataFrame(image_caption_table(30, seed=4))
+    out = df.select("image_id", "bytes", "fmt").mapInArrow(
+        lambda it: resize_batches(it, 32, 32),
+        "image_id string, thumb binary, thumb_w int, thumb_h int",
+    )
+    rows = out.collect()
+    assert len(rows) == 30
+    px = decode_image(rows[0].thumb)
+    assert px.shape == (32, 32, 3)
+
+
+def test_resize_nearest_exact():
+    from btrblocks_spark.functions.images import resize_nearest
+
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_nearest(px, 3, 2)
+    assert out.shape == (2, 3, 3)
+    assert np.array_equal(out[0, 0], px[0, 0])
+
+
+def test_knn_ivf_contains_self(spark):
+    from btrblocks_spark.functions.similarity import knn_ivf
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = knn_ivf(emb, q, dim=dim, k=3, n_centroids=8, n_probe=2)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        best = [r for r in rs if r.rank == 1][0]
+        assert best.vec_id == qid and best.cosine == 1.0
+
+
+def test_stream_into_table(spark, tmp_path):
+    from btrblocks_spark.streaming.ingest import (
+        read_events_stream,
+        stream_into_table,
+    )
+
+    src = str(tmp_path / "ev_in")
+    import shutil
+
+    import os
+
+    os.makedirs(src)
+    shutil.copy(f"{SF}/events.parquet", f"{src}/events.parquet")
+    events = spark.read.parquet(f"{SF}/events.parquet")
+    root = str(tmp_path / "evtable")
+    BtrTable.create(spark, root, events.limit(0), num_files=1, job_id="seed")
+
+    q = stream_into_table(
+        read_events_stream(spark, src), root, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    t = BtrTable.load(spark, root)
+    assert t.scan().count() == events.count()
+    ops = [s["operation"] for s in t.snapshots()]
+    assert "stream-append" in ops
