@@ -79,7 +79,7 @@ def _spark(cores: int):
 def _ensure_fixture_parquet() -> tuple[str, str]:
     """Cache the image table (fragmented parquet) + mix table parquet."""
     os.makedirs(CACHE, exist_ok=True)
-    img_dir = os.path.join(CACHE, f"img-{IMG_ROWS}-v2")
+    img_dir = os.path.join(CACHE, f"img-{IMG_ROWS}-v3")
     mix_path = os.path.join(CACHE, f"mix-{MIX_ROWS}.parquet")
     if not os.path.exists(os.path.join(img_dir, "_DONE")):
         from btrblocks_spark.fixtures import image_caption_table, write_fragmented

@@ -48,6 +48,43 @@ def make_caption(rng: np.random.Generator) -> str:
     return " ".join(_VOCAB[i] for i in idx)
 
 
+def _batch_images(rng: np.random.Generator, w: int, h: int, n: int) -> np.ndarray:
+    """(n, h, w, 3) uint8 procedural images, vectorized in bounded chunks
+    (cap temporaries to ~32M pixels so big size-groups don't allocate GBs)."""
+    gy = np.linspace(0, 255, h, dtype=np.float32)[None, :, None, None]
+    gx = np.linspace(0, 255, w, dtype=np.float32)[None, None, :, None]
+    base = ((gy + gx) / 2) * np.array([0.5, 0.75, 1.0], np.float32)[
+        None, None, None, :
+    ]
+    out = np.empty((n, h, w, 3), np.uint8)
+    step = max(1, 32_000_000 // (h * w * 3))
+    for s in range(0, n, step):
+        m = min(step, n - s)
+        noise = rng.standard_normal((m, h, w, 3), dtype=np.float32)
+        noise *= 20.0
+        noise += base
+        np.clip(noise, 0, 255, out=noise)
+        out[s : s + m] = noise.astype(np.uint8)
+    return out
+
+
+def _batch_phash(px: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit phash for a (n, h, w, 3) batch (8x8 mean grid)."""
+    n, h, w, _ = px.shape
+    gray = px.mean(axis=3)
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    rowsum = np.add.reduceat(gray, ys[:-1], axis=1)
+    cells = np.add.reduceat(rowsum, xs[:-1], axis=2)
+    counts = np.outer(np.diff(ys), np.diff(xs))[None, :, :]
+    cells = cells / counts
+    flat = cells.reshape(n, 64)
+    med = np.median(flat, axis=1, keepdims=True)
+    bits = (flat > med).astype(np.uint64)
+    weights = np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64)
+    return (bits @ weights).astype(np.int64)
+
+
 def image_caption_table(n_rows: int, seed: int = 42) -> pa.Table:
     rng = np.random.default_rng(seed)
     size_idx = rng.integers(0, len(_SIZES), n_rows)
@@ -58,19 +95,28 @@ def image_caption_table(n_rows: int, seed: int = 42) -> pa.Table:
     fmt_idx = rng.choice(len(_FMTS), n_rows, p=_FMT_P)
     fmts = _FMTS[fmt_idx]
 
-    ids, blobs, captions, phashes = [], [], [], []
+    blobs: list = [None] * n_rows
+    phashes_arr = np.zeros(n_rows, np.int64)
     hot = rng.uniform(0, 1, n_rows) < 0.2  # hot phash band
-    for i in range(n_rows):
-        irng = np.random.default_rng(seed * 1_000_003 + i)
-        px = make_image(irng, int(w[i]), int(h[i]))
-        blobs.append(encode_image(px, str(fmts[i])))
-        ids.append(f"{i:012x}")
-        captions.append(make_caption(irng))
-        ph = phash64(px)
-        if hot[i]:
-            # squeeze into a narrow band → skewed key range
-            ph = int(0x7FFF_0000_0000_0000 + (ph & 0xFFFF))
-        phashes.append(ph)
+    # vectorized per (w, h) group: one noise draw + one phash pass per group
+    keys = w.astype(np.int64) * 100_000 + h.astype(np.int64)
+    for key in np.unique(keys):
+        idx = np.flatnonzero(keys == key)
+        gw, gh = int(w[idx[0]]), int(h[idx[0]])
+        grng = np.random.default_rng(seed * 1_000_003 + int(key))
+        px = _batch_images(grng, gw, gh, len(idx))
+        phashes_arr[idx] = _batch_phash(px)
+        for j, i in enumerate(idx):
+            blobs[i] = encode_image(px[j], str(fmts[i]))
+    ids = [f"{i:012x}" for i in range(n_rows)]
+    captions = [
+        make_caption(np.random.default_rng(seed * 7_000_003 + i))
+        for i in range(n_rows)
+    ]
+    phashes = [
+        int(0x7FFF_0000_0000_0000 + (int(p) & 0xFFFF)) if is_hot else int(p)
+        for p, is_hot in zip(phashes_arr, hot)
+    ]
     return pa.table(
         {
             "image_id": pa.array(ids, pa.string()),
