@@ -105,7 +105,7 @@ def _warm(batch_iter):
 
 def _ensure_btr_table(spark) -> str:
     """Build the canonical fragmented BtrTable once; copies are cheap."""
-    canon = os.path.join(CACHE, f"btrtable-{IMG_ROWS}")
+    canon = os.path.join(CACHE, f"btrtable-{IMG_ROWS}-v3")
     if os.path.exists(os.path.join(canon, "metadata.json")):
         return canon
     from btrblocks_spark.sources.table import BtrTable
