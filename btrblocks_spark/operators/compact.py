@@ -25,6 +25,7 @@ import uuid
 import pyarrow as pa
 
 from btrblocks_spark import PART_SIZE_BYTES
+from btrblocks_spark.sources import fs
 from btrblocks_spark.sources.table import BtrTable, _write_blockfile_atomic
 
 
@@ -73,8 +74,8 @@ def compact(
         return {"job_id": job_id, "bins": 0, "rewritten_files": 0}
 
     root = table.root
-    ckpt_dir = os.path.join(root, "_checkpoints", job_id)
-    os.makedirs(ckpt_dir, exist_ok=True)
+    ckpt_dir = fs.join(root, "_checkpoints", job_id)
+    fs.mkdirs(ckpt_dir)
     spark = table.spark
 
     specs = [
@@ -89,17 +90,16 @@ def compact(
     schema_hex = table.schema_arrow().serialize().hex().decode()
 
     def rebuild(batch_iter):
-        import pyarrow.parquet as pq
-
+        from btrblocks_spark.sources import fs as _fs
         from btrblocks_spark.sources.blockfile import decode_batches, encode_table
 
         for batch in batch_iter:
             for row in batch.to_pylist():
                 bin_id = row["bin_id"]
-                marker = os.path.join(ckpt_dir, f"bin-{bin_id}.json")
-                if os.path.exists(marker):
-                    with open(marker) as f:
-                        yield pa.RecordBatch.from_pydict({"rows": [f.read()]})
+                marker = _fs.join(ckpt_dir, f"bin-{bin_id}.json")
+                if _fs.exists(marker):
+                    payload = _fs.read_bytes(marker).decode()
+                    yield pa.RecordBatch.from_pydict({"rows": [payload]})
                     continue
                 import time as _time
 
@@ -110,7 +110,7 @@ def compact(
                 )
                 logical_batches = []
                 for p in paths:
-                    bt = pq.read_table(p)
+                    bt = _fs.read_parquet(p)
                     logical_batches.extend(
                         decode_batches(bt.to_batches(), schema, schema.names)
                     )
@@ -119,7 +119,7 @@ def compact(
                 block_table, stats = encode_table(merged, seed=42)
                 _t2 = _time.time()
                 fname = f"{job_id}-bin{bin_id:05d}.parquet"
-                fpath = os.path.join(root, "data", fname)
+                fpath = _fs.join(root, "data", fname)
                 fbytes = _write_blockfile_atomic(block_table, fpath)
                 _t3 = _time.time()
                 timing = {
@@ -143,10 +143,7 @@ def compact(
                     }
                 ]
                 payload = json.dumps(out)
-                tmp = f"{marker}.tmp-{uuid.uuid4().hex}"
-                with open(tmp, "w") as f:
-                    f.write(payload)
-                os.replace(tmp, marker)
+                _fs.write_bytes_atomic(marker, payload.encode())
                 yield pa.RecordBatch.from_pydict({"rows": [payload]})
 
     collected = spec_df.mapInArrow(rebuild, "rows string").collect()

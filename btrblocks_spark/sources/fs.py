@@ -1,0 +1,178 @@
+"""Filesystem facade: one path-string API over local disk and object stores.
+
+The reference scans straight from S3 with its own reader
+(``/root/reference/tools/conversion/decompression-speed-s3.cpp:37-110`` —
+preallocated buffers + async GetObject, no Hadoop). This module is the
+analog: every metadata / manifest / block-file I/O in the engine goes
+through ``resolve()``, which maps a path string to a
+``pyarrow.fs.FileSystem`` + in-filesystem path:
+
+- plain paths            -> LocalFileSystem
+- ``s3://`` / ``gs://``  -> pyarrow's native object-store clients
+  (credentials from the standard env/instance chains)
+- registered schemes     -> test/plugin filesystems (``register_scheme``),
+  e.g. the in-memory mock used by the test suite
+
+Semantics notes per backend:
+
+- *Atomic visibility*: local writes go to a temp name + ``move`` (rename
+  is atomic on POSIX). Object-store PUTs are already atomic-visible
+  (readers never see partial objects), so writes go direct — a rename
+  would be a non-atomic copy+delete there.
+- *Directories*: object stores have none; ``mkdirs`` is a no-op for them.
+
+Executor tasks import this module and resolve paths themselves, so the
+same job runs unchanged against ``/local/dir`` or ``s3://bucket/table``
+(the north rule's multi-executor topology needs no shared POSIX mount).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyarrow import fs as pafs
+
+# Test/plugin schemes: scheme -> zero-arg factory returning a FileSystem.
+# Factories should return a process-wide singleton if state must be shared.
+_SCHEMES: dict[str, object] = {}
+
+# Schemes may also be aliased via env (JSON {"scheme": "local"}) — the env
+# propagates to executor Python workers, so a test can route a
+# remote-looking URI through LocalFileSystem in every process and prove no
+# code path silently falls back to os.* on the raw string.
+_ENV_MAP = "BTRSPARK_FS_SCHEME_MAP"
+
+
+def register_scheme(scheme: str, factory) -> None:
+    _SCHEMES[scheme] = factory
+
+
+def resolve(path: str) -> tuple[pafs.FileSystem, str]:
+    """Path string -> (filesystem, path-within-filesystem)."""
+    if "://" in path:
+        scheme, rest = path.split("://", 1)
+        if scheme in _SCHEMES:
+            return _SCHEMES[scheme](), rest
+        env_map = json.loads(os.environ.get(_ENV_MAP, "{}"))
+        if env_map.get(scheme) == "local":
+            return pafs.LocalFileSystem(), "/" + rest.lstrip("/")
+        f, p = pafs.FileSystem.from_uri(path)
+        return f, p
+    return pafs.LocalFileSystem(), os.path.abspath(path)
+
+
+def is_local(path: str) -> bool:
+    return "://" not in path or path.startswith("file://")
+
+
+def join(base: str, *parts: str) -> str:
+    return "/".join([base.rstrip("/"), *parts])
+
+
+def exists(path: str) -> bool:
+    f, p = resolve(path)
+    return f.get_file_info(p).type != pafs.FileType.NotFound
+
+
+def mkdirs(path: str) -> None:
+    f, p = resolve(path)
+    f.create_dir(p, recursive=True)
+
+
+def file_size(path: str) -> int:
+    f, p = resolve(path)
+    return f.get_file_info(p).size
+
+
+def list_files(path: str) -> list[str]:
+    """Names (not full paths) of files directly under ``path``; [] if absent."""
+    f, p = resolve(path)
+    try:
+        infos = f.get_file_info(pafs.FileSelector(p, recursive=False))
+    except (FileNotFoundError, OSError):
+        return []
+    return sorted(
+        os.path.basename(i.path) for i in infos if i.type == pafs.FileType.File
+    )
+
+
+def read_bytes(path: str) -> bytes:
+    f, p = resolve(path)
+    with f.open_input_stream(p) as stream:
+        return stream.read()
+
+
+def write_bytes_atomic(path: str, data: bytes) -> int:
+    """Write with atomic visibility (temp+rename locally, direct PUT remote)."""
+    f, p = resolve(path)
+    if isinstance(f, pafs.LocalFileSystem):
+        tmp = f"{p}.tmp-{uuid.uuid4().hex}"
+        with f.open_output_stream(tmp) as stream:
+            stream.write(data)
+        f.move(tmp, p)
+    else:
+        with f.open_output_stream(p) as stream:
+            stream.write(data)
+    return len(data)
+
+
+def create_exclusive(path: str) -> bool:
+    """Best-effort exclusive create (commit lock). True if we created it.
+
+    Local: real O_EXCL. Object stores: emulated check-then-put — a real
+    deployment swaps the whole commit pointer for a catalog CAS anyway
+    (see table.py commit protocol notes).
+    """
+    f, p = resolve(path)
+    if isinstance(f, pafs.LocalFileSystem):
+        try:
+            fd = os.open(p, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        os.close(fd)
+        return True
+    if f.get_file_info(p).type != pafs.FileType.NotFound:
+        return False
+    with f.open_output_stream(p) as stream:
+        stream.write(b"lock")
+    return True
+
+
+def delete_file(path: str, missing_ok: bool = True) -> None:
+    f, p = resolve(path)
+    try:
+        f.delete_file(p)
+    except FileNotFoundError:
+        if not missing_ok:
+            raise
+
+
+def read_json(path: str) -> dict:
+    return json.loads(read_bytes(path).decode())
+
+
+def write_json_atomic(path: str, obj: dict) -> None:
+    write_bytes_atomic(path, json.dumps(obj, indent=1, default=str).encode())
+
+
+def read_parquet(path: str, columns: list[str] | None = None) -> pa.Table:
+    f, p = resolve(path)
+    return pq.read_table(p, filesystem=f, columns=columns)
+
+
+def write_parquet_atomic(
+    table: pa.Table, path: str, compression: str = "zstd", **kwargs
+) -> int:
+    f, p = resolve(path)
+    target = p
+    if isinstance(f, pafs.LocalFileSystem):
+        target = f"{p}.tmp-{uuid.uuid4().hex}"
+    with f.open_output_stream(target) as stream:
+        pq.write_table(table, stream, compression=compression, **kwargs)
+    if target != p:
+        f.move(target, p)
+    return f.get_file_info(p).size

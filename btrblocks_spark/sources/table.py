@@ -38,12 +38,12 @@ import time
 import uuid
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from btrblocks_spark import PART_SIZE_BYTES
+from btrblocks_spark.sources import fs
 
 MANIFEST_SCHEMA = pa.schema(
     [
@@ -61,20 +61,8 @@ MANIFEST_SCHEMA = pa.schema(
 )
 
 
-def _atomic_write_json(path: str, obj: dict) -> None:
-    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1, default=str)
-    os.replace(tmp, path)
-
-
-def _write_parquet_atomic(
-    table: pa.Table, path: str, compression: str = "zstd", **kwargs
-) -> int:
-    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
-    pq.write_table(table, tmp, compression=compression, **kwargs)
-    os.replace(tmp, path)
-    return os.path.getsize(path)
+_atomic_write_json = fs.write_json_atomic
+_write_parquet_atomic = fs.write_parquet_atomic
 
 
 def _write_blockfile_atomic(table: pa.Table, path: str) -> int:
@@ -99,11 +87,10 @@ class BtrTable:
     # ------------------------------------------------------------ metadata
     @property
     def _meta_path(self) -> str:
-        return os.path.join(self.root, "metadata.json")
+        return fs.join(self.root, "metadata.json")
 
     def metadata(self) -> dict:
-        with open(self._meta_path) as f:
-            return json.load(f)
+        return fs.read_json(self._meta_path)
 
     def current_snapshot_id(self) -> int:
         return self.metadata()["current_snapshot_id"]
@@ -134,9 +121,8 @@ class BtrTable:
         job_id: str | None = None,
     ) -> "BtrTable":
         """Create a table at ``root`` from ``df`` (initial snapshot)."""
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
-        os.makedirs(os.path.join(root, "_checkpoints"), exist_ok=True)
+        for sub in ("data", "manifests", "_checkpoints"):
+            fs.mkdirs(fs.join(root, sub))
         arrow_schema = df.limit(0).toArrow().schema
         meta = {
             "format_version": 1,
@@ -156,7 +142,7 @@ class BtrTable:
                 }
             ],
         }
-        _atomic_write_json(os.path.join(root, "metadata.json"), meta)
+        _atomic_write_json(fs.join(root, "metadata.json"), meta)
         table = cls(spark, root)
         table.append(
             df,
@@ -228,8 +214,8 @@ class BtrTable:
             # task per value — the opposite of what a parallel write wants
             work = df.repartition(num_files)
 
-        ckpt_dir = os.path.join(root, "_checkpoints", job_id)
-        os.makedirs(ckpt_dir, exist_ok=True)
+        ckpt_dir = fs.join(root, "_checkpoints", job_id)
+        fs.mkdirs(ckpt_dir)
         result_schema = "rows string"
         max_rows = max_rows_per_file
 
@@ -238,11 +224,13 @@ class BtrTable:
 
             from btrblocks_spark.sources.blockfile import encode_table
 
+            from btrblocks_spark.sources import fs as _fs
+
             task_id = TaskContext.get().partitionId()
-            marker = os.path.join(ckpt_dir, f"{task_id}.json")
-            if os.path.exists(marker):
-                with open(marker) as f:
-                    yield pa.RecordBatch.from_pydict({"rows": [f.read()]})
+            marker = _fs.join(ckpt_dir, f"{task_id}.json")
+            if _fs.exists(marker):
+                payload = _fs.read_bytes(marker).decode()
+                yield pa.RecordBatch.from_pydict({"rows": [payload]})
                 return
             batches = list(batch_iter)
             rows_out: list[dict] = []
@@ -285,7 +273,7 @@ class BtrTable:
                         piece = sub.slice(start, step)
                         block_table, stats = encode_table(piece, seed=42)
                         fname = f"{job_id}-p{task_id:05d}-{k}.parquet"
-                        fpath = os.path.join(root, "data", fname)
+                        fpath = _fs.join(root, "data", fname)
                         fbytes = _write_blockfile_atomic(block_table, fpath)
                         rows_out.append(
                             {
@@ -303,10 +291,7 @@ class BtrTable:
                         )
                         k += 1
             payload = json.dumps(rows_out)
-            tmp = f"{marker}.tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(payload)
-            os.replace(tmp, marker)
+            _fs.write_bytes_atomic(marker, payload.encode())
             yield pa.RecordBatch.from_pydict({"rows": [payload]})
 
         collected = work.mapInArrow(encode_task, result_schema).collect()
@@ -324,13 +309,12 @@ class BtrTable:
         extra_summary: dict | None = None,
     ) -> int:
         """Atomic snapshot commit: new manifest = old - replaced + new."""
-        lock = os.path.join(self.root, "_commit.lock")
-        fd = None
+        lock = fs.join(self.root, "_commit.lock")
+        locked = False
         try:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
+            if not fs.create_exclusive(lock):
                 raise CommitConflict(f"another commit holds {lock}")
+            locked = True
             meta = self.metadata()
             current = meta["current_snapshot_id"]
             old_rows = self._manifest_rows(current)
@@ -342,7 +326,7 @@ class BtrTable:
             all_rows = old_rows + new_rows
             snapshot_id = current + 1
             manifest_name = f"manifest-{snapshot_id}.parquet"
-            manifest_path = os.path.join(self.root, "manifests", manifest_name)
+            manifest_path = fs.join(self.root, "manifests", manifest_name)
             cols = {
                 f.name: pa.array(
                     [r[f.name] for r in all_rows], f.type
@@ -373,9 +357,8 @@ class BtrTable:
             self._write_job_metrics(snapshot_id, operation, new_rows, replaced)
             return snapshot_id
         finally:
-            if fd is not None:
-                os.close(fd)
-                os.unlink(lock)
+            if locked:
+                fs.delete_file(lock)
 
     def _write_job_metrics(
         self,
@@ -395,10 +378,10 @@ class BtrTable:
             p["rows"] += r["row_count"]
             p["bytes"] += r["file_bytes"]
             p["raw_bytes"] += r["raw_bytes"]
-        mdir = os.path.join(self.root, "metrics")
-        os.makedirs(mdir, exist_ok=True)
+        mdir = fs.join(self.root, "metrics")
+        fs.mkdirs(mdir)
         _atomic_write_json(
-            os.path.join(mdir, f"job-{snapshot_id}.json"),
+            fs.join(mdir, f"job-{snapshot_id}.json"),
             {
                 "snapshot_id": snapshot_id,
                 "operation": operation,
@@ -411,12 +394,11 @@ class BtrTable:
 
     def metrics_df(self) -> DataFrame:
         """Per-partition per-job metrics as a DataFrame."""
-        mdir = os.path.join(self.root, "metrics")
+        mdir = fs.join(self.root, "metrics")
         rows = []
-        if os.path.isdir(mdir):
-            for fname in sorted(os.listdir(mdir)):
-                with open(os.path.join(mdir, fname)) as f:
-                    m = json.load(f)
+        if True:
+            for fname in fs.list_files(mdir):
+                m = fs.read_json(fs.join(mdir, fname))
                 for part, p in m["partitions"].items():
                     rows.append(
                         (
@@ -439,8 +421,8 @@ class BtrTable:
         snap = self._snapshot(snapshot_id)
         if snap["manifest"] is None:
             return []
-        path = os.path.join(self.root, "manifests", snap["manifest"])
-        return pq.read_table(path).to_pylist()
+        path = fs.join(self.root, "manifests", snap["manifest"])
+        return fs.read_parquet(path).to_pylist()
 
     def _snapshot(self, snapshot_id: int) -> dict:
         for s in self.metadata()["snapshots"]:
@@ -454,8 +436,14 @@ class BtrTable:
         snap = self._snapshot(sid)
         if snap["manifest"] is None:
             return self.spark.createDataFrame([], schema=self._manifest_spark_schema())
-        return self.spark.read.parquet(
-            os.path.join(self.root, "manifests", snap["manifest"])
+        path = fs.join(self.root, "manifests", snap["manifest"])
+        if fs.is_local(path):
+            return self.spark.read.parquet(path)
+        # object store / registered scheme: the JVM may lack a connector for
+        # it; read the manifest (file metadata only, 1 row per data file)
+        # through pyarrow and hand Spark the Arrow table
+        return self.spark.createDataFrame(
+            fs.read_parquet(path).to_pandas(), schema=self._manifest_spark_schema()
         )
 
     @staticmethod
@@ -488,6 +476,7 @@ class BtrTable:
         prune: dict | None = None,
         files: list[str] | None = None,
         with_file: bool = False,
+        native_io: bool | None = None,
     ) -> DataFrame:
         """Read the table back as a logical DataFrame.
 
@@ -496,6 +485,12 @@ class BtrTable:
         like Iceberg manifests — Catalyst cannot see inside our blocks, so
         this pruning is explicit). Parquet column pruning then skips the
         ``b_<col>`` blobs of unselected columns at I/O level.
+
+        ``native_io``: executors open block files through ``pyarrow.fs``
+        directly instead of Spark's JVM parquet reader — the analog of the
+        reference's own S3 scan path (``tools/conversion/
+        decompression-speed-s3.cpp:37-110``). Auto-enabled for object-store
+        roots (no Hadoop connector needed); opt-in for local paths.
         """
         rows = self.data_files(snapshot_id)
         if files is not None:
@@ -503,21 +498,54 @@ class BtrTable:
         if prune:
             rows = [r for r in rows if _file_may_match(r, prune)]
         arrow_schema = self.schema_arrow()
-        want = columns or arrow_schema.names
+        want = list(columns or arrow_schema.names)
         spark_schema = self._spark_schema_for(want)
         if not rows:
             return self.spark.createDataFrame([], schema=spark_schema)
         paths = [r["file_path"] for r in rows]
+        if native_io is None:
+            native_io = not fs.is_local(paths[0])
+        schema_hex = arrow_schema.serialize().hex().decode()
+        if with_file:
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            out_schema = StructType(
+                spark_schema.fields + [StructField("_file", StringType())]
+            )
+        else:
+            out_schema = spark_schema
+
+        if native_io:
+            spec_df = self.spark.createDataFrame(
+                [(p,) for p in paths], "file_path string"
+            ).repartition(len(paths))
+            bcols = [f"b_{c}" for c in want]
+
+            def read_native(batch_iter):
+                from btrblocks_spark.sources import fs as _fs
+                from btrblocks_spark.sources.blockfile import decode_batches
+
+                logical = pa.ipc.read_schema(
+                    pa.py_buffer(bytes.fromhex(schema_hex))
+                )
+                for batch in batch_iter:
+                    for path in batch.column("file_path").to_pylist():
+                        bt = _fs.read_parquet(path, columns=bcols)
+                        if with_file:
+                            bt = bt.append_column(
+                                "_file",
+                                pa.array([path] * bt.num_rows, pa.string()),
+                            )
+                        yield from decode_batches(
+                            bt.to_batches(), logical, want, with_file=with_file
+                        )
+
+            return spec_df.mapInArrow(read_native, out_schema)
+
         sel = [F.col(f"b_{c}") for c in want]
         if with_file:
             sel.append(F.input_file_name().alias("_file"))
-            from pyspark.sql.types import StringType, StructField, StructType
-
-            spark_schema = StructType(
-                spark_schema.fields + [StructField("_file", StringType())]
-            )
         block_df = self.spark.read.parquet(*paths).select(*sel)
-        schema_hex = arrow_schema.serialize().hex().decode()
 
         def decode(batch_iter):
             from btrblocks_spark.sources.blockfile import decode_batches
@@ -527,7 +555,7 @@ class BtrTable:
                 batch_iter, logical, list(want), with_file=with_file
             )
 
-        return block_df.mapInArrow(decode, spark_schema)
+        return block_df.mapInArrow(decode, out_schema)
 
     def _spark_schema_for(self, columns: list[str]):
         from pyspark.sql.types import StructType
@@ -549,15 +577,15 @@ class BtrTable:
         removed_data, removed_manifests = 0, 0
         for s in expired:
             for r in self._manifest_rows(s["snapshot_id"]):
-                if r["file_path"] not in keep_files and os.path.exists(
+                if r["file_path"] not in keep_files and fs.exists(
                     r["file_path"]
                 ):
-                    os.unlink(r["file_path"])
+                    fs.delete_file(r["file_path"])
                     removed_data += 1
             if s["manifest"]:
-                mp = os.path.join(self.root, "manifests", s["manifest"])
-                if os.path.exists(mp):
-                    os.unlink(mp)
+                mp = fs.join(self.root, "manifests", s["manifest"])
+                if fs.exists(mp):
+                    fs.delete_file(mp)
                     removed_manifests += 1
         meta["snapshots"] = retained
         _atomic_write_json(self._meta_path, meta)
@@ -574,7 +602,7 @@ class BtrTable:
         snapshot; data files untouched (Iceberg rewrite_manifests analog).
         """
         rows = self.data_files()
-        kept = [r for r in rows if os.path.exists(r["file_path"])]
+        kept = [r for r in rows if fs.exists(r["file_path"])]
 
         def sort_key(r: dict):
             stats = json.loads(r["stats"])
