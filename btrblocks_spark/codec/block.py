@@ -92,6 +92,16 @@ def encode_block(
     force_scheme: int | None = None,
 ) -> bytes:
     """Encode one Arrow array (one column block) into a compressed blob."""
+    return b"".join(encode_block_pieces(arr, level, seed, force_scheme))
+
+
+def encode_block_pieces(
+    arr: pa.Array,
+    level: int = 3,
+    seed: int = 42,
+    force_scheme: int | None = None,
+) -> list:
+    """Encode one column block as bytes-like pieces (callers join once)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     atype = arr.type
@@ -109,7 +119,7 @@ def encode_block(
 
     if type_code in (T_STRING, T_BINARY):
         offsets, pool = strings.from_arrow(arr)
-        payload = strings.encode(offsets, pool, level, seed, force_scheme)
+        payload = strings.encode_pieces(offsets, pool, level, seed, force_scheme)
     else:
         if arr.null_count:
             arr_filled = arr.fill_null(0)
@@ -118,14 +128,14 @@ def encode_block(
         v = arr_filled.to_numpy(zero_copy_only=False)
         if type_code == T_INT32 or type_code == T_INT64:
             v = v.astype(np.int64, copy=False)
-        payload = numeric.encode(
+        payload = numeric.encode_pieces(
             np.ascontiguousarray(v), level, seed, force_scheme=force_scheme
         )
-    return (
-        struct.pack("<HBBII", MAGIC, type_code, null_kind, n, len(null_payload))
-        + null_payload
-        + payload
-    )
+    return [
+        struct.pack("<HBBII", MAGIC, type_code, null_kind, n, len(null_payload)),
+        null_payload,
+        *payload,
+    ]
 
 
 def decode_block(blob: bytes | memoryview) -> pa.Array:

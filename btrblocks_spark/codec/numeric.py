@@ -66,8 +66,8 @@ def _run_view(v: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------- encoders
 
 
-def _enc_uncompressed(v: np.ndarray) -> bytes:
-    return struct.pack("<BI", UNCOMPRESSED, len(v)) + v.tobytes()
+def _enc_uncompressed_pieces(v: np.ndarray) -> list:
+    return [struct.pack("<BI", UNCOMPRESSED, len(v)), v]
 
 
 def _enc_one_value(v: np.ndarray) -> bytes:
@@ -207,7 +207,18 @@ def encode(
     force_scheme: int | None = None,
     exclude: tuple[int, ...] = (),
 ) -> bytes:
-    """Encode one numeric stream; picks a scheme via the sampled picker."""
+    return b"".join(encode_pieces(v, level, seed, force_scheme, exclude))
+
+
+def encode_pieces(
+    v: np.ndarray,
+    level: int,
+    seed: int,
+    force_scheme: int | None = None,
+    exclude: tuple[int, ...] = (),
+) -> list:
+    """Encode one numeric stream as bytes-like pieces (callers join once);
+    picks a scheme via the sampled picker."""
     from btrblocks_spark.codec.picker import pick_numeric
 
     v = np.ascontiguousarray(v)
@@ -219,23 +230,23 @@ def encode(
         else pick_numeric(v, level, seed, exclude)
     )
     if scheme == UNCOMPRESSED:
-        return _enc_uncompressed(v)
+        return _enc_uncompressed_pieces(v)
     if scheme == ONE_VALUE:
-        return _enc_one_value(v)
+        return [_enc_one_value(v)]
     if scheme == DICT:
-        return _enc_dict(v, level, seed)
+        return [_enc_dict(v, level, seed)]
     if scheme == RLE:
-        return _enc_rle(v, level, seed)
+        return [_enc_rle(v, level, seed)]
     if scheme == FOR_BP:
-        return _enc_for_bp(v)
+        return [_enc_for_bp(v)]
     if scheme == DELTA_BP:
-        return _enc_delta_bp(v)
+        return [_enc_delta_bp(v)]
     if scheme == FREQUENCY:
-        return _enc_frequency(v, level, seed)
+        return [_enc_frequency(v, level, seed)]
     if scheme == PSEUDODECIMAL:
-        return _enc_pseudodecimal(v, level, seed)
+        return [_enc_pseudodecimal(v, level, seed)]
     if scheme == DOUBLE_BP:
-        return _enc_double_bp(v)
+        return [_enc_double_bp(v)]
     raise ValueError(f"unknown numeric scheme {scheme}")
 
 
@@ -253,7 +264,7 @@ def decode(buf: memoryview, offset: int, kind: str) -> tuple[np.ndarray, int]:
     if scheme == UNCOMPRESSED:
         (n,) = struct.unpack_from("<I", buf, pos)
         pos += 4
-        out = np.frombuffer(buf, dtype, n, pos).copy()
+        out = np.frombuffer(buf, dtype, n, pos)
         return out, pos + n * 8 - offset
     if scheme == ONE_VALUE:
         (n,) = struct.unpack_from("<I", buf, pos)

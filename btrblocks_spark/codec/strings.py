@@ -53,16 +53,21 @@ POOL_COMPRESS_MIN_BYTES = 16 * 1024  # fsst_input_size_threshold analogs
 _ZLIB_LEVEL = 1
 
 
-def to_arrow(offsets: np.ndarray, pool: bytes) -> pa.Array:
+def to_arrow(offsets: np.ndarray, pool) -> pa.Array:
+    if offsets.dtype != np.int64:
+        offsets = offsets.astype(np.int64)
     return pa.LargeBinaryArray.from_buffers(
         pa.large_binary(),
         len(offsets) - 1,
-        [None, pa.py_buffer(offsets.astype(np.int64).tobytes()), pa.py_buffer(pool)],
+        [None, pa.py_buffer(offsets), pa.py_buffer(pool)],
     )
 
 
-def from_arrow(arr: pa.Array) -> tuple[np.ndarray, bytes]:
-    """(offsets:int64[n+1], pool bytes) from a large_binary/large_utf8 array."""
+def from_arrow(arr: pa.Array) -> tuple[np.ndarray, memoryview]:
+    """(offsets:int64[n+1], pool buffer) from a large_binary/large_utf8 array.
+
+    Zero-copy: the pool is a memoryview into the array's data buffer (the
+    array object stays referenced via the buffer chain)."""
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     if pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
         arr = arr.cast(pa.large_binary())
@@ -73,10 +78,14 @@ def from_arrow(arr: pa.Array) -> tuple[np.ndarray, bytes]:
     buffers = arr.buffers()
     offsets = np.frombuffer(buffers[1], np.int64, len(arr) + 1, arr.offset * 8)
     data = buffers[2]
-    pool = bytes(data)[offsets[0] : offsets[-1]] if data is not None else b""
+    pool = (
+        memoryview(data)[offsets[0] : offsets[-1]]
+        if data is not None
+        else memoryview(b"")
+    )
     if offsets[0] != 0:
         offsets = offsets - offsets[0]
-    return offsets.copy(), pool
+    return offsets, pool
 
 
 def unique_strings(
@@ -98,7 +107,9 @@ def unique_strings(
 
 
 def _enc_offsets(offsets: np.ndarray, level: int, seed: int) -> bytes:
-    blob = numeric.encode(offsets.astype(np.int64), max(level, 1), seed)
+    if offsets.dtype != np.int64:
+        offsets = offsets.astype(np.int64)
+    blob = numeric.encode(offsets, max(level, 1), seed)
     return struct.pack("<I", len(blob)) + blob
 
 
@@ -110,11 +121,23 @@ def _dec_offsets(buf: memoryview, pos: int) -> tuple[np.ndarray, int]:
 
 def encode(
     offsets: np.ndarray,
-    pool: bytes,
+    pool,
     level: int,
     seed: int,
     force_scheme: int | None = None,
 ) -> bytes:
+    return b"".join(encode_pieces(offsets, pool, level, seed, force_scheme))
+
+
+def encode_pieces(
+    offsets: np.ndarray,
+    pool,
+    level: int,
+    seed: int,
+    force_scheme: int | None = None,
+) -> list:
+    """Encode as a list of bytes-like pieces (callers join once — the big
+    pool piece is never recopied through intermediate concatenations)."""
     n = len(offsets) - 1
     scheme = (
         force_scheme
@@ -122,20 +145,20 @@ def encode(
         else pick_string(offsets, pool, level, seed)
     )
     if scheme == UNCOMPRESSED:
-        return (
-            struct.pack("<BI", UNCOMPRESSED, n)
-            + _enc_offsets(offsets, level, seed)
-            + pool
-        )
+        return [
+            struct.pack("<BI", UNCOMPRESSED, n),
+            _enc_offsets(offsets, level, seed),
+            pool,
+        ]
     if scheme == ONE_VALUE:
         one = pool[offsets[0] : offsets[1]] if n else b""
-        return struct.pack("<BII", ONE_VALUE, n, len(one)) + one
+        return [struct.pack("<BII", ONE_VALUE, n, len(one)), one]
     if scheme == DICT:
         uoffsets, upool, codes = unique_strings(offsets, pool)
         codes_blob = numeric.encode(codes, level - 1, seed)
         pool_compressed = len(upool) >= POOL_COMPRESS_MIN_BYTES
         upool_out = zlib.compress(upool, _ZLIB_LEVEL) if pool_compressed else upool
-        return (
+        return [
             struct.pack(
                 "<BIIBI",
                 DICT,
@@ -143,30 +166,32 @@ def encode(
                 len(uoffsets) - 1,
                 1 if pool_compressed else 0,
                 len(upool_out),
-            )
-            + _enc_offsets(uoffsets, level, seed)
-            + upool_out
-            + codes_blob
-        )
+            ),
+            _enc_offsets(uoffsets, level, seed),
+            upool_out,
+            codes_blob,
+        ]
     if scheme == POOL_COMPRESS:
         comp = zlib.compress(pool, _ZLIB_LEVEL)
-        return (
-            struct.pack("<BII", POOL_COMPRESS, n, len(comp))
-            + comp
-            + _enc_offsets(offsets, level, seed)
-        )
+        return [
+            struct.pack("<BII", POOL_COMPRESS, n, len(comp)),
+            comp,
+            _enc_offsets(offsets, level, seed),
+        ]
     raise ValueError(f"unknown string scheme {scheme}")
 
 
-def decode(buf: memoryview, offset: int) -> tuple[np.ndarray, bytes, int]:
-    """Returns (offsets, pool, consumed)."""
+def decode(buf: memoryview, offset: int) -> tuple[np.ndarray, object, int]:
+    """Returns (offsets, pool bytes-like, consumed). The pool may be a
+    zero-copy memoryview into ``buf`` — callers must keep ``buf`` alive
+    (to_arrow's py_buffer does)."""
     scheme = buf[offset]
     pos = offset + 1
     if scheme == UNCOMPRESSED:
         (n,) = struct.unpack_from("<I", buf, pos)
         offsets, pos = _dec_offsets(buf, pos + 4)
         pool_len = int(offsets[-1]) if n else 0
-        pool = bytes(buf[pos : pos + pool_len])
+        pool = buf[pos : pos + pool_len]
         return offsets, pool, pos + pool_len - offset
     if scheme == ONE_VALUE:
         n, slen = struct.unpack_from("<II", buf, pos)
@@ -178,7 +203,7 @@ def decode(buf: memoryview, offset: int) -> tuple[np.ndarray, bytes, int]:
         n, n_uniq, pool_compressed, plen = struct.unpack_from("<IIBI", buf, pos)
         pos += 13
         uoffsets, pos = _dec_offsets(buf, pos)
-        upool = bytes(buf[pos : pos + plen])
+        upool = buf[pos : pos + plen]
         pos += plen
         if pool_compressed:
             upool = zlib.decompress(upool)
@@ -191,7 +216,7 @@ def decode(buf: memoryview, offset: int) -> tuple[np.ndarray, bytes, int]:
     if scheme == POOL_COMPRESS:
         n, clen = struct.unpack_from("<II", buf, pos)
         pos += 8
-        pool = zlib.decompress(bytes(buf[pos : pos + clen]))
+        pool = zlib.decompress(buf[pos : pos + clen])
         pos += clen
         offsets, pos = _dec_offsets(buf, pos)
         return offsets, pool, pos - offset

@@ -14,11 +14,13 @@ binary (image) columns where 65536 tuples would be gigabytes.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
 from btrblocks_spark import BLOCK_SIZE, PART_SIZE_BYTES
 from btrblocks_spark.codec import decode_block, encode_block
+from btrblocks_spark.codec.block import encode_block_pieces
 
 STAT_TYPES = (
     pa.int32(),
@@ -53,7 +55,14 @@ def encode_table(
     n = table.num_rows
     rows = block_rows or choose_block_rows(table)
     names = table.schema.names
-    blocks: dict[str, list] = {name: [] for name in names}
+    # one up-front defrag: every per-block slice below is then a zero-copy
+    # view into a single chunk instead of a combine_chunks copy per block
+    table = table.combine_chunks()
+    # per column: flat list of blob pieces + per-blob byte lengths; the
+    # column buffer is assembled with ONE join + from_buffers (no
+    # per-blob bytes materialization, no pa.array re-copy)
+    pieces: dict[str, list] = {name: [] for name in names}
+    blob_lens: dict[str, list] = {name: [] for name in names}
     block_ids, tuple_counts = [], []
     for b, start in enumerate(range(0, max(n, 1), rows)):
         chunk = table.slice(start, rows)
@@ -63,15 +72,23 @@ def encode_table(
         tuple_counts.append(chunk.num_rows)
         for name in names:
             col = chunk.column(name)
-            blocks[name].append(
-                encode_block(col.combine_chunks(), level=level, seed=seed + b)
-            )
+            col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+            ps = encode_block_pieces(col, level=level, seed=seed + b)
+            pieces[name].extend(ps)
+            blob_lens[name].append(sum(memoryview(p).nbytes for p in ps))
     out = {
         "block_id": pa.array(block_ids, pa.int64()),
         "tuple_count": pa.array(tuple_counts, pa.int32()),
     }
     for name in names:
-        out[f"b_{name}"] = pa.array(blocks[name], pa.large_binary())
+        buf = b"".join(pieces[name])
+        offs = np.zeros(len(blob_lens[name]) + 1, np.int64)
+        np.cumsum(blob_lens[name], out=offs[1:])
+        out[f"b_{name}"] = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            len(blob_lens[name]),
+            [None, pa.py_buffer(offs), pa.py_buffer(buf)],
+        )
     stats: dict = {"row_count": n, "raw_bytes": table.nbytes, "columns": {}}
     for name in names:
         col = table.column(name)
@@ -104,11 +121,24 @@ def decode_batches(
         fields + ([pa.field("_file", pa.string())] if with_file else [])
     )
     for batch in batch_iter:
+        # zero-copy blob views: slice each binary column's data buffer
+        # directly instead of copying every blob out via .as_py()
+        views = {}
+        for f in fields:
+            col = batch.column(f"b_{f.name}")
+            if not pa.types.is_large_binary(col.type):
+                col = col.cast(pa.large_binary())
+            bufs = col.buffers()
+            offs = np.frombuffer(
+                bufs[1], np.int64, len(col) + 1, col.offset * 8
+            )
+            views[f.name] = (memoryview(bufs[2]) if bufs[2] else None, offs)
         for i in range(batch.num_rows):
             arrays = []
             n = None
             for f in fields:
-                blob = batch.column(f"b_{f.name}")[i].as_py()
+                data, offs = views[f.name]
+                blob = data[offs[i] : offs[i + 1]]
                 arr = decode_block(blob)
                 if not arr.type.equals(f.type):
                     arr = arr.cast(f.type)

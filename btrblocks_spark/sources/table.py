@@ -67,11 +67,18 @@ _write_parquet_atomic = fs.write_parquet_atomic
 
 def _write_blockfile_atomic(table: pa.Table, path: str) -> int:
     # Block blobs are already entropy-coded by the codec: parquet-level
-    # recompression is ~1.0 ratio for pure CPU burn, and parquet
-    # *dictionary encoding* of multi-MB binary blobs costs ~10x the write
-    # (it hashes every blob) for zero wins — disable both.
+    # recompression is ~1.0 ratio for pure CPU burn, parquet *dictionary
+    # encoding* of multi-MB binary blobs costs ~10x the write (it hashes
+    # every blob), and parquet *statistics* on those blobs cost another
+    # ~4x (min/max compares + stores multi-MB byte strings; our manifests
+    # carry the real stats) — disable all three.
     return _write_parquet_atomic(
-        table, path, compression="none", use_dictionary=False
+        table,
+        path,
+        compression="none",
+        use_dictionary=False,
+        write_statistics=False,
+        data_page_size=8 * 1024 * 1024,
     )
 
 
