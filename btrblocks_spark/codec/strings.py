@@ -14,13 +14,15 @@ Re-implements ``/root/reference/btrblocks/scheme/string/``:
                  (DynamicDictionary.cpp:183-188); the dictionary *pool* is
                  entropy-compressed when >= 16 KiB
                  (dict_fsst_input_size_threshold, SchemeConfig.hpp:44-60)
-  POOL_COMPRESS— whole-pool entropy compression + cascaded offsets. This is
-                 the FSST slot (Fsst.cpp:17-80). Real FSST is not available
-                 in this environment, so the pool codec is stdlib zlib
-                 (level 1) behind the same scheme slot and gates
-                 (usable when unique >= non_null/2 and total_length > 16 KiB,
-                 Fsst.cpp:119-127); a true FSST kernel can be plugged in
-                 without changing the block format.
+  POOL_COMPRESS— whole-pool zlib(level 1) compression + cascaded offsets
+                 (general-purpose entropy slot; gates per Fsst.cpp:119-127:
+                 usable when unique >= non_null/2 and total_length > 16 KiB)
+  FSST         — whole-pool FSST compression + cascaded offsets: a real
+                 numpy-vectorized FSST (symbol table + escape format, see
+                 codec/fsst.py), the scheme the reference links in as
+                 libfsst (Fsst.cpp:17-80). Competes with POOL_COMPRESS in
+                 the sampled picker; typically wins on natural-language
+                 pools (captions), loses to zlib on highly repetitive ones.
 
 Strings are (offsets:int64[n+1], pool:bytes) — the Arrow large_utf8 layout,
 which is also the reference's StringArrayViewer layout
@@ -35,18 +37,21 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
+from btrblocks_spark.codec import fsst as fsst_codec
 from btrblocks_spark.codec import numeric
 
 UNCOMPRESSED = 0
 ONE_VALUE = 1
 DICT = 2
 POOL_COMPRESS = 3
+FSST = 4
 
 SCHEME_NAMES = {
     UNCOMPRESSED: "UNCOMPRESSED",
     ONE_VALUE: "ONE_VALUE",
     DICT: "DICT",
     POOL_COMPRESS: "POOL_COMPRESS",
+    FSST: "FSST",
 }
 
 POOL_COMPRESS_MIN_BYTES = 16 * 1024  # fsst_input_size_threshold analogs
@@ -178,6 +183,13 @@ def encode_pieces(
             comp,
             _enc_offsets(offsets, level, seed),
         ]
+    if scheme == FSST:
+        comp = fsst_codec.compress(pool)
+        return [
+            struct.pack("<BII", FSST, n, len(comp)),
+            comp,
+            _enc_offsets(offsets, level, seed),
+        ]
     raise ValueError(f"unknown string scheme {scheme}")
 
 
@@ -220,6 +232,13 @@ def decode(buf: memoryview, offset: int) -> tuple[np.ndarray, object, int]:
         pos += clen
         offsets, pos = _dec_offsets(buf, pos)
         return offsets, pool, pos - offset
+    if scheme == FSST:
+        n, clen = struct.unpack_from("<II", buf, pos)
+        pos += 8
+        pool = fsst_codec.decompress(buf[pos : pos + clen])
+        pos += clen
+        offsets, pos = _dec_offsets(buf, pos)
+        return offsets, pool, pos - offset
     raise ValueError(f"unknown string scheme {scheme}")
 
 
@@ -255,9 +274,11 @@ def pick_string(offsets: np.ndarray, pool: bytes, level: int, seed: int) -> int:
         cands.append(DICT)
     if total_len > POOL_COMPRESS_MIN_BYTES and unique_ratio >= 0.5:
         cands.append(POOL_COMPRESS)
+        cands.append(FSST)
     if not cands:
         if total_len > POOL_COMPRESS_MIN_BYTES:
             cands.append(POOL_COMPRESS)
+            cands.append(FSST)
         else:
             return UNCOMPRESSED
     # measure on the sample
