@@ -32,6 +32,73 @@ _STOP_ES = "'el','la','los','y','es','en','por','que','una','con'"
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
+# shared CTE chain producing the deterministic MinHash signatures
+# (doc_id, hash_idx, minhash) — reused by minhash_signatures and the
+# deterministic LSH banding
+_MINHASH_SIG_CTES = f"""norm AS (
+              SELECT doc_id, {_NORM} AS n FROM documents
+              WHERE length({_NORM}) >= 5
+            ), sh AS (
+              SELECT DISTINCT doc_id, substring(n, CAST(i AS INT), 5) AS shingle
+              FROM (SELECT doc_id, n, unnest(range(1, length(n) - 3)) AS i
+                    FROM norm) t
+            ), dict AS (
+              SELECT shingle,
+                     CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT)
+                       AS shingle_id
+              FROM (SELECT DISTINCT shingle FROM sh) u
+            ), ids AS (
+              SELECT sh.doc_id, dict.shingle_id
+              FROM sh JOIN dict USING (shingle)
+            ), params(hash_idx, a, b) AS (VALUES
+              (0, 1610612741, 12345), (1, 805306457, 67891),
+              (2, 402653189, 23457), (3, 201326611, 78913),
+              (4, 100663319, 34569), (5, 50331653, 89125),
+              (6, 25165843, 45671), (7, 12582917, 1237),
+              (8, 6291469, 56789), (9, 3145739, 11113),
+              (10, 1572869, 22229), (11, 786433, 33331),
+              (12, 393241, 44449), (13, 196613, 55557),
+              (14, 98317, 66667), (15, 49157, 77783))
+            , sig AS (
+              SELECT ids.doc_id, CAST(params.hash_idx AS INT) AS hash_idx,
+                     min((ids.shingle_id * params.a + params.b) % 2147483647)
+                       AS minhash
+              FROM ids CROSS JOIN params
+              GROUP BY ids.doc_id, params.hash_idx
+            )"""
+
+# deterministic 31-bit simhash CTE chain (doc_id, simhash); the 31 bit
+# sums are generated programmatically
+_SIMHASH_SUMS = ",\n                     ".join(
+    f"sum(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(31)
+)
+_SIMHASH_VALUE = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+    for b in range(31)
+)
+_SIMHASH_DET_CTES = f"""toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> x <> '')) AS tok
+              FROM documents
+            ), tdict AS (
+              SELECT tok,
+                     CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT)
+                       AS token_id
+              FROM (SELECT DISTINCT tok FROM toks) u
+            ), h AS (
+              SELECT toks.doc_id,
+                     (tdict.token_id * 1610612741 + 12345) % 2147483647 AS h
+              FROM toks JOIN tdict USING (tok)
+            ), sums AS (
+              SELECT doc_id,
+                     {_SIMHASH_SUMS}
+              FROM h GROUP BY doc_id
+            ), simvals AS (
+              SELECT doc_id, {_SIMHASH_VALUE} AS simhash FROM sums
+            )"""
+
 
 def _docs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.text import quality_score
@@ -89,6 +156,34 @@ def _minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{sf_dir}/documents.parquet")
     )
     return lsh_candidate_pairs(sigs)
+
+
+def _minhash_lsh_pairs_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.dedup import (
+        lsh_candidate_pairs_det,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return lsh_candidate_pairs_det(sigs)
+
+
+def _simhash_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.dedup import simhash_det
+
+    return simhash_det(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _simhash_pairs_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.dedup import (
+        simhash_det,
+        simhash_near_pairs_det,
+    )
+
+    return simhash_near_pairs_det(
+        simhash_det(spark.read.parquet(f"{sf_dir}/documents.parquet")),
+        max_hamming=3,
+    )
 
 
 def _simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,9 +272,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "minhash_signatures": _minhash_sig,
-        "minhash_lsh_pairs": _minhash_lsh_pairs,  # rows-only (xxhash64)
-        "simhash": _simhash,  # rows-only (xxhash64)
+        "minhash_lsh_pairs": _minhash_lsh_pairs,  # rows-only (xxhash64 fast path)
+        "minhash_lsh_pairs_det": _minhash_lsh_pairs_det,  # oracle-checked
+        "simhash": _simhash,  # rows-only (xxhash64 fast path)
+        "simhash_det": _simhash_det,  # oracle-checked (31-bit)
         "simhash_near_pairs": _simhash_pairs,  # rows-only (xxhash64)
+        "simhash_near_pairs_det": _simhash_pairs_det,  # oracle-checked
         # similarity search
         "knn_bruteforce": _knn,
         "knn_lsh": _knn_lsh,  # rows-only (numpy hyperplanes)
@@ -404,35 +502,41 @@ def oracle_sql() -> dict[str, str]:
                      (sa.n_shingles + sb.n_shingles - common), 6) >= 0.6
         """,
         "minhash_signatures": f"""
-            WITH norm AS (
-              SELECT doc_id, {_NORM} AS n FROM documents
-              WHERE length({_NORM}) >= 5
-            ), sh AS (
-              SELECT DISTINCT doc_id, substring(n, CAST(i AS INT), 5) AS shingle
-              FROM (SELECT doc_id, n, unnest(range(1, length(n) - 3)) AS i
-                    FROM norm) t
-            ), dict AS (
-              SELECT shingle,
-                     CAST(dense_rank() OVER (ORDER BY shingle) AS BIGINT)
-                       AS shingle_id
-              FROM (SELECT DISTINCT shingle FROM sh) u
-            ), ids AS (
-              SELECT sh.doc_id, dict.shingle_id
-              FROM sh JOIN dict USING (shingle)
-            ), params(hash_idx, a, b) AS (VALUES
-              (0, 1610612741, 12345), (1, 805306457, 67891),
-              (2, 402653189, 23457), (3, 201326611, 78913),
-              (4, 100663319, 34569), (5, 50331653, 89125),
-              (6, 25165843, 45671), (7, 12582917, 1237),
-              (8, 6291469, 56789), (9, 3145739, 11113),
-              (10, 1572869, 22229), (11, 786433, 33331),
-              (12, 393241, 44449), (13, 196613, 55557),
-              (14, 98317, 66667), (15, 49157, 77783))
-            SELECT ids.doc_id, CAST(params.hash_idx AS INT) AS hash_idx,
-                   min((ids.shingle_id * params.a + params.b) % 2147483647)
-                     AS minhash
-            FROM ids CROSS JOIN params
-            GROUP BY ids.doc_id, params.hash_idx
+            WITH {_MINHASH_SIG_CTES}
+            SELECT * FROM sig
+        """,
+        "minhash_lsh_pairs_det": f"""
+            WITH {_MINHASH_SIG_CTES}, buckets AS (
+              SELECT doc_id,
+                     CAST(floor(hash_idx / 4.0) AS INT) AS band,
+                     sum(minhash * CAST(pow(31, hash_idx % 4) AS BIGINT))
+                       % 2147483647 AS bucket
+              FROM sig GROUP BY 1, 2
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM buckets a JOIN buckets b USING (band, bucket)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "simhash_det": f"""
+            WITH {_SIMHASH_DET_CTES}
+            SELECT * FROM simvals
+        """,
+        "simhash_near_pairs_det": f"""
+            WITH {_SIMHASH_DET_CTES}, blocks AS (
+              SELECT doc_id, simhash, blk,
+                     (simhash >> (8 * blk)) & 255 AS val
+              FROM simvals, (VALUES (0), (1), (2), (3)) b(blk)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                              b.doc_id AS doc_b, b.simhash AS sim_b
+              FROM blocks a JOIN blocks b USING (blk, val)
+              WHERE a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, hamming FROM (
+              SELECT doc_a, doc_b,
+                     CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+              FROM cand
+            ) WHERE hamming <= 3
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -202,6 +202,130 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_det(
+    sig_long: DataFrame, bands: int = 4
+) -> DataFrame:
+    """Deterministic LSH banding over the oracle-checkable long-format
+    signatures of :func:`minhash_signatures` (doc_id, hash_idx, minhash).
+
+    Bucket per (doc, band) is a base-31 polynomial of the band's minhash
+    values mod the Mersenne prime — pure integer arithmetic both Spark
+    and DuckDB reproduce bit-for-bit. Same two-shuffle shape as the
+    xxhash64 fast path (:func:`lsh_candidate_pairs`).
+    """
+    rows_per_band = MINHASH_K // bands
+    weight = F.pow(F.lit(31.0), (F.col("hash_idx") % rows_per_band)).cast(
+        "long"
+    )
+    buckets = (
+        sig_long.withColumn(
+            "band", (F.col("hash_idx") / rows_per_band).cast("int")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            (
+                F.sum(F.col("minhash") * weight) % F.lit(MINHASH_PRIME)
+            ).alias("bucket")
+        )
+    )
+    return (
+        buckets.alias("a")
+        .join(buckets.alias("b"), on=["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+SIMHASH_DET_BITS = 31  # (a*id+b) mod 2^31-1 yields 31-bit token hashes
+SIMHASH_DET_A = 1_610_612_741
+SIMHASH_DET_B = 12_345
+
+
+def _token_ids(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, token_id) with multiplicity; dense ids over sorted distinct
+    tokens (engine-agnostic, same trick as :func:`shingle_dictionary`)."""
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+            )
+        ).alias("tok"),
+    )
+    dictionary = toks.select("tok").distinct().withColumn(
+        "token_id", F.dense_rank().over(Window.orderBy("tok")).cast("long")
+    )
+    return toks.join(dictionary, "tok").select("doc_id", "token_id")
+
+
+def simhash_det(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic 31-bit SimHash, oracle-checkable.
+
+    Token hash = (a*token_id + b) mod 2^31-1 over dictionary ids; sim bit
+    b = sign of the +-1 sum of token-hash bits. The xxhash64 64-bit
+    variant (:func:`simhash64`) is the production fast path (no global
+    dictionary sort)."""
+    ids = _token_ids(df, text_col).withColumn(
+        "h",
+        (F.col("token_id") * F.lit(SIMHASH_DET_A) + F.lit(SIMHASH_DET_B))
+        % F.lit(MINHASH_PRIME),
+    )
+    aggs = [
+        F.sum(
+            F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_DET_BITS)
+    ]
+    sums = ids.groupBy("doc_id").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(SIMHASH_DET_BITS):
+        sim = sim + F.when(
+            F.col(f"s{b}") > 0, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_near_pairs_det(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near pairs on the deterministic 31-bit simhash: 4x8-bit block
+    pigeonhole (hamming<=3 => some block equal) + exact hamming filter."""
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 8)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.blk", "bv.val")
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), on=["blk", "val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over token xxhash64s — fully JVM-side.
 
