@@ -204,6 +204,15 @@ def compact_job(cores: int) -> dict:
         job_id=f"bench-compact-{cores}"
     )
     elapsed = time.time() - t0
+    # decompression bandwidth: end-to-end scan of the compacted table
+    # (the analog of the reference's decompression_speed tool,
+    # tools/conversion/decompression-speed.cpp) — logical bytes / wall
+    raw_bytes = sum(r["raw_bytes"] for r in table.data_files())
+    scan_best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        table.scan().count()
+        scan_best = min(scan_best, time.time() - t0)
     out = {
         "cores": cores,
         "elapsed_sec": elapsed,
@@ -211,6 +220,7 @@ def compact_job(cores: int) -> dict:
         "bins": res.get("bins", 0),
         "input_files": n_input,
         "gbps": res.get("input_bytes", 0) / max(elapsed, 1e-9) / 1e9,
+        "scan_gbps": raw_bytes / max(scan_best, 1e-9) / 1e9,
         "task_time_s": res.get("task_time_s", {}),
     }
     spark.stop()
@@ -385,6 +395,9 @@ def main() -> None:
                 ),
                 "compaction_cores_n": compact_low["cores"],
                 "compaction_cores_4n": compact_mid["cores"],
+                "scan_gbps": round(
+                    max(h.get("scan_gbps", 0.0) for _, h in pairs), 4
+                ),
                 "scaling_efficiency": round(eff_low_mid, 3),
                 "scaling_pairs": [[round(l["gbps"], 4), round(h["gbps"], 4)] for l, h in pairs],
                 "compression_ratio_mix": round(ratio["compression_ratio"], 3),

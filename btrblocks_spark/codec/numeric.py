@@ -152,9 +152,10 @@ def decimal_decompose(
     for e in range(_MAX_DECIMAL_EXPONENT + 1):
         if not unresolved.any():
             break
-        scaled = v[unresolved] * (10.0**e)
-        cand = np.round(scaled)
-        ok = (np.abs(cand) < 2**31) & (cand / (10.0**e) == v[unresolved])
+        with np.errstate(over="ignore", invalid="ignore"):
+            scaled = v[unresolved] * (10.0**e)
+            cand = np.round(scaled)
+            ok = (np.abs(cand) < 2**31) & (cand / (10.0**e) == v[unresolved])
         idx = np.flatnonzero(unresolved)[ok]
         digits[idx] = cand[ok].astype(np.int64)
         exponents[idx] = e

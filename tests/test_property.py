@@ -1,0 +1,90 @@
+"""Property-based roundtrip invariants for the codec stack (hypothesis).
+
+The reference pins its schemes with targeted gtest cases
+(``/root/reference/test/test-cases/``); these go further: any int64 /
+float64 / byte-string content, any null pattern, any forced or picked
+scheme must decode to exactly what was encoded.
+"""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from btrblocks_spark.codec import block, fsst, numeric, strings
+
+_SETTINGS = dict(max_examples=60, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(
+    arrays(
+        np.int64,
+        st.integers(0, 400),
+        elements=st.integers(-(2**62), 2**62),
+    )
+)
+def test_numeric_int_roundtrip(v):
+    blob = numeric.encode(v, 3, 42)
+    out, consumed = numeric.decode(memoryview(blob), 0, "i")
+    assert consumed == len(blob)
+    assert (out == v).all()
+
+
+@settings(**_SETTINGS)
+@given(
+    arrays(
+        np.float64,
+        st.integers(0, 400),
+        elements=st.floats(allow_nan=True, allow_infinity=True, width=64),
+    )
+)
+def test_numeric_double_roundtrip(v):
+    blob = numeric.encode(v, 3, 42)
+    out, consumed = numeric.decode(memoryview(blob), 0, "f")
+    assert consumed == len(blob)
+    # NaN-stable bit-pattern equality
+    assert (out.view(np.int64) == v.view(np.int64)).all()
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.binary(min_size=0, max_size=60), max_size=200))
+def test_string_roundtrip(vals):
+    arr = pa.array(vals, pa.large_binary())
+    offs, pool = strings.from_arrow(arr)
+    blob = strings.encode(offs, pool, 3, 42)
+    o2, p2, consumed = strings.decode(memoryview(blob), 0)
+    assert consumed == len(blob)
+    assert (o2 == offs).all()
+    assert bytes(p2) == bytes(pool)
+
+
+@settings(**_SETTINGS)
+@given(st.binary(min_size=0, max_size=4000))
+def test_fsst_roundtrip(data):
+    assert fsst.decompress(fsst.compress(data)) == data
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)), max_size=200
+    )
+)
+def test_block_nullable_int_roundtrip(vals):
+    arr = pa.array(vals, pa.int64())
+    out = block.decode_block(block.encode_block(arr))
+    assert out.to_pylist() == vals
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=30)), max_size=150
+    )
+)
+def test_block_nullable_string_roundtrip(vals):
+    arr = pa.array(vals, pa.large_string())
+    out = block.decode_block(block.encode_block(arr))
+    assert out.to_pylist() == vals
