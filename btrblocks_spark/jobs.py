@@ -11,7 +11,7 @@ Package the library and submit any maintenance job against a table root::
 own SparkSession; on a cluster, spark-submit's conf wins).
 
 Subcommands: create, append, compact, cluster, merge, expire, verify,
-describe. Every job prints a one-line JSON result.
+describe, export, meta. Every job prints a one-line JSON result.
 """
 
 from __future__ import annotations
@@ -25,6 +25,10 @@ import sys
 def _spark(app: str):
     from pyspark.sql import SparkSession
 
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        # embedded invocation (tests, notebooks): reuse, never stop it
+        return existing, False
     builder = (
         SparkSession.builder.appName(app)
         .config("spark.sql.adaptive.enabled", "true")
@@ -37,7 +41,7 @@ def _spark(app: str):
         )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return spark
+    return spark, True
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -84,6 +88,18 @@ def main(argv: list[str] | None = None) -> int:
     d = sub.add_parser("describe")
     d.add_argument("--table", required=True)
 
+    x = sub.add_parser(
+        "export", help="decompress the table back to plain parquet"
+    )
+    x.add_argument("--table", required=True)
+    x.add_argument("--output", required=True, help="parquet output dir")
+    x.add_argument("--columns", default="", help="comma-separated subset")
+    x.add_argument("--snapshot", type=int, default=None)
+    x.add_argument(
+        "--native-io", action="store_true",
+        help="read block files via pyarrow.fs in executors (object stores)",
+    )
+
     mt = sub.add_parser(
         "meta", help="dump per-block scheme trees (btrmeta analog)"
     )
@@ -128,7 +144,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out, indent=1))
         return 0
 
-    spark = _spark(f"btrblocks-{args.cmd}")
+    spark, owns_session = _spark(f"btrblocks-{args.cmd}")
     out: dict
     if args.cmd == "create":
         df = spark.read.parquet(args.input)
@@ -180,6 +196,19 @@ def main(argv: list[str] | None = None) -> int:
         out = verify_snapshots_equal(t, args.before)
         if args.images:
             out["images"] = verify_images(t)
+    elif args.cmd == "export":
+        t = BtrTable.load(spark, args.table)
+        cols = [c for c in args.columns.split(",") if c] or None
+        df = t.scan(
+            columns=cols,
+            snapshot_id=args.snapshot,
+            native_io=True if args.native_io else None,
+        )
+        df.write.mode("overwrite").parquet(args.output)
+        out = {
+            "output": args.output,
+            "rows": spark.read.parquet(args.output).count(),
+        }
     else:  # describe
         t = BtrTable.load(spark, args.table)
         rows = t.data_files()
@@ -192,7 +221,8 @@ def main(argv: list[str] | None = None) -> int:
             "partitions": sorted({r["partition"] for r in rows}),
         }
     print(json.dumps(out, default=str))
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

@@ -1,0 +1,71 @@
+"""Jobs CLI E2E: the spark-submit entrypoints driven in-process.
+
+Mirrors the reference's tool surface (csvtobtr / btrtocsv / btrmeta /
+decompression_speed, ``/root/reference/tools/conversion/``): create,
+compact, verify, meta, export round-trip on one small table.
+"""
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from btrblocks_spark import jobs
+from btrblocks_spark.fixtures import image_caption_table
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def setup(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("cli")
+    inp = str(base / "input.parquet")
+    pq.write_table(image_caption_table(N, seed=3), inp)
+    root = str(base / "tbl")
+    rc = jobs.main(
+        ["create", "--table", root, "--input", inp,
+         "--partition-by", "fmt", "--num-files", "3"]
+    )
+    assert rc == 0
+    return base, inp, root
+
+
+def test_cli_describe_and_meta(setup, capsys):
+    _, _, root = setup
+    assert jobs.main(["describe", "--table", root]) == 0
+    desc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert desc["rows"] == N
+    assert jobs.main(["meta", "--table", root]) == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta and "schemes" in meta[0]
+    assert "caption" in meta[0]["schemes"]
+
+
+def test_cli_compact_verify_export(setup, spark, capsys):
+    base, inp, root = setup
+    before_snapshot = 1
+    assert jobs.main(
+        ["compact", "--table", root, "--target-file-bytes", str(64 * 2**20)]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["bins"] >= 1
+    assert jobs.main(
+        ["verify", "--table", root, "--before", str(before_snapshot)]
+    ) == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["ok"] is True
+
+    out = str(base / "export.parquet")
+    assert jobs.main(["export", "--table", root, "--output", out]) == 0
+    exported = spark.read.parquet(out)
+    original = spark.read.parquet(inp)
+    assert exported.count() == N
+    assert original.exceptAll(exported).count() == 0
+
+    # column-pruned export
+    out2 = str(base / "export2.parquet")
+    assert jobs.main(
+        ["export", "--table", root, "--output", out2,
+         "--columns", "image_id,phash"]
+    ) == 0
+    assert spark.read.parquet(out2).columns == ["image_id", "phash"]
