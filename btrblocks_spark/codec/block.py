@@ -35,6 +35,9 @@ T_INT64 = 1
 T_DOUBLE = 2
 T_STRING = 3
 T_BINARY = 4
+T_LIST_F32 = 5  # embedding columns: list<float32>
+T_LIST_F64 = 6  # list<float64>
+T_LIST_I64 = 7  # list<int32/int64>
 
 NULL_ALLONES = 0  # no nulls
 NULL_ALLZEROS = 1  # all null
@@ -58,6 +61,80 @@ _ARROW_OF_TYPE = {
     T_STRING: pa.large_string(),
     T_BINARY: pa.large_binary(),
 }
+
+_LIST_CHILD_OF_TYPE = {
+    T_LIST_F32: pa.float32(),
+    T_LIST_F64: pa.float64(),
+    T_LIST_I64: pa.int64(),
+}
+
+
+def _list_type_code(atype: pa.DataType) -> int | None:
+    if not (pa.types.is_list(atype) or pa.types.is_large_list(atype)):
+        return None
+    child = atype.value_type
+    if pa.types.is_float32(child):
+        return T_LIST_F32
+    if pa.types.is_float64(child):
+        return T_LIST_F64
+    if pa.types.is_int64(child) or pa.types.is_int32(child):
+        return T_LIST_I64
+    return None
+
+
+def _encode_list_pieces(
+    arr: pa.Array, type_code: int, level: int, seed: int
+) -> list:
+    """List column block: offsets cascade through the int codec; float32
+    values ride raw (entropy-coding random mantissas never wins and
+    embeddings decode straight into numpy); float64/int64 values go
+    through the numeric picker. Null lists become empty (the block's null
+    bitmap restores them)."""
+    import pyarrow.compute as pc
+
+    lengths = pc.list_value_length(arr)
+    if arr.null_count:
+        lengths = lengths.fill_null(0)
+    lengths_np = lengths.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.zeros(len(arr) + 1, np.int64)
+    np.cumsum(lengths_np, out=offsets[1:])
+    values = pc.list_flatten(arr)
+    offsets_blob = numeric.encode(offsets, level, seed)
+    if type_code == T_LIST_F32:
+        v = values.to_numpy(zero_copy_only=False).astype(np.float32, copy=False)
+        val_pieces = [np.ascontiguousarray(v)]
+    elif type_code == T_LIST_F64:
+        v = values.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        val_pieces = numeric.encode_pieces(np.ascontiguousarray(v), level, seed)
+    else:
+        v = values.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        val_pieces = numeric.encode_pieces(np.ascontiguousarray(v), level, seed)
+    return [
+        struct.pack("<IQ", len(offsets_blob), int(offsets[-1])),
+        offsets_blob,
+        *val_pieces,
+    ]
+
+
+def _decode_list(buf: memoryview, pos: int, type_code: int, n: int) -> pa.Array:
+    offsets_len, n_values = struct.unpack_from("<IQ", buf, pos)
+    pos += 12
+    offsets, _ = numeric.decode(buf, pos, "i")
+    pos += offsets_len
+    child = _LIST_CHILD_OF_TYPE[type_code]
+    if type_code == T_LIST_F32:
+        values = np.frombuffer(buf, np.float32, int(n_values), pos)
+        varr = pa.array(values, pa.float32())
+    else:
+        v, _ = numeric.decode(buf, pos, "f" if type_code == T_LIST_F64 else "i")
+        varr = pa.array(v, child)
+    return pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), varr)
+
+
+def _rebuild_list_with_nulls(arr: pa.Array, validity: np.ndarray) -> pa.Array:
+    return pa.LargeListArray.from_arrays(
+        arr.offsets, arr.values, mask=pa.array(~validity)
+    )
 
 
 def _encode_validity(arr: pa.Array) -> tuple[int, bytes, np.ndarray | None]:
@@ -113,11 +190,15 @@ def encode_block_pieces(
         atype = arr.type
     type_code = _TYPE_OF_ARROW.get(atype)
     if type_code is None:
+        type_code = _list_type_code(atype)
+    if type_code is None:
         raise TypeError(f"unsupported block type {atype}")
     n = len(arr)
     null_kind, null_payload, _ = _encode_validity(arr)
 
-    if type_code in (T_STRING, T_BINARY):
+    if type_code in (T_LIST_F32, T_LIST_F64, T_LIST_I64):
+        payload = _encode_list_pieces(arr, type_code, level, seed)
+    elif type_code in (T_STRING, T_BINARY):
         offsets, pool = strings.from_arrow(arr)
         payload = strings.encode_pieces(offsets, pool, level, seed, force_scheme)
     else:
@@ -148,6 +229,11 @@ def decode_block(blob: bytes | memoryview) -> pa.Array:
     validity = _decode_validity(null_kind, buf[pos : pos + null_len], n)
     pos += null_len
 
+    if type_code in (T_LIST_F32, T_LIST_F64, T_LIST_I64):
+        arr = _decode_list(buf, pos, type_code, n)
+        if validity is not None:
+            arr = _rebuild_list_with_nulls(arr, validity)
+        return arr
     if type_code in (T_STRING, T_BINARY):
         offsets, pool, _ = strings.decode(buf, pos)
         arr = strings.to_arrow(offsets, pool)
@@ -175,9 +261,10 @@ def block_scheme_tree(blob: bytes | memoryview) -> dict:
     else:
         tree = numeric.scheme_tree(buf, pos)
     return {
-        "type": {0: "int32", 1: "int64", 2: "double", 3: "string", 4: "binary"}[
-            type_code
-        ],
+        "type": {
+            0: "int32", 1: "int64", 2: "double", 3: "string", 4: "binary",
+            5: "list<f32>", 6: "list<f64>", 7: "list<i64>",
+        }[type_code],
         "rows": n,
         "null_kind": null_kind,
         **tree,

@@ -60,7 +60,10 @@ def pick_numeric(
         cands.append(numeric.DICT)
         if top_ratio >= 0.9:
             cands.append(numeric.FREQUENCY)
-    if is_sorted:
+    if is_sorted and avg_run_length <= 2.0:
+        # on sorted-with-long-runs data RLE dominates (its run count does
+        # not grow with block size, so a sampled size comparison would
+        # misrank it); RLE's values stream cascades through DELTA anyway
         cands.append(numeric.DELTA_BP)
     if is_float and unique_ratio >= 0.1:
         cands.append(numeric.PSEUDODECIMAL)
@@ -74,10 +77,22 @@ def pick_numeric(
     raw_size = sample.nbytes
     best, best_size = numeric.UNCOMPRESSED, raw_size + 5
     for scheme in cands:
-        if scheme == numeric.DELTA_BP and not _sorted(sample):
-            continue
+        probe = sample
+        if scheme == numeric.DELTA_BP:
+            # the stratified sample's cross-run jumps would inflate the
+            # delta width; measure on a sequence rebuilt from WITHIN-run
+            # deltas only (run boundaries are a vanishing fraction of a
+            # real block)
+            if not _sorted(sample):
+                continue
+            idx = sample_indices(n, seed)
+            within = np.diff(idx) == 1
+            deltas = np.diff(sample)[within]
+            if len(deltas) == 0:
+                continue
+            probe = np.concatenate([sample[:1], sample[0] + np.cumsum(deltas)])
         try:
-            size = len(numeric.encode(sample, level, seed, force_scheme=scheme))
+            size = len(numeric.encode(probe, level, seed, force_scheme=scheme))
         except Exception:
             continue
         if size < best_size:
