@@ -30,14 +30,18 @@ from btrblocks_spark.codec.stats import sample_indices
 def pick_numeric(
     v: np.ndarray, level: int, seed: int, exclude: tuple[int, ...] = ()
 ) -> int:
+    from btrblocks_spark.codec.config import get_config
+
     n = len(v)
     if n == 0 or level <= 0:
         return numeric.UNCOMPRESSED
     is_float = v.dtype == np.float64
+    cfg = get_config()
+    enabled = cfg.double_schemes if is_float else cfg.integer_schemes
     rv = v.view(np.int64) if is_float else v
 
     # exact ONE_VALUE short-circuit (bit-pattern compare; cheap single pass)
-    if rv.min() == rv.max():
+    if numeric.ONE_VALUE in enabled and rv.min() == rv.max():
         return numeric.ONE_VALUE
 
     diffs = np.diff(rv)
@@ -68,7 +72,7 @@ def pick_numeric(
     if is_float and unique_ratio >= 0.1:
         cands.append(numeric.PSEUDODECIMAL)
         cands.append(numeric.DOUBLE_BP)
-    cands = [c for c in cands if c not in exclude]
+    cands = [c for c in cands if c not in exclude and c in enabled]
     if not cands:
         return numeric.UNCOMPRESSED
     if cands == [numeric.FOR_BP]:

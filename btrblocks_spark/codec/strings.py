@@ -248,8 +248,10 @@ _SAMPLE_POOL_BUDGET = 128 * 1024  # cap sampled bytes; wide binary (images)
 
 def pick_string(offsets: np.ndarray, pool: bytes, level: int, seed: int) -> int:
     """Greedy sampled selection among string schemes (SchemePicker analog)."""
+    from btrblocks_spark.codec.config import get_config
     from btrblocks_spark.codec.stats import sample_indices
 
+    enabled = get_config().string_schemes
     n = len(offsets) - 1
     if n == 0 or level <= 0:
         return UNCOMPRESSED
@@ -266,7 +268,11 @@ def pick_string(offsets: np.ndarray, pool: bytes, level: int, seed: int) -> int:
 
     sample = arr.take(pa.array(idx))
     n_uniq_sample = len(pc.unique(sample))
-    if n_uniq_sample <= 1 and (len(idx) == n or len(pc.unique(arr)) <= 1):
+    if (
+        ONE_VALUE in enabled
+        and n_uniq_sample <= 1
+        and (len(idx) == n or len(pc.unique(arr)) <= 1)
+    ):
         return ONE_VALUE
     unique_ratio = n_uniq_sample / max(len(idx), 1)
     cands = []
@@ -281,6 +287,9 @@ def pick_string(offsets: np.ndarray, pool: bytes, level: int, seed: int) -> int:
             cands.append(FSST)
         else:
             return UNCOMPRESSED
+    cands = [c for c in cands if c in enabled]
+    if not cands:
+        return UNCOMPRESSED
     # measure on the sample
     soff, spool = from_arrow(sample)
     raw = len(spool) + len(soff) * 2  # optimistic raw baseline

@@ -44,7 +44,10 @@ def choose_block_rows(table: pa.Table) -> int:
 
 
 def encode_table(
-    table: pa.Table, seed: int = 42, level: int = 3, block_rows: int | None = None
+    table: pa.Table,
+    seed: int = 42,
+    level: int | None = None,
+    block_rows: int | None = None,
 ) -> tuple[pa.Table, dict]:
     """Encode a logical Arrow table into block rows + file-level stats.
 
@@ -52,6 +55,10 @@ def encode_table(
     {col: {min, max, null_count}} (min/max None for binary cols) plus
     ``row_count`` / ``raw_bytes``.
     """
+    if level is None:
+        from btrblocks_spark.codec.config import get_config
+
+        level = get_config().max_cascade_depth
     n = table.num_rows
     rows = block_rows or choose_block_rows(table)
     names = table.schema.names
