@@ -47,21 +47,33 @@ class SymbolTable:
     """Trained symbol table. ``values`` are u64 big-endian left-aligned
     symbol bytes; ``lengths`` their byte lengths (1..8)."""
 
-    __slots__ = ("values", "lengths", "_by_len")
+    __slots__ = ("values", "lengths", "_by_len", "_direct1", "_direct2")
 
     def __init__(self, values: np.ndarray, lengths: np.ndarray):
         order = np.lexsort((values, lengths))
         self.values = values[order]
         self.lengths = lengths[order]
-        # per length: (sorted keys, code ids)
+        # per length: (sorted keys, code ids); lengths 1-2 get
+        # direct-addressed tables (a single gather beats binary search)
         self._by_len = {}
         codes = np.arange(len(self.values), dtype=np.uint16)
+        self._direct1 = None
+        self._direct2 = None
         for ln in range(1, MAX_SYMBOL_LEN + 1):
             sel = self.lengths == ln
-            if sel.any():
-                keys = self.values[sel] >> np.uint64(8 * (8 - ln))
-                ks = np.argsort(keys)
-                self._by_len[ln] = (keys[ks], codes[sel][ks])
+            if not sel.any():
+                continue
+            keys = self.values[sel] >> np.uint64(8 * (8 - ln))
+            ks = np.argsort(keys)
+            keys, ids = keys[ks], codes[sel][ks]
+            if ln == 1:
+                self._direct1 = np.full(256, 0xFFFF, np.uint16)
+                self._direct1[keys.astype(np.int64)] = ids
+            elif ln == 2:
+                self._direct2 = np.full(65536, 0xFFFF, np.uint16)
+                self._direct2[keys.astype(np.int64)] = ids
+            else:
+                self._by_len[ln] = (keys, ids)
 
     def serialize(self) -> bytes:
         n = len(self.values)
@@ -113,14 +125,26 @@ def _match_all(
         return codes, lengths
     if w is None:
         w = _windows_u64(data)
-    for ln in sorted(table._by_len):  # ascending: longer matches overwrite
+    # ascending length: longer matches overwrite shorter ones
+    if table._direct1 is not None:
+        c1 = table._direct1[data]
+        hit = c1 != 0xFFFF
+        codes[hit] = c1[hit]
+    if table._direct2 is not None:
+        probe = (w >> np.uint64(48)).astype(np.int64)
+        c2 = table._direct2[probe]
+        hit = c2 != 0xFFFF
+        if n >= 1:
+            hit[n - 1 :] = False  # symbol must fit
+        codes[hit] = c2[hit]
+        lengths[hit] = 2
+    for ln in sorted(table._by_len):
         keys, code_ids = table._by_len[ln]
         probe = w >> np.uint64(8 * (8 - ln))
         idx = np.searchsorted(keys, probe)
         idx_c = np.minimum(idx, len(keys) - 1)
         hit = keys[idx_c] == probe
-        if ln > 1:
-            hit &= np.arange(n) + ln <= n  # symbol must fit
+        hit[n - ln + 1 :] = False  # symbol must fit
         codes[hit] = code_ids[idx_c[hit]]
         lengths[hit] = ln
     return codes, lengths
