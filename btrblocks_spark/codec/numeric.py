@@ -156,6 +156,9 @@ def decimal_decompose(
             scaled = v[unresolved] * (10.0**e)
             cand = np.round(scaled)
             ok = (np.abs(cand) < 2**31) & (cand / (10.0**e) == v[unresolved])
+            # -0.0 == 0.0 in IEEE, but digits=0 would decode as +0.0 and
+            # lose the sign bit — keep negative zero as a patch
+            ok &= ~(np.signbit(v[unresolved]) & (cand == 0.0))
         idx = np.flatnonzero(unresolved)[ok]
         digits[idx] = cand[ok].astype(np.int64)
         exponents[idx] = e
