@@ -204,10 +204,40 @@ def compact_job(cores: int) -> dict:
         job_id=f"bench-compact-{cores}"
     )
     elapsed = time.time() - t0
-    # decompression bandwidth: end-to-end scan of the compacted table
-    # (the analog of the reference's decompression_speed tool,
-    # tools/conversion/decompression-speed.cpp) — logical bytes / wall
+    # decompression bandwidth, two flavors:
+    # - decode_gbps: workers read block files + decode every column, only
+    #   counts come back — the exact analog of the reference's
+    #   decompression_speed tool (decompress into buffers, measure)
+    # - scan_gbps: full Spark scan (decode + Arrow IPC into the JVM),
+    #   what a downstream DataFrame consumer actually experiences
     raw_bytes = sum(r["raw_bytes"] for r in table.data_files())
+    paths = [r["file_path"] for r in table.data_files()]
+    spec = spark.createDataFrame([(p,) for p in paths], "p string").repartition(
+        len(paths)
+    )
+    schema_hex = table.schema_arrow().serialize().hex().decode()
+
+    def decode_only(batch_iter):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from btrblocks_spark.sources.blockfile import decode_batches
+
+        logical = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(schema_hex)))
+        for batch in batch_iter:
+            n = 0
+            for p in batch.column("p").to_pylist():
+                for rb in decode_batches(
+                    pq.read_table(p).to_batches(), logical
+                ):
+                    n += rb.num_rows
+            yield pa.RecordBatch.from_pydict({"n": [n]})
+
+    decode_best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        spec.mapInArrow(decode_only, "n long").groupBy().sum("n").collect()
+        decode_best = min(decode_best, time.time() - t0)
     scan_best = float("inf")
     for _ in range(2):
         t0 = time.time()
@@ -221,6 +251,7 @@ def compact_job(cores: int) -> dict:
         "input_files": n_input,
         "gbps": res.get("input_bytes", 0) / max(elapsed, 1e-9) / 1e9,
         "scan_gbps": raw_bytes / max(scan_best, 1e-9) / 1e9,
+        "decode_gbps": raw_bytes / max(decode_best, 1e-9) / 1e9,
         "task_time_s": res.get("task_time_s", {}),
     }
     spark.stop()
@@ -397,6 +428,9 @@ def main() -> None:
                 "compaction_cores_4n": compact_mid["cores"],
                 "scan_gbps": round(
                     max(h.get("scan_gbps", 0.0) for _, h in pairs), 4
+                ),
+                "decode_gbps": round(
+                    max(h.get("decode_gbps", 0.0) for _, h in pairs), 4
                 ),
                 "scaling_efficiency": round(eff_low_mid, 3),
                 "scaling_pairs": [[round(l["gbps"], 4), round(h["gbps"], 4)] for l, h in pairs],
