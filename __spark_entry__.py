@@ -239,6 +239,24 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(emb, queries, dim=dim, k=5, n_centroids=8, n_probe=2)
 
 
+def _knn_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.similarity import (
+        knn_bruteforce,
+        knn_lsh,
+        knn_recall,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_bruteforce(emb, queries_df, k=5)
+    ann = knn_lsh(emb, queries_df, dim=dim, k=5, nbits=8)
+    return knn_recall(ann, exact, k=5)
+
+
 def _near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.similarity import embedding_near_dup_pairs
 
@@ -262,6 +280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational / streaming-twin queries
         "pricing_summary": cq.pricing_summary,
         "top_revenue_orders": cq.top_revenue_orders,
+        "regional_revenue": cq.regional_revenue,
+        "promo_revenue_share": cq.promo_revenue_share,
         "events_hourly": cq.events_hourly,
         # text analysis
         "text_quality": _docs_quality,
@@ -282,6 +302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": _knn,
         "knn_lsh": _knn_lsh,  # rows-only (numpy hyperplanes)
         "knn_ivf": _knn_ivf,  # rows-only (numpy kmeans centroids)
+        "knn_recall_lsh": _knn_recall_lsh,  # rows-only (ANN quality gate)
         "embedding_near_dup": _near_dup_embeddings,
     }
 
@@ -401,6 +422,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_mktsegment = 'BUILDING'
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "regional_revenue": """
+            SELECT n_name AS nation,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+            GROUP BY n_name ORDER BY revenue DESC, nation ASC
+        """,
+        "promo_revenue_share": """
+            SELECT
+              round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END), 2) AS promo_revenue,
+              round(sum(l_extendedprice * (1 - l_discount)), 2)
+                AS total_revenue,
+              round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END)
+                    / sum(l_extendedprice * (1 - l_discount)) * 100, 6)
+                AS promo_share_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

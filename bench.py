@@ -43,6 +43,7 @@ MIX_ROWS = int(os.environ.get("BTRSPARK_BENCH_MIX_ROWS", "1000000"))
 BENCH_QUERIES = [
     "pricing_summary",
     "top_revenue_orders",
+    "regional_revenue",
     "events_hourly",
     "rle_runs",
     "block_stats",

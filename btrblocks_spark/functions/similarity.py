@@ -213,6 +213,34 @@ def knn_ivf(
     )
 
 
+def knn_recall(
+    ann: "DataFrame", exact: "DataFrame", k: int = 5
+) -> "DataFrame":
+    """Recall@k of an ANN result against the brute-force ground truth.
+
+    Both inputs are (query_id, vec_id, ...) top-k frames; recall is the
+    per-query overlap share, plus a global average row. The standard
+    quality gate for the LSH/IVF scale paths."""
+    hits = (
+        ann.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per_query = (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(k), 4
+            ).alias("recall_at_k"),
+        )
+    )
+    return per_query.orderBy("query_id")
+
+
 def embedding_near_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

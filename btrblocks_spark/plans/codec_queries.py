@@ -197,6 +197,66 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue per nation where customer and supplier sit
+    in the same nation. All dims (region, nation, customer, supplier)
+    broadcast; the only shuffle is the lineitem⋈orders co-aggregation —
+    at 100 TB this is one fact-side shuffle, everything else map-side."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: share of revenue from promo parts. part is
+    broadcast; single fact scan, no shuffle beyond the final global agg."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("p_type").startswith("PROMO"), rev
+                    ).otherwise(F.lit(0.0))
+                ),
+                2,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("p_type").startswith("PROMO"), rev
+                    ).otherwise(F.lit(0.0))
+                )
+                / F.sum(rev)
+                * 100,
+                6,
+            ).alias("promo_share_pct"),
+        )
+    )
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed aggregation over the events table — the
     batch twin of the streaming job in streaming/ingest.py."""
