@@ -260,6 +260,36 @@ def compact_job(cores: int) -> dict:
     return out
 
 
+def cluster_job(cores: int) -> dict:
+    """Child role: Z-order cluster the image table (phash,w,h), report."""
+    spark = _spark(cores)
+    from btrblocks_spark.operators.cluster import cluster
+    from btrblocks_spark.sources.table import BtrTable
+
+    canon = _ensure_btr_table(spark)
+    work_root = os.path.join(CACHE, f"clusterrun-{cores}-{os.getpid()}")
+    shutil.rmtree(work_root, ignore_errors=True)
+    shutil.copytree(canon, work_root)
+    _retarget_manifest(work_root)
+    table = BtrTable.load(spark, work_root)
+    input_bytes = sum(r["file_bytes"] for r in table.data_files())
+    # warmup pass on a throwaway copy
+    t0 = time.time()
+    res = cluster(table, by=("phash", "w", "h"), job_id=f"bench-cluster-{cores}")
+    elapsed = time.time() - t0
+    out = {
+        "cores": cores,
+        "elapsed_sec": elapsed,
+        "input_bytes": input_bytes,
+        "gbps": input_bytes / max(elapsed, 1e-9) / 1e9,
+        "new_files": res.get("new_files", 0),
+        "hot_ranges": len(res.get("hot_ranges", [])),
+    }
+    spark.stop()
+    shutil.rmtree(work_root, ignore_errors=True)
+    return out
+
+
 def reencode_ratio(cores: int) -> dict:
     """Compression ratio + encode throughput on the Public BI-style mix."""
     _, mix_path = _ensure_fixture_parquet()
@@ -355,6 +385,9 @@ def main() -> None:
     if role == "ratio":
         print(json.dumps(reencode_ratio(int(os.environ["BENCH_CORES"]))))
         return
+    if role == "cluster":
+        print(json.dumps(cluster_job(int(os.environ["BENCH_CORES"]))))
+        return
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     _ensure_fixture_parquet()  # synthesize once, outside the timed children
@@ -394,6 +427,7 @@ def main() -> None:
     # ratio job runs at n_mid: >8 concurrent Arrow-IPC workers in one local
     # JVM hit a sandbox scheduler cliff (see BASELINE.md)
     ratio = _child("ratio", n_mid)
+    clus = _child("cluster", n_mid)
     eff_mid_big = (
         compact_big["gbps"]
         / ((compact_big["cores"] / n_mid) * compact_mid["gbps"])
@@ -435,6 +469,7 @@ def main() -> None:
                 ),
                 "scaling_efficiency": round(eff_low_mid, 3),
                 "scaling_pairs": [[round(l["gbps"], 4), round(h["gbps"], 4)] for l, h in pairs],
+                "cluster_gbps_4n": round(clus["gbps"], 4),
                 "compression_ratio_mix": round(ratio["compression_ratio"], 3),
                 "encode_gbps_mix": round(ratio["encode_gbps"], 4),
                 "image_table_rows": IMG_ROWS,

@@ -124,6 +124,314 @@ def make_key_udf(curve: str = "zorder"):
 zkey_udf = make_key_udf("zorder")
 
 
+def cluster_staged(
+    table: BtrTable,
+    by: tuple[str, str, str] = ("phash", "w", "h"),
+    job_id: str | None = None,
+    num_files: int | None = None,
+    salt_buckets: int = 8,
+    hot_share_threshold: float = 0.15,
+    curve: str = "zorder",
+    group_bytes: int = 128 * 1024 * 1024,
+    max_rows_per_file: int | None = None,
+) -> dict:
+    """Two-phase file-staged range clustering (the 100 TB path).
+
+    Phase 0: key-only scan (parquet prunes to the tiny key blobs) →
+    driver-side zkey quantile cuts + hot-bucket detection.
+    Phase A (one task per ~128 MB input group): decode, assign each row a
+    range bucket (hot buckets get a deterministic salt sub-bucket — the
+    explicit skew spread of the north rule), write one transient plain
+    parquet per (partition, bucket, salt) into ``_staging/``.
+    Phase B (one task per bucket): merge that bucket's staged files, sort
+    by zkey, re-encode into final block files.
+
+    Row bytes move file→worker→file twice and never enter the JVM or
+    Spark's shuffle — the file-level equivalent of a range exchange.
+    Both phases are checkpoint-resumable per task.
+    """
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq  # noqa: F401 (workers re-import)
+
+    assert curve in ("zorder", "hilbert")
+    job_id = job_id or f"cluster-{uuid.uuid4().hex[:8]}"
+    spark = table.spark
+    files = table.data_files()
+    if not files:
+        return {"job_id": job_id, "rewritten_files": 0}
+    from btrblocks_spark import PART_SIZE_BYTES
+    from btrblocks_spark.sources import fs
+
+    total_rows = sum(r["row_count"] for r in files)
+    total_bytes = sum(r["file_bytes"] for r in files)
+    if num_files is None:
+        num_files = max(1, min(512, int(total_bytes / PART_SIZE_BYTES) or 1))
+
+    # ---- Phase 0: cuts + hot buckets from a key-only sampled scan
+    frac = min(1.0, 200_000 / max(total_rows, 1))
+    keys_pdf = (
+        table.scan(columns=list(by)).sample(fraction=frac, seed=42).toPandas()
+    )
+    hot: set[int] = set()
+    if len(keys_pdf) >= 100 and num_files > 1:
+        z = compute_zkey(pa.Table.from_pandas(keys_pdf), by, curve)
+        cuts = np.unique(
+            np.quantile(z, np.linspace(0, 1, num_files + 1)[1:-1]).astype(
+                np.int64
+            )
+        )
+        bucket_of = np.searchsorted(cuts, z, side="right")
+        share = np.bincount(bucket_of, minlength=len(cuts) + 1) / max(len(z), 1)
+        hot = {int(i) for i in np.flatnonzero(share > hot_share_threshold)}
+    else:
+        cuts = np.empty(0, np.int64)
+
+    root = table.root
+    ckpt = fs.join(root, "_checkpoints", job_id)
+    staging = fs.join(root, "_staging", job_id)
+    fs.mkdirs(ckpt)
+    fs.mkdirs(staging)
+    parts = table.partition_by()
+    schema_hex = table.schema_arrow().serialize().hex().decode()
+    cuts_list = [int(c) for c in cuts]
+    hot_list = sorted(hot)
+
+    # ---- Phase A: split input groups into staged bucket files
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for r in files:
+        cur.append(r["file_path"])
+        cur_bytes += r["file_bytes"]
+        if cur_bytes >= group_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        groups.append(cur)
+    specs_a = [
+        {"gid": g, "paths": _json.dumps(ps)} for g, ps in enumerate(groups)
+    ]
+    spec_a_df = spark.createDataFrame(specs_a).repartition(len(specs_a))
+
+    def split_task(batch_iter):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+
+        from btrblocks_spark.operators.cluster import compute_zkey as _zk
+        from btrblocks_spark.sources import fs as _fs
+        from btrblocks_spark.sources.blockfile import decode_batches
+
+        logical = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(schema_hex)))
+        cuts_np = np.array(cuts_list, np.int64)
+        hot_set = set(hot_list)
+        for batch in batch_iter:
+            for row in batch.to_pylist():
+                gid = row["gid"]
+                marker = _fs.join(ckpt, f"a-{gid}.json")
+                if _fs.exists(marker):
+                    yield pa.RecordBatch.from_pydict(
+                        {"rows": [_fs.read_bytes(marker).decode()]}
+                    )
+                    continue
+                batches = []
+                for p in _json.loads(row["paths"]):
+                    bt = _fs.read_parquet(p)
+                    batches.extend(
+                        decode_batches(bt.to_batches(), logical)
+                    )
+                tbl = pa.Table.from_batches(batches).combine_chunks()
+                z = _zk(tbl, tuple(by), curve)
+                bucket = (
+                    np.searchsorted(cuts_np, z, side="right")
+                    if len(cuts_np)
+                    else np.zeros(len(z), np.int64)
+                )
+                salt = np.zeros(len(z), np.int64)
+                if hot_set:
+                    hot_rows = np.isin(bucket, list(hot_set))
+                    salt[hot_rows] = (
+                        np.flatnonzero(hot_rows) + gid * 1_000_003
+                    ) % salt_buckets
+                if parts:
+                    key_str = None
+                    for c in parts:
+                        col = pc.cast(tbl.column(c), pa.string())
+                        key_str = (
+                            col
+                            if key_str is None
+                            else pc.binary_join_element_wise(
+                                key_str, col, "\x1f"
+                            )
+                        )
+                    part_np = key_str.combine_chunks().to_pylist()
+                else:
+                    part_np = None
+                out_entries = []
+                combo = bucket * salt_buckets + salt
+                if part_np is not None:
+                    uniq_parts = sorted(set(part_np))
+                    part_idx = np.array(
+                        [uniq_parts.index(p) for p in part_np], np.int64
+                    )
+                    combo = combo * len(uniq_parts) + part_idx
+                else:
+                    uniq_parts = [None]
+                for cval in np.unique(combo):
+                    sel = np.flatnonzero(combo == cval)
+                    sub = tbl.take(pa.array(sel))
+                    # decompose combo -> (bucket, salt, partition index)
+                    rem = int(cval)
+                    pi = rem % len(uniq_parts)
+                    rem //= len(uniq_parts)
+                    s = rem % salt_buckets
+                    bkt = rem // salt_buckets
+                    pjson = (
+                        _json.dumps(
+                            dict(
+                                zip(parts, str(uniq_parts[pi]).split("\x1f"))
+                            )
+                        )
+                        if part_np is not None
+                        else "{}"
+                    )
+                    fname = f"a{gid:05d}-b{bkt:05d}-s{s}-p{pi}.parquet"
+                    fpath = _fs.join(staging, fname)
+                    f, pth = _fs.resolve(fpath)
+                    with f.open_output_stream(pth) as stream:
+                        _pq.write_table(
+                            sub,
+                            stream,
+                            compression="none",
+                            use_dictionary=False,
+                            write_statistics=False,
+                        )
+                    out_entries.append(
+                        {
+                            "path": fpath,
+                            "bucket": int(bkt),
+                            "salt": int(s),
+                            "partition": pjson,
+                            "rows": sub.num_rows,
+                        }
+                    )
+                payload = _json.dumps(out_entries)
+                _fs.write_bytes_atomic(marker, payload.encode())
+                yield pa.RecordBatch.from_pydict({"rows": [payload]})
+
+    staged: list[dict] = []
+    for r in spec_a_df.mapInArrow(split_task, "rows string").collect():
+        staged.extend(_json.loads(r.rows))
+
+    # ---- Phase B: merge each (partition, bucket, salt) into final files
+    bins: dict[tuple, list[dict]] = {}
+    for e in staged:
+        bins.setdefault((e["partition"], e["bucket"], e["salt"]), []).append(e)
+    specs_b = [
+        {
+            "bin_id": i,
+            "partition": key[0],
+            "paths": _json.dumps([e["path"] for e in members]),
+        }
+        for i, (key, members) in enumerate(sorted(bins.items()))
+    ]
+    spec_b_df = spark.createDataFrame(specs_b).repartition(len(specs_b))
+    sort_key = f"{curve}({','.join(by)})"
+    target_rows = max_rows_per_file
+
+    def merge_task(batch_iter):
+        from btrblocks_spark.operators.cluster import compute_zkey as _zk
+        from btrblocks_spark.sources import fs as _fs
+        from btrblocks_spark.sources.blockfile import encode_table
+        from btrblocks_spark.sources.table import _write_blockfile_atomic
+
+        for batch in batch_iter:
+            for row in batch.to_pylist():
+                bin_id = row["bin_id"]
+                marker = _fs.join(ckpt, f"b-{bin_id}.json")
+                if _fs.exists(marker):
+                    yield pa.RecordBatch.from_pydict(
+                        {"rows": [_fs.read_bytes(marker).decode()]}
+                    )
+                    continue
+                tbls = [
+                    _fs.read_parquet(p) for p in _json.loads(row["paths"])
+                ]
+                tbl = pa.concat_tables(tbls).combine_chunks()
+                z = _zk(tbl, tuple(by), curve)
+                tbl = tbl.take(pa.array(np.argsort(z, kind="stable")))
+                out_rows = []
+                step = target_rows or tbl.num_rows or 1
+                k = 0
+                for start in range(0, max(tbl.num_rows, 1), step):
+                    piece = tbl.slice(start, step)
+                    if piece.num_rows == 0 and tbl.num_rows > 0:
+                        break
+                    block_table, stats = encode_table(piece, seed=42)
+                    fname = f"{job_id}-b{bin_id:05d}-{k}.parquet"
+                    fpath = _fs.join(root, "data", fname)
+                    fbytes = _write_blockfile_atomic(block_table, fpath)
+                    out_rows.append(
+                        {
+                            "file_path": fpath,
+                            "partition": row["partition"],
+                            "row_count": stats["row_count"],
+                            "block_count": block_table.num_rows,
+                            "file_bytes": fbytes,
+                            "raw_bytes": stats["raw_bytes"],
+                            "stats": _json.dumps(stats["columns"]),
+                            "job_id": job_id,
+                            "source_files": "[]",
+                            "sort_key": sort_key,
+                        }
+                    )
+                    k += 1
+                payload = _json.dumps(out_rows)
+                _fs.write_bytes_atomic(marker, payload.encode())
+                yield pa.RecordBatch.from_pydict({"rows": [payload]})
+
+    new_rows: list[dict] = []
+    for r in spec_b_df.mapInArrow(merge_task, "rows string").collect():
+        new_rows.extend(_json.loads(r.rows))
+
+    replaced = {r["file_path"] for r in files}
+    sid = table._commit(
+        new_rows,
+        operation="cluster",
+        replaced=replaced,
+        extra_summary={
+            "sort_key": sort_key,
+            "hot_ranges": len(hot_list),
+            "salt_buckets": salt_buckets if hot_list else 0,
+            "strategy": "staged",
+        },
+    )
+    # transient staging cleanup (markers stay for lineage/debug)
+    for e in staged:
+        fs.delete_file(e["path"])
+    return {
+        "job_id": job_id,
+        "snapshot_id": sid,
+        "rewritten_files": len(replaced),
+        "new_files": len(new_rows),
+        "hot_ranges": hot_list,
+        "strategy": "staged",
+    }
+
+
+def compute_zkey(
+    tbl, by: tuple[str, str, str], curve: str
+) -> np.ndarray:
+    """Clustering key for an Arrow table's key columns (pure numpy)."""
+    fn = morton3 if curve == "zorder" else hilbert3
+    cols = []
+    for c in by:
+        s = tbl.column(c).combine_chunks().to_numpy(zero_copy_only=False)
+        cols.append(_normalize_21(pd.Series(s)))
+    return fn(*cols)
+
+
 def cluster(
     table: BtrTable,
     by: tuple[str, str, str] = ("phash", "w", "h"),
@@ -133,8 +441,29 @@ def cluster(
     hot_share_threshold: float = 0.15,
     max_rows_per_file: int | None = None,
     curve: str = "zorder",
+    strategy: str = "staged",
 ) -> dict:
-    """Rewrite the whole table in Z-order/Hilbert order; returns metrics."""
+    """Rewrite the whole table in Z-order/Hilbert order; returns metrics.
+
+    ``strategy="staged"`` (default) is the scale path: a two-phase
+    file-level range exchange where executors read, split, and merge
+    block files directly — row data NEVER crosses the JVM boundary or
+    Spark's shuffle machinery (shuffling multi-MB image rows through the
+    JVM costs ~25x in local measurement and would spill catastrophically
+    at 100 TB). ``strategy="shuffle"`` keeps the declarative
+    repartitionByRange formulation for comparison.
+    """
+    assert strategy in ("staged", "shuffle")
+    if strategy == "staged":
+        return cluster_staged(
+            table,
+            by=by,
+            job_id=job_id,
+            num_files=num_files,
+            salt_buckets=salt_buckets,
+            hot_share_threshold=hot_share_threshold,
+            curve=curve,
+        )
     assert curve in ("zorder", "hilbert")
     job_id = job_id or f"cluster-{uuid.uuid4().hex[:8]}"
     spark = table.spark

@@ -568,7 +568,10 @@ class BtrTable:
         from pyspark.sql.types import StructType
 
         full = StructType.fromJson(json.loads(self.metadata()["spark_schema_json"]))
-        return StructType([f for f in full.fields if f.name in set(columns)])
+        by_name = {f.name: f for f in full.fields}
+        # preserve the REQUESTED order — the decode kernel emits columns in
+        # this order, and Spark trusts the declared schema positionally
+        return StructType([by_name[c] for c in columns])
 
     # ------------------------------------------------------------ maintenance
     def expire_snapshots(self, keep_last: int = 1) -> dict:

@@ -103,3 +103,13 @@ def test_expire_snapshots(spark, tmp_path):
 
 def _df(spark, t: pa.Table):
     return spark.createDataFrame(t)
+
+
+def test_scan_column_order_independent(table):
+    # regression: requesting columns out of schema order must still align
+    # the declared Spark schema with the decoded Arrow batches
+    out = table.scan(columns=["phash", "w", "h"])
+    assert out.columns == ["phash", "w", "h"]
+    pdf = out.toPandas()
+    assert len(pdf) == table.scan().count()  # fixture may have grown
+    assert pdf["w"].dtype.kind == "i" and pdf["phash"].dtype.kind == "i"
