@@ -86,7 +86,19 @@ def compact(
         }
         for i, members in enumerate(bins)
     ]
-    spec_df = spark.createDataFrame(specs).repartition(len(specs))
+    # a few bins per task: bins are ~target_file_bytes each and uniform,
+    # so packing them 2-4 deep cuts task-scheduling + python-worker
+    # turnaround overhead without meaningful skew; cap at 4x cluster
+    # parallelism so every core stays busy
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        cores = 8
+    if os.environ.get("BTRSPARK_ONE_BIN_PER_TASK"):
+        n_tasks = len(specs)
+    else:
+        n_tasks = max(1, min(len(specs), max(cores * 4, len(specs) // 4)))
+    spec_df = spark.createDataFrame(specs).repartition(n_tasks)
     schema_hex = table.schema_arrow().serialize().hex().decode()
 
     def rebuild(batch_iter):
