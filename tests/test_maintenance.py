@@ -151,3 +151,34 @@ def test_plan_bins_first_fit():
     assert sum(len(b) for b in bins) == 5
     for b in bins:
         assert sum(m["file_bytes"] for m in b) <= 100
+
+
+def test_cluster_staged_resume_after_commit_crash(spark, tmp_path_factory, monkeypatch):
+    """Kill the job at the commit step; a rerun with the same job id must
+    resume from phase markers (no task re-executes against missing state)
+    and land the same result."""
+    root = str(tmp_path_factory.mktemp("clusresume"))
+    df = spark.createDataFrame(image_caption_table(400, seed=23))
+    t = BtrTable.create(
+        spark, root, df, partition_by=["fmt"], num_files=4,
+        max_rows_per_file=100, job_id="r0",
+    )
+    before = t.scan().count()
+    real_commit = BtrTable._commit
+    calls = {"n": 0}
+
+    def crashing_commit(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated driver death at commit")
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(BtrTable, "_commit", crashing_commit)
+    with pytest.raises(RuntimeError, match="simulated"):
+        cluster(t, job_id="zres", max_rows_per_file=200)
+    # table unchanged (no snapshot landed), staged artifacts remain
+    assert t.scan().count() == before
+    res = cluster(t, job_id="zres", max_rows_per_file=200)  # resume
+    assert res["new_files"] >= 1
+    assert t.scan().count() == before
+    assert {r["sort_key"] for r in t.data_files()} == {"zorder(phash,w,h)"}
