@@ -290,6 +290,51 @@ def cluster_job(cores: int) -> dict:
     return out
 
 
+def merge_job(cores: int) -> dict:
+    """Child role: MERGE 5% updated rows + 1% inserts into the image table."""
+    spark = _spark(cores)
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.operators.merge import merge_into
+    from btrblocks_spark.sources.table import BtrTable
+
+    canon = _ensure_btr_table(spark)
+    work_root = os.path.join(CACHE, f"mergerun-{cores}-{os.getpid()}")
+    shutil.rmtree(work_root, ignore_errors=True)
+    shutil.copytree(canon, work_root)
+    _retarget_manifest(work_root)
+    table = BtrTable.load(spark, work_root)
+    cols = table.schema_arrow().names
+    src = (
+        table.scan()
+        .filter(F.pmod(F.xxhash64("image_id"), F.lit(20)) == 0)
+        .withColumn("caption", F.concat(F.col("caption"), F.lit(" [edited]")))
+        .select(*cols)
+        .cache()
+    )
+    n_src = src.count()
+    t0 = time.time()
+    res = merge_into(table, src, on="image_id", job_id=f"bench-merge-{cores}")
+    elapsed = time.time() - t0
+    touched_bytes = 0
+    # touched files were replaced; estimate from result counts x file size
+    rows = table.data_files()
+    touched_bytes = sum(
+        r["file_bytes"] for r in rows if r["job_id"] == f"bench-merge-{cores}"
+    )
+    out = {
+        "cores": cores,
+        "elapsed_sec": elapsed,
+        "source_rows": n_src,
+        "touched_files": res["touched_files"],
+        "rewritten_bytes": touched_bytes,
+        "gbps": touched_bytes / max(elapsed, 1e-9) / 1e9,
+    }
+    spark.stop()
+    shutil.rmtree(work_root, ignore_errors=True)
+    return out
+
+
 def reencode_ratio(cores: int) -> dict:
     """Compression ratio + encode throughput on the Public BI-style mix."""
     _, mix_path = _ensure_fixture_parquet()
@@ -388,6 +433,9 @@ def main() -> None:
     if role == "cluster":
         print(json.dumps(cluster_job(int(os.environ["BENCH_CORES"]))))
         return
+    if role == "merge":
+        print(json.dumps(merge_job(int(os.environ["BENCH_CORES"]))))
+        return
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     _ensure_fixture_parquet()  # synthesize once, outside the timed children
@@ -428,6 +476,7 @@ def main() -> None:
     # JVM hit a sandbox scheduler cliff (see BASELINE.md)
     ratio = _child("ratio", n_mid)
     clus = _child("cluster", n_mid)
+    mrg = _child("merge", n_mid)
     eff_mid_big = (
         compact_big["gbps"]
         / ((compact_big["cores"] / n_mid) * compact_mid["gbps"])
@@ -470,6 +519,8 @@ def main() -> None:
                 "scaling_efficiency": round(eff_low_mid, 3),
                 "scaling_pairs": [[round(l["gbps"], 4), round(h["gbps"], 4)] for l, h in pairs],
                 "cluster_gbps_4n": round(clus["gbps"], 4),
+                "merge_gbps_4n": round(mrg["gbps"], 4),
+                "merge_touched_files": mrg["touched_files"],
                 "compression_ratio_mix": round(ratio["compression_ratio"], 3),
                 "encode_gbps_mix": round(ratio["encode_gbps"], 4),
                 "image_table_rows": IMG_ROWS,
