@@ -294,18 +294,35 @@ def _merge_staged(
                                     ),
                                 )
                             )
-                            pieces.append(repl.select(tbl.schema.names))
+                            # align column order AND nullability (lit()
+                            # columns arrive non-nullable from Spark)
+                            pieces.append(
+                                repl.select(tbl.schema.names).cast(tbl.schema)
+                            )
                     merged = pa.concat_tables(pieces).combine_chunks()
                     out_rows = []
-                    if merged.num_rows:
-                        block_table, stats = encode_table(merged, seed=42)
-                        fname = f"{job_id}-rw{bin_id:05d}.parquet"
+                    # replacement rows may carry a DIFFERENT partition
+                    # value than the file they land in (an update can
+                    # change a partition column) — split per value so the
+                    # manifest stays truthful
+                    from btrblocks_spark.sources.blockfile import (
+                        split_by_partition,
+                    )
+
+                    old = file_of.get(path) or {}
+                    for k_sub, (pjson, sub) in enumerate(
+                        split_by_partition(merged, parts)
+                    ):
+                        if sub.num_rows == 0:
+                            continue
+                        block_table, stats = encode_table(sub, seed=42)
+                        fname = f"{job_id}-rw{bin_id:05d}-{k_sub}.parquet"
                         fpath = _fs.join(root, "data", fname)
                         fbytes = _write_blockfile_atomic(block_table, fpath)
                         out_rows.append(
                             {
                                 "file_path": fpath,
-                                "partition": row["partition"],
+                                "partition": pjson,
                                 "row_count": stats["row_count"],
                                 "block_count": block_table.num_rows,
                                 "file_bytes": fbytes,
@@ -313,11 +330,7 @@ def _merge_staged(
                                 "stats": _json.dumps(stats["columns"]),
                                 "job_id": job_id,
                                 "source_files": _json.dumps([path]),
-                                "sort_key": file_of.get(path, {}).get(
-                                    "sort_key", ""
-                                )
-                                if isinstance(file_of.get(path), dict)
-                                else "",
+                                "sort_key": old.get("sort_key", ""),
                             }
                         )
                     payload = _json.dumps(out_rows)

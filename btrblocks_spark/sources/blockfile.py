@@ -155,3 +155,25 @@ def decode_batches(
                 fname = batch.column("_file")[i].as_py()
                 arrays.append(pa.array([fname] * (n or 0), pa.string()))
             yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+
+
+def split_by_partition(table: pa.Table, parts: list[str]):
+    """[(partition_json, subtable)] — rows grouped by partition-column
+    values (shared by the write, cluster, and merge kernels)."""
+    import json as _json
+
+    if not parts:
+        return [("{}", table)]
+    key_str = None
+    for c in parts:
+        col = pc.cast(table.column(c), pa.string())
+        key_str = (
+            col
+            if key_str is None
+            else pc.binary_join_element_wise(key_str, col, "\x1f")
+        )
+    out = []
+    for u in pc.unique(key_str.combine_chunks()):
+        pjson = _json.dumps(dict(zip(parts, u.as_py().split("\x1f"))))
+        out.append((pjson, table.filter(pc.equal(key_str, u))))
+    return out

@@ -182,3 +182,39 @@ def test_cluster_staged_resume_after_commit_crash(spark, tmp_path_factory, monke
     assert res["new_files"] >= 1
     assert t.scan().count() == before
     assert {r["sort_key"] for r in t.data_files()} == {"zorder(phash,w,h)"}
+
+
+def test_merge_update_changing_partition_column(spark, tmp_path_factory):
+    """An update that moves a row to another partition value must leave a
+    truthful manifest: every rewritten file's partition field matches the
+    fmt values actually inside it."""
+    root = str(tmp_path_factory.mktemp("mergepart"))
+    df = spark.createDataFrame(image_caption_table(300, seed=31))
+    t = BtrTable.create(
+        spark, root, df, partition_by=["fmt"], num_files=3,
+        max_rows_per_file=100, job_id="p0",
+    )
+    cols = t.schema_arrow().names
+    src = (
+        t.scan()
+        .filter(F.pmod(F.xxhash64("image_id"), F.lit(10)) == 0)
+        .withColumn("fmt", F.lit("bmp"))  # move every updated row to bmp
+        .select(*cols)
+    )
+    n_upd = src.count()
+    assert n_upd > 0
+    res = merge_into(t, src, on="image_id", job_id="pmerge")
+    assert res["touched_files"] >= 1
+    # row count preserved, all updated rows now bmp
+    assert t.scan().count() == 300
+    assert t.scan().filter(F.col("fmt") == "bmp").count() >= n_upd
+    # manifest truthfulness: each merged file's rows match its partition
+    for r in t.data_files():
+        if r["job_id"] != "pmerge":
+            continue
+        part = json.loads(r["partition"])
+        got = (
+            t.scan(files=[r["file_path"]], columns=["fmt"])
+            .select("fmt").distinct().collect()
+        )
+        assert {x.fmt for x in got} == {part["fmt"]}, r["file_path"]
