@@ -247,7 +247,17 @@ _SAMPLE_POOL_BUDGET = 128 * 1024  # cap sampled bytes; wide binary (images)
 
 
 def pick_string(offsets: np.ndarray, pool: bytes, level: int, seed: int) -> int:
-    """Greedy sampled selection among string schemes (SchemePicker analog)."""
+    """Greedy sampled selection among string schemes (SchemePicker analog).
+
+    Unlike the numeric picker, sampled sizes are EXTRAPOLATED to the full
+    block before comparison: pool-compression sizes scale ~linearly with
+    bytes, but DICT's dictionary does not — a 640-row sample of a
+    4000-distinct/65536-row column shows a 0.74 unique ratio where the
+    block's is 0.06, so comparing raw sample encodings systematically
+    buries DICT. Distinct count is extrapolated with the Chao1 estimator
+    (d + f1^2/2f2 over sample value frequencies).
+    """
+    from btrblocks_spark.codec.bitpack import bits_needed
     from btrblocks_spark.codec.config import get_config
     from btrblocks_spark.codec.stats import sample_indices
 
@@ -255,7 +265,6 @@ def pick_string(offsets: np.ndarray, pool: bytes, level: int, seed: int) -> int:
     n = len(offsets) - 1
     if n == 0 or level <= 0:
         return UNCOMPRESSED
-    lengths = np.diff(offsets)
     total_len = int(offsets[-1])
     # cheap unique probe on a sample, capped by *bytes* not just rows
     idx = sample_indices(n, seed)
@@ -267,40 +276,54 @@ def pick_string(offsets: np.ndarray, pool: bytes, level: int, seed: int) -> int:
     import pyarrow.compute as pc
 
     sample = arr.take(pa.array(idx))
-    n_uniq_sample = len(pc.unique(sample))
+    vc = pc.value_counts(sample)
+    counts = vc.field("counts").to_numpy(zero_copy_only=False)
+    d = len(counts)
     if (
         ONE_VALUE in enabled
-        and n_uniq_sample <= 1
+        and d <= 1
         and (len(idx) == n or len(pc.unique(arr)) <= 1)
     ):
         return ONE_VALUE
-    unique_ratio = n_uniq_sample / max(len(idx), 1)
-    cands = []
-    if unique_ratio < 0.5:
-        cands.append(DICT)
-    if total_len > POOL_COMPRESS_MIN_BYTES and unique_ratio >= 0.5:
-        cands.append(POOL_COMPRESS)
-        cands.append(FSST)
-    if not cands:
-        if total_len > POOL_COMPRESS_MIN_BYTES:
-            cands.append(POOL_COMPRESS)
-            cands.append(FSST)
-        else:
-            return UNCOMPRESSED
-    cands = [c for c in cands if c in enabled]
-    if not cands:
-        return UNCOMPRESSED
-    # measure on the sample
+    # Chao1 distinct extrapolation (capped by n and by the sampling ratio)
+    f1 = int((counts == 1).sum())
+    f2 = int((counts == 2).sum())
+    est_d = d + (f1 * f1) / (2.0 * max(f2, 1))
+    est_d = float(min(est_d, n))
+    est_ratio = est_d / max(n, 1)
+
     soff, spool = from_arrow(sample)
-    raw = len(spool) + len(soff) * 2  # optimistic raw baseline
-    best, best_size = UNCOMPRESSED, raw
-    for scheme in cands:
-        try:
-            size = len(encode(soff, spool, level, seed, force_scheme=scheme))
-        except Exception:
-            continue
-        if size < best_size:
-            best, best_size = scheme, size
+    sample_raw = len(spool) + len(soff) * 2
+    scale = max(total_len, 1) / max(len(spool), 1)
+    full_est: dict[int, float] = {UNCOMPRESSED: float(total_len + n * 2)}
+
+    if DICT in enabled and est_ratio < 0.5:
+        # analytic: dictionary pool + bit-packed codes
+        uniq_arr = vc.field("values")
+        uniq_bytes = (
+            pc.sum(pc.binary_length(pc.cast(uniq_arr, pa.large_binary())))
+            .as_py()
+            or 0
+        )
+        avg_uniq_len = uniq_bytes / max(d, 1)
+        code_bits = max(bits_needed(max(int(est_d) - 1, 1)), 1)
+        full_est[DICT] = (
+            est_d * (avg_uniq_len + 8) + n * code_bits / 8.0 + 64
+        )
+    if total_len > POOL_COMPRESS_MIN_BYTES:
+        if POOL_COMPRESS in enabled:
+            z = len(zlib.compress(spool, _ZLIB_LEVEL))
+            full_est[POOL_COMPRESS] = z * scale + n * 2
+        if FSST in enabled:
+            # FSST trial on a smaller slice: training+parse are costly and
+            # the ratio signal saturates quickly
+            fs_pool = spool[: 32 * 1024]
+            if len(fs_pool) >= 4096:
+                fz = len(fsst_codec.compress(fs_pool))
+                full_est[FSST] = fz * (total_len / len(fs_pool)) + n * 2
+    best = min(full_est, key=lambda s: full_est[s])
+    if full_est[best] >= total_len + n * 2:
+        return UNCOMPRESSED
     return best
 
 
