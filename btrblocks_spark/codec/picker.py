@@ -30,6 +30,16 @@ from btrblocks_spark.codec.stats import sample_indices
 def pick_numeric(
     v: np.ndarray, level: int, seed: int, exclude: tuple[int, ...] = ()
 ) -> int:
+    """Pick by EXTRAPOLATED full-block size, not raw sample size.
+
+    Linear schemes (FOR/DELTA/FREQUENCY/decimal) scale their measured
+    sample encoding by n/sample. DICT is sized analytically from a Chao1
+    distinct-count extrapolation (a raw sample encoding makes the
+    dictionary look proportionally ~100x bigger than it is), and RLE by
+    the block's EXACT run count (already computed for the usability
+    gate), since neither grows linearly with sampled rows.
+    """
+    from btrblocks_spark.codec.bitpack import bits_needed
     from btrblocks_spark.codec.config import get_config
 
     n = len(v)
@@ -45,14 +55,18 @@ def pick_numeric(
         return numeric.ONE_VALUE
 
     diffs = np.diff(rv)
-    run_breaks = int(np.count_nonzero(diffs)) + 1
-    avg_run_length = n / run_breaks
-    is_sorted = not is_float and bool(np.all(np.diff(v) >= 0))
+    full_runs = int(np.count_nonzero(diffs)) + 1
+    avg_run_length = n / full_runs
+    is_sorted = not is_float and bool(np.all(diffs >= 0))
 
-    sample = v[sample_indices(n, seed)]
+    idx = sample_indices(n, seed)
+    sample = v[idx]
     s_rv = sample.view(np.int64) if is_float else sample
     s_uniq, s_counts = np.unique(s_rv, return_counts=True)
-    unique_ratio = len(s_uniq) / len(sample)
+    f1 = int((s_counts == 1).sum())
+    f2 = int((s_counts == 2).sum())
+    est_d = min(float(len(s_uniq) + (f1 * f1) / (2.0 * max(f2, 1))), n)
+    est_ratio = est_d / n
     top_ratio = s_counts.max() / len(sample)
 
     cands: list[int] = []
@@ -60,16 +74,14 @@ def pick_numeric(
         cands.append(numeric.FOR_BP)
     if avg_run_length > 2.0:
         cands.append(numeric.RLE)
-    if unique_ratio < 0.5:
+    if est_ratio < 0.5:
         cands.append(numeric.DICT)
         if top_ratio >= 0.9:
             cands.append(numeric.FREQUENCY)
     if is_sorted and avg_run_length <= 2.0:
-        # on sorted-with-long-runs data RLE dominates (its run count does
-        # not grow with block size, so a sampled size comparison would
-        # misrank it); RLE's values stream cascades through DELTA anyway
+        # on sorted-with-long-runs data RLE dominates (see RLE sizing)
         cands.append(numeric.DELTA_BP)
-    if is_float and unique_ratio >= 0.1:
+    if is_float and est_ratio >= 0.1:
         cands.append(numeric.PSEUDODECIMAL)
         cands.append(numeric.DOUBLE_BP)
     cands = [c for c in cands if c not in exclude and c in enabled]
@@ -78,30 +90,43 @@ def pick_numeric(
     if cands == [numeric.FOR_BP]:
         return numeric.FOR_BP
 
-    raw_size = sample.nbytes
-    best, best_size = numeric.UNCOMPRESSED, raw_size + 5
+    full_est: dict[int, float] = {numeric.UNCOMPRESSED: float(n * 8)}
     for scheme in cands:
+        if scheme == numeric.DICT:
+            # code width sits between the sample's distinct count (lower
+            # bound) and the Chao extrapolation (upper); averaging avoids
+            # mis-ranking right at a packing-width cliff (e.g. 255 vs 338)
+            code_bits = (
+                max(bits_needed(max(len(s_uniq) - 1, 1)), 1)
+                + max(bits_needed(max(int(est_d) - 1, 1)), 1)
+            ) / 2.0
+            full_est[scheme] = est_d * 8 + n * code_bits / 8.0 + 32
+            continue
         probe = sample
+        scale = n / len(sample)
         if scheme == numeric.DELTA_BP:
-            # the stratified sample's cross-run jumps would inflate the
-            # delta width; measure on a sequence rebuilt from WITHIN-run
-            # deltas only (run boundaries are a vanishing fraction of a
-            # real block)
+            # rebuild from WITHIN-run deltas (cross-stratum jumps would
+            # inflate the delta width)
             if not _sorted(sample):
                 continue
-            idx = sample_indices(n, seed)
             within = np.diff(idx) == 1
             deltas = np.diff(sample)[within]
             if len(deltas) == 0:
                 continue
             probe = np.concatenate([sample[:1], sample[0] + np.cumsum(deltas)])
+            scale = n / len(probe)
         try:
             size = len(numeric.encode(probe, level, seed, force_scheme=scheme))
         except Exception:
             continue
-        if size < best_size:
-            best, best_size = scheme, size
-    if best_size >= raw_size + 5:
+        if scheme == numeric.RLE:
+            sample_runs = int(np.count_nonzero(np.diff(
+                probe.view(np.int64) if is_float else probe
+            ))) + 1
+            scale = full_runs / max(sample_runs, 1)
+        full_est[scheme] = size * scale
+    best = min(full_est, key=lambda s: full_est[s])
+    if full_est[best] >= n * 8:
         return numeric.UNCOMPRESSED
     return best
 
