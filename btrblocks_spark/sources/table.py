@@ -605,6 +605,60 @@ class BtrTable:
             "removed_manifests": removed_manifests,
         }
 
+    def rollback(self, snapshot_id: int) -> dict:
+        """Roll the table back to an earlier snapshot (Iceberg rollback):
+        a NEW snapshot is committed whose manifest is the old one's —
+        history is preserved, nothing is deleted."""
+        self._snapshot(snapshot_id)  # raises if unknown
+        rows = self._manifest_rows(snapshot_id)
+        current_rows = self.data_files()
+        sid = self._commit(
+            rows,
+            operation="rollback",
+            replaced={r["file_path"] for r in current_rows},
+            extra_summary={"rolled_back_to": snapshot_id},
+        )
+        return {"snapshot_id": sid, "rolled_back_to": snapshot_id,
+                "files": len(rows)}
+
+    def remove_orphan_files(self, dry_run: bool = False) -> dict:
+        """Delete data/staging files not referenced by ANY retained
+        snapshot (Iceberg remove_orphan_files): crashed-job leftovers,
+        superseded staging output. Never touches referenced files."""
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            for r in self._manifest_rows(s["snapshot_id"]):
+                referenced.add(fs.join(
+                    self.root, "data", r["file_path"].rsplit("/", 1)[-1]
+                ))
+        removed = []
+        data_dir = fs.join(self.root, "data")
+        for name in fs.list_files(data_dir):
+            p = fs.join(data_dir, name)
+            if p not in referenced:
+                removed.append(p)
+                if not dry_run:
+                    fs.delete_file(p)
+        # transient staging output (crashed jobs) — recurse the tree
+        staging_root = fs.join(self.root, "_staging")
+        f_, p_ = fs.resolve(staging_root)
+        from pyarrow import fs as pafs
+
+        try:
+            infos = f_.get_file_info(pafs.FileSelector(p_, recursive=True))
+        except (FileNotFoundError, OSError):
+            infos = []
+        for i in infos:
+            if i.type == pafs.FileType.File:
+                q = self.root.rstrip("/") + "/_staging" + i.path.split(
+                    "/_staging", 1
+                )[-1]
+                removed.append(q)
+                if not dry_run:
+                    fs.delete_file(q)
+        return {"removed": len(removed), "dry_run": dry_run,
+                "paths": removed[:20]}
+
     def rewrite_manifests(self) -> dict:
         """Rewrite the current manifest: sort rows by (partition, first
         sort-key column min) so scan planning reads a clustered manifest,

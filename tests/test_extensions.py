@@ -100,3 +100,37 @@ def test_stream_into_table(spark, tmp_path):
     assert t.scan().count() == events.count()
     ops = [s["operation"] for s in t.snapshots()]
     assert "stream-append" in ops
+
+
+def test_rollback_and_orphans(spark, tmp_path):
+    from btrblocks_spark.fixtures import image_caption_table
+    from btrblocks_spark.operators.compact import compact
+    from btrblocks_spark.sources import fs
+    from btrblocks_spark.sources.table import BtrTable
+
+    root = str(tmp_path / "rb")
+    df = spark.createDataFrame(image_caption_table(200, seed=13))
+    t = BtrTable.create(spark, root, df, num_files=3,
+                        max_rows_per_file=60, job_id="rb0")
+    sid_before = t.current_snapshot_id()
+    compact(t, target_file_bytes=64 * 1024 * 1024, job_id="rbc")
+    assert t.current_snapshot_id() != sid_before
+
+    # rollback: pre-compaction file layout restored, history preserved
+    res = t.rollback(sid_before)
+    assert res["rolled_back_to"] == sid_before
+    assert t.scan().count() == 200
+    assert df.exceptAll(t.scan()).count() == 0
+    assert len(t.snapshots()) >= 3  # rollback added one
+
+    # drop snapshots that reference the compacted files, then the
+    # compacted files are orphans (expire already deletes unreferenced
+    # data, so plant an extra fake orphan too)
+    orphan = fs.join(root, "data", "zzz-orphan.parquet")
+    fs.write_bytes_atomic(orphan, b"junk")
+    dry = t.remove_orphan_files(dry_run=True)
+    assert any(p.endswith("zzz-orphan.parquet") for p in dry["paths"])
+    assert fs.exists(orphan)
+    res = t.remove_orphan_files()
+    assert not fs.exists(orphan)
+    assert t.scan().count() == 200  # referenced data untouched
