@@ -131,10 +131,26 @@ def decode_batches(
         # zero-copy blob views: slice each binary column's data buffer
         # directly instead of copying every blob out via .as_py()
         views = {}
+        present = set(batch.schema.names)
+        tuple_counts = (
+            batch.column("tuple_count").to_numpy(zero_copy_only=False)
+            if "tuple_count" in present
+            else None
+        )
         for f in fields:
+            if f"b_{f.name}" not in present:
+                # schema evolution: files written before add_column lack
+                # the blob column — rows decode as nulls
+                views[f.name] = None
+                continue
             col = batch.column(f"b_{f.name}")
-            if not pa.types.is_large_binary(col.type):
+            if pa.types.is_large_binary(col.type):
+                pass
+            elif col.null_count == 0:
                 col = col.cast(pa.large_binary())
+            else:
+                views[f.name] = ("nullable", col)
+                continue
             bufs = col.buffers()
             offs = np.frombuffer(
                 bufs[1], np.int64, len(col) + 1, col.offset * 8
@@ -142,15 +158,37 @@ def decode_batches(
             views[f.name] = (memoryview(bufs[2]) if bufs[2] else None, offs)
         for i in range(batch.num_rows):
             arrays = []
-            n = None
+            n = (
+                int(tuple_counts[i]) if tuple_counts is not None else None
+            )
+            deferred = []
             for f in fields:
-                data, offs = views[f.name]
-                blob = data[offs[i] : offs[i + 1]]
+                view = views[f.name]
+                blob = None
+                if view is None:
+                    pass
+                elif view[0] == "nullable":
+                    cell = view[1][i]
+                    blob = cell.as_py() if cell.is_valid else None
+                else:
+                    data, offs = view
+                    blob = data[offs[i] : offs[i + 1]]
+                if blob is None:
+                    deferred.append((len(arrays), f.type))
+                    arrays.append(None)
+                    continue
                 arr = decode_block(blob)
                 if not arr.type.equals(f.type):
                     arr = arr.cast(f.type)
                 arrays.append(arr)
                 n = len(arr)
+            for pos, typ in deferred:
+                if n is None:
+                    raise ValueError(
+                        "cannot size a null column block: select at least "
+                        "one materialized column or tuple_count"
+                    )
+                arrays[pos] = pa.nulls(n, typ)
             if with_file:
                 fname = batch.column("_file")[i].as_py()
                 arrays.append(pa.array([fname] * (n or 0), pa.string()))

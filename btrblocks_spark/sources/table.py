@@ -526,7 +526,7 @@ class BtrTable:
             spec_df = self.spark.createDataFrame(
                 [(p,) for p in paths], "file_path string"
             ).repartition(len(paths))
-            bcols = [f"b_{c}" for c in want]
+            bcols = ["tuple_count"] + [f"b_{c}" for c in want]
 
             def read_native(batch_iter):
                 from btrblocks_spark.sources import fs as _fs
@@ -537,7 +537,9 @@ class BtrTable:
                 )
                 for batch in batch_iter:
                     for path in batch.column("file_path").to_pylist():
-                        bt = _fs.read_parquet(path, columns=bcols)
+                        bt = _fs.read_parquet(path)
+                        have = [c for c in bcols if c in bt.schema.names]
+                        bt = bt.select(have)
                         if with_file:
                             bt = bt.append_column(
                                 "_file",
@@ -549,10 +551,27 @@ class BtrTable:
 
             return spec_df.mapInArrow(read_native, out_schema)
 
-        sel = [F.col(f"b_{c}") for c in want]
+        sel = [F.col("tuple_count")] + [F.col(f"b_{c}") for c in want]
         if with_file:
             sel.append(F.input_file_name().alias("_file"))
-        block_df = self.spark.read.parquet(*paths).select(*sel)
+        from pyspark.sql.types import (
+            BinaryType,
+            IntegerType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        block_schema = StructType(
+            [
+                StructField("block_id", LongType()),
+                StructField("tuple_count", IntegerType()),
+            ]
+            + [StructField(f"b_{c}", BinaryType()) for c in want]
+        )
+        block_df = (
+            self.spark.read.schema(block_schema).parquet(*paths).select(*sel)
+        )
 
         def decode(batch_iter):
             from btrblocks_spark.sources.blockfile import decode_batches
@@ -604,6 +623,47 @@ class BtrTable:
             "removed_data_files": removed_data,
             "removed_manifests": removed_manifests,
         }
+
+    def add_column(self, name: str, spark_ddl_type: str) -> dict:
+        """Schema evolution: append a nullable column (Iceberg add-column).
+        Existing files stay untouched; their rows scan as NULL for the new
+        column (the decode kernel fills from each block's tuple_count)."""
+        import json as _json
+
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        lock = fs.join(self.root, "_commit.lock")
+        if not fs.create_exclusive(lock):
+            raise CommitConflict(f"another commit holds {lock}")
+        try:
+            meta = self.metadata()
+            spark_schema = StructType.fromJson(
+                _json.loads(meta["spark_schema_json"])
+            )
+            if name in spark_schema.names:
+                raise ValueError(f"column {name} already exists")
+            dt = _parse_datatype_string(spark_ddl_type)
+            spark_schema = spark_schema.add(name, dt, nullable=True)
+            new_df = self.spark.createDataFrame([], schema=spark_schema)
+            arrow_schema = new_df.limit(0).toArrow().schema
+            meta["spark_schema_json"] = spark_schema.json()
+            meta["arrow_schema_hex"] = arrow_schema.serialize().hex().decode()
+            current = meta["current_snapshot_id"]
+            meta["snapshots"].append(
+                {
+                    "snapshot_id": current + 1,
+                    "parent": current,
+                    "ts": time.time(),
+                    "operation": "add-column",
+                    "manifest": self._snapshot(current)["manifest"],
+                    "summary": {"column": name, "type": spark_ddl_type},
+                }
+            )
+            meta["current_snapshot_id"] = current + 1
+            _atomic_write_json(self._meta_path, meta)
+            return {"column": name, "type": spark_ddl_type}
+        finally:
+            fs.delete_file(lock)
 
     def rollback(self, snapshot_id: int) -> dict:
         """Roll the table back to an earlier snapshot (Iceberg rollback):
