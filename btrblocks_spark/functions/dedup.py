@@ -392,3 +392,24 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cand.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the multimodal twin of :func:`simhash_near_pairs` (same 16-bit block
+    pigeonhole over the 64-bit key; hot phash bands are exactly the skew
+    the north rule's salted clustering handles)."""
+    sim = df.select(
+        F.col(id_col).alias("doc_id"), F.col(phash_col).alias("simhash")
+    )
+    pairs = simhash_near_pairs(sim, max_hamming=max_hamming)
+    return pairs.select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        "hamming",
+    )

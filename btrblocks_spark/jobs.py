@@ -100,6 +100,19 @@ def main(argv: list[str] | None = None) -> int:
         help="read block files via pyarrow.fs in executors (object stores)",
     )
 
+    rb = sub.add_parser("rollback", help="roll back to an earlier snapshot")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--snapshot", type=int, required=True)
+
+    vc = sub.add_parser("vacuum", help="remove orphan data/staging files")
+    vc.add_argument("--table", required=True)
+    vc.add_argument("--dry-run", action="store_true")
+
+    ac = sub.add_parser("add-column", help="schema evolution: add a column")
+    ac.add_argument("--table", required=True)
+    ac.add_argument("--name", required=True)
+    ac.add_argument("--type", required=True, help="Spark DDL type, e.g. double")
+
     mt = sub.add_parser(
         "meta", help="dump per-block scheme trees (btrmeta analog)"
     )
@@ -196,6 +209,15 @@ def main(argv: list[str] | None = None) -> int:
         out = verify_snapshots_equal(t, args.before)
         if args.images:
             out["images"] = verify_images(t)
+    elif args.cmd == "rollback":
+        t = BtrTable.load(spark, args.table)
+        out = t.rollback(args.snapshot)
+    elif args.cmd == "vacuum":
+        t = BtrTable.load(spark, args.table)
+        out = t.remove_orphan_files(dry_run=args.dry_run)
+    elif args.cmd == "add-column":
+        t = BtrTable.load(spark, args.table)
+        out = t.add_column(args.name, args.type)
     elif args.cmd == "export":
         t = BtrTable.load(spark, args.table)
         cols = [c for c in args.columns.split(",") if c] or None

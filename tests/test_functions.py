@@ -131,3 +131,17 @@ def test_image_decode_stats_kernel(spark):
     rows = out.collect()
     assert len(rows) == 50
     assert all(0 <= r.pixel_mean <= 255 for r in rows)
+
+
+def test_phash_near_pairs(spark):
+    from btrblocks_spark.fixtures import image_caption_table
+    from btrblocks_spark.functions.dedup import phash_near_pairs
+
+    df = spark.createDataFrame(
+        image_caption_table(400, seed=21).select(["image_id", "phash"])
+    )
+    pairs = phash_near_pairs(df, max_hamming=4)
+    rows = pairs.collect()
+    # the fixture's hot phash band guarantees near-duplicates exist
+    assert len(rows) > 0
+    assert all(r.hamming <= 4 and r.id_a != r.id_b for r in rows)
