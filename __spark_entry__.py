@@ -124,6 +124,30 @@ def _docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation pipeline: keep English documents
+    above a quality floor, drop exact duplicates (keep min doc_id), and
+    report the per-document stats a downstream tokenizer wants. One scan,
+    two shuffles (dedup groupBy + final sort)."""
+    from btrblocks_spark.functions.dedup import exact_dedup
+    from btrblocks_spark.functions.text import lang_id, quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality")
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    keep = exact_dedup(docs).select(
+        F.col("keep_doc_id").alias("doc_id"), "dup_count"
+    )
+    return (
+        q.join(lang, "doc_id")
+        .join(keep, "doc_id")
+        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.3))
+        .select("doc_id", "n_tokens", F.round("quality", 6).alias("quality"),
+                "dup_count")
+        .orderBy("doc_id")
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.dedup import exact_dedup
 
@@ -288,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _docs_tokens,
         "lang_id": _docs_lang,
         "doc_fingerprint": _docs_fingerprint,
+        # composite training-data curation pipeline
+        "corpus_filter": _corpus_filter,
         # dedup
         "dedup_exact": _dedup_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,
@@ -522,6 +548,46 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_doc_id,
                    count(*) AS dup_count
             FROM documents GROUP BY 1
+        """,
+        "corpus_filter": f"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                 x -> x <> '') AS tok
+              FROM documents
+            ), q AS (
+              SELECT doc_id,
+                     CAST(len(tok) AS INT) AS n_tokens,
+                     round((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       * 1.0 / greatest(length(text), 1))
+                       * least(len(tok) / 100.0, 1.0), 6) AS quality
+              FROM toks
+            ), hits AS (
+              SELECT doc_id,
+                     len(list_filter(tok, x -> x IN ({_STOP_EN}))) AS h_en,
+                     len(list_filter(tok, x -> x IN ({_STOP_DE}))) AS h_de,
+                     len(list_filter(tok, x -> x IN ({_STOP_FR}))) AS h_fr,
+                     len(list_filter(tok, x -> x IN ({_STOP_ES}))) AS h_es
+              FROM toks
+            ), lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'und'
+                          WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                          WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                          WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                          ELSE 'es' END AS pred_lang
+              FROM hits
+            ), keep AS (
+              SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+              FROM documents GROUP BY md5({_NORM})
+            )
+            SELECT q.doc_id, q.n_tokens, round(q.quality, 6) AS quality,
+                   keep.dup_count
+            FROM q
+            JOIN lang USING (doc_id)
+            JOIN keep USING (doc_id)
+            WHERE lang.pred_lang = 'en' AND q.quality >= 0.3
+            ORDER BY doc_id
         """,
         "ngram_jaccard_pairs": f"""
             WITH norm AS (

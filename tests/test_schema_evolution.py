@@ -55,3 +55,32 @@ def test_add_column_snapshot_logged(evolved):
 def test_duplicate_column_rejected(evolved):
     with pytest.raises(ValueError, match="already exists"):
         evolved.add_column("quality", "double")
+
+
+def test_backfill_derived_column(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from btrblocks_spark.operators.backfill import backfill
+    from btrblocks_spark.fixtures import image_caption_table
+    from btrblocks_spark.sources.table import BtrTable
+
+    root = str(tmp_path / "bf")
+    df = spark.createDataFrame(image_caption_table(200, seed=19))
+    t = BtrTable.create(spark, root, df, partition_by=["fmt"],
+                        num_files=2, max_rows_per_file=60, job_id="b0")
+
+    def caption_len(tbl: pa.Table) -> pa.Array:
+        return pc.utf8_length(tbl.column("caption").combine_chunks())
+
+    res = backfill(t, "caption_len", "int", caption_len, job_id="bf1")
+    assert res["rewritten_files"] >= 1
+    out = t.scan(columns=["caption", "caption_len"])
+    assert out.count() == 200
+    bad = out.filter(F.length("caption") != F.col("caption_len")).count()
+    assert bad == 0
+    # stats for the new column exist in the manifest (prunable)
+    import json as _json
+    stats = [_json.loads(r["stats"]) for r in t.data_files()]
+    assert all("caption_len" in s and s["caption_len"]["min"] is not None
+               for s in stats)
