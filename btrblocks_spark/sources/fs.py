@@ -51,18 +51,38 @@ def register_scheme(scheme: str, factory) -> None:
     _SCHEMES[scheme] = factory
 
 
+_LOCAL_FS = pafs.LocalFileSystem()
+_FS_CACHE: dict[tuple[str, str], pafs.FileSystem] = {}
+
+
 def resolve(path: str) -> tuple[pafs.FileSystem, str]:
-    """Path string -> (filesystem, path-within-filesystem)."""
+    """Path string -> (filesystem, path-within-filesystem).
+
+    Filesystem clients are cached per (scheme, authority) — object-store
+    client construction is expensive and this runs on every marker probe.
+    """
     if "://" in path:
         scheme, rest = path.split("://", 1)
         if scheme in _SCHEMES:
             return _SCHEMES[scheme](), rest
         env_map = json.loads(os.environ.get(_ENV_MAP, "{}"))
         if env_map.get(scheme) == "local":
-            return pafs.LocalFileSystem(), "/" + rest.lstrip("/")
+            return _LOCAL_FS, "/" + rest.lstrip("/")
+        if scheme == "file":
+            return _LOCAL_FS, "/" + rest.lstrip("/")
+        if scheme in ("s3", "s3a", "gs", "gcs"):
+            # object stores: in-filesystem path is bucket/key (what
+            # from_uri returns), so the client can be cached per bucket
+            authority = rest.split("/", 1)[0]
+            key = (scheme, authority)
+            f = _FS_CACHE.get(key)
+            if f is None:
+                f, _ = pafs.FileSystem.from_uri(path)
+                _FS_CACHE[key] = f
+            return f, rest
         f, p = pafs.FileSystem.from_uri(path)
         return f, p
-    return pafs.LocalFileSystem(), os.path.abspath(path)
+    return _LOCAL_FS, os.path.abspath(path)
 
 
 def is_local(path: str) -> bool:
