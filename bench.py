@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "block_stats",
     "frequency_mode",
     "dedup_exact",
+    "corpus_filter",
     "text_quality",
     "lang_id",
     "minhash_lsh_pairs",
