@@ -356,7 +356,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_returnflag,
                    count(*) AS n_runs,
-                   sum(run_len) AS n_rows,
+                   CAST(sum(run_len) AS BIGINT) AS n_rows,
                    round(avg(run_len), 6) AS avg_run_len,
                    max(run_len) AS max_run_len
             FROM run_lens GROUP BY l_returnflag ORDER BY l_returnflag
@@ -402,7 +402,7 @@ def oracle_sql() -> dict[str, str]:
                    min(delta) AS min_delta,
                    max(delta) AS max_delta,
                    round(avg(delta), 6) AS avg_delta,
-                   sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS inversions,
+                   CAST(sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END) AS BIGINT) AS inversions,
                    CAST(ceil(log2(max(delta) + 1)) AS BIGINT) AS delta_bits
             FROM d WHERE delta IS NOT NULL
         """,

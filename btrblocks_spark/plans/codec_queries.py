@@ -16,16 +16,30 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: Orderkeys per range bucket for the partitioned-window rewrites below.
+#: Correctness is bucket-width independent; width only tunes the size of
+#: the (tiny) boundary-stitch step. At 100 TB pick ~sqrt(n_rows) buckets.
+_BUCKET_WIDTH = 4096
+
+_SORT_KEYS = ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+
+
 def rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-length stats of l_returnflag in (l_orderkey, l_linenumber) order.
 
-    The declarative form of TRLE compress (RLE.hpp:20-85): lag -> change
-    flag -> prefix-sum run ids -> per-run lengths -> per-value run stats.
+    The declarative form of TRLE compress (RLE.hpp:20-85), made scale-safe:
+    instead of one global ``Window.orderBy`` (single-task at 100 TB), rows
+    are range-bucketed on the leading sort key, runs are computed per
+    bucket with a *partitioned* window, and runs touching bucket edges
+    (<= 2 per bucket) are stitched with one window over that tiny boundary
+    set. Global order = concatenation of buckets in bucket order, so the
+    stitched result is byte-identical to the global-window answer.
     """
     li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    w = Window.partitionBy("_bkt").orderBy(*_SORT_KEYS)
     runs = (
-        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_returnflag")
+        li.select(*_SORT_KEYS, "l_returnflag")
+        .withColumn("_bkt", F.floor(F.col("l_orderkey") / _BUCKET_WIDTH))
         .withColumn("_prev", F.lag("l_returnflag").over(w))
         .withColumn(
             "_new_run",
@@ -35,12 +49,46 @@ def rle_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0),
         )
-        .withColumn("run_id", F.sum("_new_run").over(w))
-        .groupBy("run_id", "l_returnflag")
+        .withColumn("_rid", F.sum("_new_run").over(w))
+        .groupBy("_bkt", "_rid", "l_returnflag")
         .agg(F.count("*").alias("run_len"))
     )
+    # Boundary runs: the first and last run of every bucket (<= 2 rows per
+    # bucket — small). Consecutive boundary rows across buckets are exactly
+    # (last of b, first of next non-empty b'), the only pairs that may merge.
+    wb = Window.partitionBy("_bkt")
+    boundary = runs.withColumn("_maxrid", F.max("_rid").over(wb)).filter(
+        (F.col("_rid") == 1) | (F.col("_rid") == F.col("_maxrid"))
+    )
+    wg = Window.orderBy("_bkt", "_rid")
+    chains = (
+        boundary.withColumn("_pv", F.lag("l_returnflag").over(wg))
+        .withColumn("_pb", F.lag("_bkt").over(wg))
+        .withColumn(
+            "_newchain",
+            F.when(
+                (F.col("_pv") == F.col("l_returnflag"))
+                & (F.col("_pb") != F.col("_bkt")),
+                0,
+            ).otherwise(1),
+        )
+        .withColumn("_chain", F.sum("_newchain").over(wg))
+        .select("_bkt", "_rid", "_chain")
+    )
+    true_runs = (
+        runs.join(F.broadcast(chains), ["_bkt", "_rid"], "left")
+        .withColumn(
+            "_key",
+            F.coalesce(
+                F.concat(F.lit("c"), F.col("_chain")),
+                F.concat(F.lit("u"), F.col("_bkt"), F.lit("_"), F.col("_rid")),
+            ),
+        )
+        .groupBy("_key", "l_returnflag")
+        .agg(F.sum("run_len").alias("run_len"))
+    )
     return (
-        runs.groupBy("l_returnflag")
+        true_runs.groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_runs"),
             F.sum("run_len").alias("n_rows"),
@@ -104,13 +152,28 @@ def frequency_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def delta_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sortedness + delta stats of o_orderkey (the PFOR_DELTA gate,
     PBP.cpp:60-65): is_sorted, max/avg delta, bits needed for deltas."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    d = (
-        o.select("o_orderkey")
-        .withColumn("_delta", F.col("o_orderkey") - F.lag("o_orderkey").over(w))
-        .filter(F.col("_delta").isNotNull())
+    o = _t(spark, sf_dir, "orders").select("o_orderkey").withColumn(
+        "_bkt", F.floor(F.col("o_orderkey") / _BUCKET_WIDTH)
     )
+    # Scale-safe: deltas within a range bucket via a *partitioned* window;
+    # cross-bucket deltas from the tiny per-bucket (first, last) summary
+    # (ordering key == value, so first = min, last = max per bucket).
+    w = Window.partitionBy("_bkt").orderBy("o_orderkey")
+    local = (
+        o.withColumn("_delta", F.col("o_orderkey") - F.lag("o_orderkey").over(w))
+        .filter(F.col("_delta").isNotNull())
+        .select("_delta")
+    )
+    bnd = o.groupBy("_bkt").agg(
+        F.min("o_orderkey").alias("_first"), F.max("o_orderkey").alias("_last")
+    )
+    wg = Window.orderBy("_bkt")
+    cross = (
+        bnd.withColumn("_prevlast", F.lag("_last").over(wg))
+        .filter(F.col("_prevlast").isNotNull())
+        .select((F.col("_first") - F.col("_prevlast")).alias("_delta"))
+    )
+    d = local.unionByName(cross)
     return d.agg(
         F.count("*").alias("n_deltas"),
         F.min("_delta").alias("min_delta"),
@@ -139,10 +202,23 @@ def one_value_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-block NumberStats (NumberStats.hpp:78-130): min/max/count/distinct
     of l_partkey per 8192-row block in (l_orderkey, l_linenumber) order."""
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-    blocks = li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey").withColumn(
-        "block_id", ((F.row_number().over(w) - 1) / F.lit(8192)).cast("long")
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(*_SORT_KEYS)
+        .withColumn("_bkt", F.floor(F.col("l_orderkey") / _BUCKET_WIDTH))
+    )
+    # Scale-safe global row numbering: per-bucket counts -> prefix-sum
+    # offsets (window over the tiny bucket summary only), then a
+    # *partitioned* row_number + offset. No full-table single-task window.
+    counts = li.groupBy("_bkt").agg(F.count("*").alias("_cnt"))
+    wg = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(wg), F.lit(0))
+    ).select("_bkt", "_off")
+    wl = Window.partitionBy("_bkt").orderBy(*_SORT_KEYS)
+    blocks = li.join(F.broadcast(offs), "_bkt").withColumn(
+        "block_id",
+        ((F.row_number().over(wl) - 1 + F.col("_off")) / F.lit(8192)).cast("long"),
     )
     return (
         blocks.groupBy("block_id")
@@ -178,13 +254,15 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style: join customer ⋈ orders ⋈ lineitem; the customer and
-    orders sides are broadcast at any realistic dim/fact ratio."""
+    """TPC-H Q3-style: join customer ⋈ orders ⋈ lineitem. Only the filtered
+    customer dim is broadcast; orders is fact-class (grows with scale), so
+    its join with lineitem is left to shuffle/AQE — at 100 TB a forced
+    broadcast of orders would OOM rather than degrade."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey")
         .agg(
