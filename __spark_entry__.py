@@ -593,10 +593,17 @@ def oracle_sql() -> dict[str, str]:
             WITH norm AS (
               SELECT doc_id, {_NORM} AS n FROM documents
               WHERE length({_NORM}) >= 5
-            ), sh AS (
+            ), sh_all AS (
               SELECT DISTINCT doc_id, substring(n, CAST(i AS INT), 5) AS shingle
               FROM (SELECT doc_id, n, unnest(range(1, length(n) - 3)) AS i
                     FROM norm) t
+            ), sh AS (
+              -- mirror the Spark hot-shingle cap (max_doc_freq=100000)
+              SELECT doc_id, shingle FROM sh_all
+              WHERE shingle IN (
+                SELECT shingle FROM sh_all
+                GROUP BY shingle HAVING count(*) <= 100000
+              )
             ), sizes AS (
               SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
             ), pairs AS (

@@ -81,10 +81,29 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", k: int = 5, threshold: float = 0.6
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.6,
+    max_doc_freq: int = 100_000,
 ) -> DataFrame:
-    """Near-dup pairs by char-k-gram Jaccard via inverted-index join."""
-    sh = shingles(df, text_col, k).cache()
+    """Near-dup pairs by char-k-gram Jaccard via inverted-index join.
+
+    Shingles with document frequency above ``max_doc_freq`` are dropped
+    before the pair join (standard LSH stop-shingle practice): one
+    stop-shingle shared by 10^8 docs would otherwise create a quadratic
+    bucket. Jaccard is computed consistently over the capped shingle
+    space (sizes use the same filtered set), so the oracle SQL mirrors
+    the cap exactly.
+    """
+    sh_all = shingles(df, text_col, k)
+    hot = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_doc_freq)
+        .select("shingle")
+    )
+    sh = sh_all.join(hot, "shingle").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     pairs = (
         sh.alias("a")
@@ -117,17 +136,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def _ordered_dense_ids(
+    df: DataFrame, col: str, id_col: str, num_ranges: int = 64
+) -> DataFrame:
+    """1-based dense ids over sorted distinct values of ``col`` — the
+    scale-safe equivalent of ``dense_rank() OVER (ORDER BY col)``.
+
+    Range-partition the distinct values (ordered, non-overlapping ranges),
+    rank *within* each partition, and add per-partition offsets computed
+    from the tiny (num_ranges-row) partition-count summary. No
+    single-partition global sort; the only global window runs over
+    ``num_ranges`` rows. Ids are identical to the global dense_rank
+    regardless of where the range boundaries land.
+    """
+    parts = (
+        df.select(col)
+        .distinct()
+        .repartitionByRange(num_ranges, F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = parts.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(wo), F.lit(0))
+    ).select("_pid", "_off")
+    wl = Window.partitionBy("_pid").orderBy(col)
+    return (
+        parts.join(F.broadcast(offs), "_pid")
+        .withColumn(
+            id_col, (F.row_number().over(wl) + F.col("_off")).cast("long")
+        )
+        .select(col, id_col)
+    )
+
+
 def shingle_dictionary(sh: DataFrame) -> DataFrame:
     """Global dense ids for shingles (sorted order → engine-agnostic).
 
-    NOTE: a global sort of the distinct-shingle set. Fine for the
-    oracle-checkable variant; the production path at 10^12 docs is
-    :func:`minhash_signatures_fast` (xxhash64, no dictionary).
+    Built with :func:`_ordered_dense_ids` — range-partitioned ranking, no
+    single-task global sort — so the oracle-checkable variant survives a
+    10^12-doc shingle universe; the pure fast path remains
+    :func:`minhash_signatures_fast` (xxhash64, no dictionary at all).
     """
-    w = Window.orderBy("shingle")
-    return sh.select("shingle").distinct().withColumn(
-        "shingle_id", F.dense_rank().over(w).cast("long")
-    )
+    return _ordered_dense_ids(sh, "shingle", "shingle_id")
 
 
 def minhash_signatures(
@@ -138,21 +189,28 @@ def minhash_signatures(
     ids = sh.join(shingle_dictionary(sh), "shingle").select(
         "doc_id", "shingle_id"
     )
-    rows = []
-    for i in range(MINHASH_K):
-        rows.append(
-            ids.select(
-                "doc_id",
+    # One explode of the K (hash_idx, a, b) params — a single scan and a
+    # single shuffle, instead of a K-way unionByName re-scan of ids.
+    params = F.array(
+        *[
+            F.struct(
                 F.lit(i).alias("hash_idx"),
-                (
-                    (F.col("shingle_id") * F.lit(MINHASH_A[i]) + F.lit(MINHASH_B[i]))
-                    % F.lit(MINHASH_PRIME)
-                ).alias("h"),
+                F.lit(MINHASH_A[i]).alias("a"),
+                F.lit(MINHASH_B[i]).alias("b"),
             )
-        )
-    allh = rows[0]
-    for r in rows[1:]:
-        allh = allh.unionByName(r)
+            for i in range(MINHASH_K)
+        ]
+    )
+    allh = ids.select(
+        "doc_id", "shingle_id", F.explode(params).alias("p")
+    ).select(
+        "doc_id",
+        F.col("p.hash_idx").alias("hash_idx"),
+        (
+            (F.col("shingle_id") * F.col("p.a") + F.col("p.b"))
+            % F.lit(MINHASH_PRIME)
+        ).alias("h"),
+    )
     return allh.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("minhash"))
 
 
@@ -255,9 +313,7 @@ def _token_ids(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
         ).alias("tok"),
     )
-    dictionary = toks.select("tok").distinct().withColumn(
-        "token_id", F.dense_rank().over(Window.orderBy("tok")).cast("long")
-    )
+    dictionary = _ordered_dense_ids(toks, "tok", "token_id")
     return toks.join(dictionary, "tok").select("doc_id", "token_id")
 
 

@@ -145,3 +145,55 @@ def test_phash_near_pairs(spark):
     # the fixture's hot phash band guarantees near-duplicates exist
     assert len(rows) > 0
     assert all(r.hamming <= 4 and r.id_a != r.id_b for r in rows)
+
+
+def test_ordered_dense_ids_matches_dense_rank(spark):
+    from pyspark.sql import Window
+
+    from btrblocks_spark.functions.dedup import _ordered_dense_ids
+
+    vals = [("w%04d" % (i * 7919 % 1000),) for i in range(500)]
+    df = spark.createDataFrame(vals, ["tok"]).repartition(8)
+    got = _ordered_dense_ids(df, "tok", "tid", num_ranges=16)
+    ref = (
+        df.select("tok")
+        .distinct()
+        .withColumn(
+            "tid", F.dense_rank().over(Window.orderBy("tok")).cast("long")
+        )
+    )
+    assert got.count() == ref.count()
+    assert (
+        got.alias("g")
+        .join(ref.alias("r"), "tok")
+        .filter(F.col("g.tid") != F.col("r.tid"))
+        .count()
+        == 0
+    )
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_buckets(spark):
+    """A stop-shingle shared by every doc must not create a quadratic
+    bucket: with max_doc_freq below the hot shingle's df, the candidate
+    join never sees it, and pairs only arise from genuinely shared rare
+    shingles."""
+    from btrblocks_spark.functions.dedup import ngram_jaccard_pairs, shingles
+
+    # 200 docs, all sharing the hot prefix "aaaaa..."; the tails are
+    # constructed so no 5-gram is shared across docs (every 5-char
+    # substring pins the zero-padded doc number)
+    rows = [
+        (i, "aaaaaaaaaa u%03dv%03dw%03d" % (i, i, i)) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = shingles(df)
+    max_df = sh.groupBy("shingle").count().agg(F.max("count")).collect()[0][0]
+    assert max_df == 200  # the planted hot shingles hit every doc
+
+    capped = ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=50)
+    uncapped = ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=10**6)
+    # uncapped: every doc pair shares the hot shingles -> quadratic pairs
+    assert uncapped.count() == 200 * 199 // 2
+    # capped: hot shingles dropped; the few remaining shared rare
+    # shingles fall below the jaccard threshold -> no pairs
+    assert capped.count() == 0
