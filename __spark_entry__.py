@@ -264,9 +264,12 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate: recall@5 of the *deterministic* banded LSH vs
+    brute force — oracle-checkable (DuckDB reproduces the integer LSH
+    bit-for-bit), so the recall numbers themselves are hash-verified."""
     from btrblocks_spark.functions.similarity import (
         knn_bruteforce,
-        knn_lsh,
+        knn_lsh_det,
         knn_recall,
     )
 
@@ -277,15 +280,33 @@ def _knn_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("query_vec"),
     )
     exact = knn_bruteforce(emb, queries_df, k=5)
-    ann = knn_lsh(emb, queries_df, dim=dim, k=5, nbits=8)
+    ann = knn_lsh_det(emb, queries_df, dim=dim, k=5, nbits=3, bands=16)
     return knn_recall(ann, exact, k=5)
 
 
 def _near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs twin (test scale only) — the oracle for
+    embedding_near_dup_lsh; threshold 0.4 is non-vacuous on the random
+    test embeddings (max off-diagonal cosine ~0.51)."""
     from btrblocks_spark.functions.similarity import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.9
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        threshold=0.4,
+        use_lsh=False,
+    )
+
+
+def _near_dup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production path: LSH-bucketed near-dup self-join (rows-only; its
+    pairs are subset-checked against the exact twin in pytest)."""
+    from btrblocks_spark.functions.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        threshold=0.4,
+        use_lsh=True,
+        nbits=6,
     )
 
 
@@ -328,8 +349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": _knn,
         "knn_lsh": _knn_lsh,  # rows-only (numpy hyperplanes)
         "knn_ivf": _knn_ivf,  # rows-only (numpy kmeans centroids)
-        "knn_recall_lsh": _knn_recall_lsh,  # rows-only (ANN quality gate)
-        "embedding_near_dup": _near_dup_embeddings,
+        "knn_recall_lsh": _knn_recall_lsh,  # oracle-checked (det LSH)
+        "embedding_near_dup": _near_dup_embeddings,  # exact oracle twin
+        "embedding_near_dup_lsh": _near_dup_embeddings_lsh,  # rows-only
     }
 
 
@@ -699,6 +721,84 @@ def oracle_sql() -> dict[str, str]:
                                               a.embedding::DOUBLE[]))
                         * sqrt(list_dot_product(b.embedding::DOUBLE[],
                                                 b.embedding::DOUBLE[]))),
-                     4) >= 0.9
+                     4) >= 0.4
+        """,
+        "knn_recall_lsh": """
+            WITH xq AS (
+              SELECT vec_id,
+                     CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                          AS BIGINT) AS xq,
+                     generate_subscripts(embedding, 1) - 1 AS d
+              FROM embeddings
+            ), params AS (
+              SELECT l, j FROM range(16) t1(l), range(3) t2(j)
+            ), dots AS (
+              SELECT x.vec_id, p.l AS band, p.j AS j,
+                     sum(x.xq * (
+                       (((48271 * ((CAST(p.l AS BIGINT)*1000 + p.j)*64
+                                   + x.d + 1) + 11) % 2147483647)
+                        * ((69621 * ((CAST(p.l AS BIGINT)*1000 + p.j)*64
+                                     + x.d + 1) + 7) % 2147483629))
+                       % 2147483647 - 1073741823)) AS dot
+              FROM xq x CROSS JOIN params p
+              GROUP BY 1, 2, 3
+            ), buckets AS (
+              SELECT vec_id, band,
+                     sum(CASE WHEN dot > 0
+                         THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS bucket
+              FROM dots GROUP BY 1, 2
+            ), cand AS (
+              SELECT DISTINCT q.vec_id AS query_id, v.vec_id
+              FROM buckets v
+              JOIN buckets q ON v.band = q.band AND v.bucket = q.bucket
+              WHERE q.vec_id < 3
+            ), scored AS (
+              SELECT c.query_id, c.vec_id,
+                     round(list_dot_product(qe.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(qe.embedding::DOUBLE[],
+                                                qe.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))),
+                       4) AS cosine
+              FROM cand c
+              JOIN embeddings e ON e.vec_id = c.vec_id
+              JOIN embeddings qe ON qe.vec_id = c.query_id
+            ), ann AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM scored) t WHERE rank <= 5
+            ), exact_scored AS (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     round(list_dot_product(q.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[])
+                       / (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                                q.embedding::DOUBLE[]))
+                          * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))),
+                       4) AS cosine
+              FROM embeddings e
+              CROSS JOIN (SELECT vec_id, embedding FROM embeddings
+                          WHERE vec_id < 3) q
+            ), exact AS (
+              SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY cosine DESC, vec_id ASC) AS rank
+                FROM exact_scored) t WHERE rank <= 5
+            ), hits AS (
+              SELECT a.query_id, count(*) AS n_hit
+              FROM ann a
+              JOIN exact x ON a.query_id = x.query_id
+                          AND a.vec_id = x.vec_id
+              GROUP BY 1
+            )
+            SELECT q.query_id,
+                   round(coalesce(h.n_hit, 0) / 5.0, 4) AS recall_at_k
+            FROM (SELECT DISTINCT query_id FROM exact) q
+            LEFT JOIN hits h USING (query_id)
+            ORDER BY query_id
         """,
     }

@@ -112,6 +112,117 @@ def knn_lsh(
     )
 
 
+# Deterministic (engine-agnostic) LSH constants. Hyperplane component
+# r(idx) = ((A1*idx+B1) mod P1) * ((A2*idx+B2) mod P2) mod P1 - P1//2 —
+# the product of two independent affine congruential streams mixes well
+# where a single affine (or affine-of-square) stream mod a Mersenne prime
+# degenerates (power-of-two-structured multipliers reduce to bit
+# rotations mod 2^31-1). Embedding coords are quantized to integers
+# (round(x*1e4)) so the dot-product sign is an exact integer predicate —
+# bit-identical between Spark and DuckDB regardless of summation order.
+DET_P1 = 2_147_483_647
+DET_P2 = 2_147_483_629
+DET_A1 = 48_271
+DET_A2 = 69_621
+DET_B1 = 11
+DET_B2 = 7
+DET_SCALE = 10_000
+
+
+def lsh_buckets_det(
+    vectors: DataFrame,
+    dim: int,
+    nbits: int = 3,
+    bands: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_id: str | None = None,
+) -> DataFrame:
+    """(id, band, bucket) sign-LSH buckets from deterministic integer
+    hyperplanes — the oracle-checkable twin of
+    :func:`hyperplane_signature_udf` (DuckDB reproduces it bit-for-bit).
+
+    OR-construction over ``bands`` independent ``nbits``-bit tables: a
+    candidate matches if *any* band bucket collides, which is what keeps
+    recall high while each band stays selective. All arithmetic runs in
+    whole-stage codegen (nested ``aggregate`` over ``sequence``), no UDF.
+    """
+    idx = f"(cast(l as bigint)*1000 + j)*{dim} + d + 1"
+    r = (
+        f"((({DET_A1}*({idx}) + {DET_B1}) % {DET_P1})"
+        f" * (({DET_A2}*({idx}) + {DET_B2}) % {DET_P2}))"
+        f" % {DET_P1} - {DET_P1 // 2}"
+    )
+    dot = (
+        f"aggregate(sequence(0, {dim - 1}), cast(0 as bigint),"
+        f" (a, d) -> a + element_at(_xq, d+1) * ({r}))"
+    )
+    bucket = (
+        f"aggregate(sequence(0, {nbits - 1}), cast(0 as bigint),"
+        f" (acc, j) -> acc + IF(({dot}) > 0,"
+        f" shiftleft(cast(1 as bigint), j), cast(0 as bigint)))"
+    )
+    buckets = f"transform(sequence(0, {bands - 1}), l -> {bucket})"
+    out_id = out_id or id_col
+    return (
+        vectors.withColumn(
+            "_xq",
+            F.expr(
+                f"transform({vec_col},"
+                f" x -> cast(round(cast(x as double) * {DET_SCALE}) as bigint))"
+            ),
+        )
+        .select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(F.expr(buckets)).alias("band", "bucket"),
+        )
+    )
+
+
+def knn_lsh_det(
+    vectors: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    nbits: int = 3,
+    bands: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k via the deterministic banded LSH — same join
+    shape as :func:`knn_lsh` (bucket join replaces the cross join) but
+    fully oracle-checkable, which makes :func:`knn_recall` against
+    :func:`knn_bruteforce` a DuckDB-verifiable quality gate."""
+    vb = lsh_buckets_det(
+        vectors, dim, nbits, bands, vec_col=vec_col, id_col=id_col
+    )
+    qb = lsh_buckets_det(
+        queries,
+        dim,
+        nbits,
+        bands,
+        vec_col="query_vec",
+        id_col="query_id",
+    )
+    cand = (
+        vb.join(F.broadcast(qb), on=["band", "bucket"])
+        .select("query_id", id_col)
+        .distinct()
+    )
+    joined = cand.join(vectors, id_col).join(F.broadcast(queries), "query_id")
+    scored = joined.select(
+        "query_id",
+        F.col(id_col),
+        F.round(_cosine("query_vec", vec_col), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
 def train_ivf_centroids(
     vectors: DataFrame,
     dim: int,
@@ -246,11 +357,18 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    use_lsh: bool = False,
+    use_lsh: bool = True,
     dim: int | None = None,
     nbits: int = 10,
 ) -> DataFrame:
-    """Pairs with cosine >= threshold (near-duplicate embeddings)."""
+    """Pairs with cosine >= threshold (near-duplicate embeddings).
+
+    Default path is the LSH-bucketed self-join — the all-pairs cross
+    join is quadratic in corpus size and exists only as the exact twin
+    for oracle checking at test scale (``use_lsh=False``). True near
+    duplicates (cosine near 1) collide in the sign-signature bucket with
+    high probability; recall is tuned via ``nbits``.
+    """
     a = vectors.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
     )
@@ -258,7 +376,8 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
     if use_lsh:
-        assert dim is not None
+        if dim is None:
+            dim = len(vectors.select(vec_col).first()[0])
         sig = hyperplane_signature_udf(dim, nbits)
         a = a.withColumn("_sig", sig(F.col("va")))
         b = b.withColumn("_sig", sig(F.col("vb")))

@@ -197,3 +197,39 @@ def test_ngram_jaccard_hot_shingle_cap_bounds_buckets(spark):
     # capped: hot shingles dropped; the few remaining shared rare
     # shingles fall below the jaccard threshold -> no pairs
     assert capped.count() == 0
+
+
+def test_knn_lsh_det_recall_gate(spark):
+    """The deterministic banded LSH must reach recall@5 >= 0.8 against
+    brute force — the ANN quality gate, mirrored by the DuckDB oracle of
+    the knn_recall_lsh query."""
+    from btrblocks_spark.functions.similarity import (
+        knn_bruteforce,
+        knn_lsh_det,
+        knn_recall,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_bruteforce(emb, q, k=5)
+    ann = knn_lsh_det(emb, q, dim=dim, k=5, nbits=3, bands=16)
+    recalls = [r.recall_at_k for r in knn_recall(ann, exact, k=5).collect()]
+    assert len(recalls) == 3
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_embedding_near_dup_lsh_subset_of_exact(spark):
+    """LSH near-dup pairs must be a subset of the exact all-pairs result
+    (bucketing can only drop candidates, never invent cosine)."""
+    from btrblocks_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = embedding_near_dup_pairs(emb, threshold=0.4, use_lsh=False)
+    lsh = embedding_near_dup_pairs(emb, threshold=0.4, use_lsh=True, nbits=6)
+    e = {(r.id_a, r.id_b) for r in exact.collect()}
+    l = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert len(e) > 0
+    assert l.issubset(e)
