@@ -35,10 +35,12 @@ def bits_needed(max_value: int) -> int:
     return 64
 
 
-def pack(values: np.ndarray) -> bytes:
+def pack(values: np.ndarray, width: int | None = None) -> bytes:
     """Pack non-negative integers at the smallest supported bit width.
 
-    Layout: u8 width | u32 count | payload.
+    Layout: u8 width | u32 count | payload. ``width`` forces a specific
+    supported width (PFOR packs patched residuals at the base width);
+    all values must fit it.
     """
     v = np.ascontiguousarray(values)
     n = len(v)
@@ -47,7 +49,11 @@ def pack(values: np.ndarray) -> bytes:
     maxv = int(v.max()) if n else 0
     if int(v.min()) < 0:
         raise ValueError("pack expects non-negative values (apply FOR bias first)")
-    w = bits_needed(maxv)
+    if width is not None:
+        assert width in _WIDTHS and maxv.bit_length() <= width
+        w = width
+    else:
+        w = bits_needed(maxv)
     head = struct.pack("<BI", w, n)
     if w == 0:
         return head

@@ -26,6 +26,7 @@ _ALL_INT = {
     numeric.DICT,
     numeric.RLE,
     numeric.FOR_BP,
+    numeric.PFOR,
     numeric.DELTA_BP,
     numeric.FREQUENCY,
 }

@@ -40,6 +40,7 @@ DELTA_BP = 5
 FREQUENCY = 6
 PSEUDODECIMAL = 7
 DOUBLE_BP = 8
+PFOR = 9
 
 SCHEME_NAMES = {
     UNCOMPRESSED: "UNCOMPRESSED",
@@ -51,6 +52,7 @@ SCHEME_NAMES = {
     FREQUENCY: "FREQUENCY",
     PSEUDODECIMAL: "PSEUDODECIMAL",
     DOUBLE_BP: "DOUBLE_BP",
+    PFOR: "PFOR",
 }
 
 _MAX_DECIMAL_EXPONENT = 14  # reference allows e<=22; float64 exactness caps us
@@ -78,6 +80,42 @@ def _enc_for_bp(v: np.ndarray) -> bytes:
     lo = int(v.min()) if len(v) else 0
     residuals = (v.astype(np.int64) - lo).astype(np.uint64)
     return struct.pack("<Bq", FOR_BP, lo) + bitpack.pack(residuals)
+
+
+def _enc_pfor(v: np.ndarray) -> bytes:
+    """Patched FOR (FastPFor semantics, scheme/integer/PBP.cpp:18-57,
+    extern/FastPFOR.cpp:19-25): residuals are packed at a BASE width
+    chosen to minimize total size; the few values that need more bits
+    become exceptions (bit-packed positions + raw values). One stray
+    sentinel no longer inflates the whole block's width the way plain
+    FOR_BP does."""
+    lo = int(v.min()) if len(v) else 0
+    res = (v.astype(np.int64) - lo).astype(np.uint64)
+    n = len(res)
+    sres = np.sort(res)
+    pos_bytes = (bitpack.bits_needed(max(n - 1, 0)) + 7) // 8
+    best_w, best_sz = 64, None
+    for w in bitpack._WIDTHS:
+        if w >= 64:
+            n_exc = 0
+        else:
+            n_exc = n - int(np.searchsorted(sres, 1 << w, side="left"))
+        sz = (n * w + 7) // 8 + n_exc * (8 + pos_bytes)
+        if best_sz is None or sz < best_sz:
+            best_sz, best_w = sz, w
+    if best_w >= 64:
+        exc_idx = np.empty(0, np.int64)
+    else:
+        exc_idx = np.flatnonzero(res >= np.uint64(1 << best_w))
+    exc_vals = res[exc_idx]
+    base = res.copy()
+    base[exc_idx] = 0
+    return (
+        struct.pack("<BqI", PFOR, lo, len(exc_idx))
+        + bitpack.pack(exc_idx.astype(np.uint64))
+        + exc_vals.tobytes()
+        + bitpack.pack(base, width=best_w)
+    )
 
 
 def _enc_delta_bp(v: np.ndarray) -> bytes:
@@ -243,6 +281,8 @@ def encode_pieces(
         return [_enc_rle(v, level, seed)]
     if scheme == FOR_BP:
         return [_enc_for_bp(v)]
+    if scheme == PFOR:
+        return [_enc_pfor(v)]
     if scheme == DELTA_BP:
         return [_enc_delta_bp(v)]
     if scheme == FREQUENCY:
@@ -297,6 +337,19 @@ def decode(buf: memoryview, offset: int, kind: str) -> tuple[np.ndarray, int]:
         residuals, consumed = bitpack.unpack(buf, pos)
         pos += consumed
         return (residuals.astype(np.int64) + lo), pos - offset
+    if scheme == PFOR:
+        lo, n_exc = struct.unpack_from("<qI", buf, pos)
+        pos += 12
+        exc_idx, consumed = bitpack.unpack(buf, pos)
+        pos += consumed
+        exc_vals = np.frombuffer(buf, np.uint64, n_exc, pos)
+        pos += n_exc * 8
+        base, consumed = bitpack.unpack(buf, pos)
+        pos += consumed
+        if n_exc:
+            base = base.copy()
+            base[exc_idx.astype(np.int64)] = exc_vals
+        return (base.astype(np.int64) + lo), pos - offset
     if scheme == DELTA_BP:
         n, first = struct.unpack_from("<Iq", buf, pos)
         pos += 12

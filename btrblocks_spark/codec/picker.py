@@ -27,6 +27,39 @@ from btrblocks_spark.codec import numeric
 from btrblocks_spark.codec.stats import sample_indices
 
 
+def _bit_widths(res: np.ndarray) -> np.ndarray:
+    """Per-value bit length of non-negative uint64 residuals, vectorized
+    (frexp exponent == bit_length; split in 32-bit halves so every input
+    is float64-exact)."""
+    hi = (res >> np.uint64(32)).astype(np.uint32)
+    lo = (res & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    lo_w = np.frexp(lo.astype(np.float64))[1]
+    hi_w = np.frexp(hi.astype(np.float64))[1]
+    return np.where(hi > 0, hi_w + 32, lo_w)
+
+
+def _pfor_size_est(res: np.ndarray) -> float:
+    """Exact-width PFOR size estimate on the FULL block (mirrors the
+    encoder's base-width minimization in numeric._enc_pfor). O(n)
+    vectorized — cheap enough to run per block, and unlike a sampled
+    probe it cannot miss the rare outliers PFOR exists to patch."""
+    from btrblocks_spark.codec.bitpack import _WIDTHS, bits_needed
+
+    n = len(res)
+    if n == 0:
+        return 18.0
+    hist = np.bincount(_bit_widths(res), minlength=65)
+    above = np.cumsum(hist[::-1])[::-1]  # above[w] = count(width >= w)
+    pos_bytes = (bits_needed(max(n - 1, 0)) + 7) // 8
+    best = None
+    for w in _WIDTHS:
+        n_exc = int(above[w + 1]) if w < 64 else 0
+        sz = 18 + (n * w + 7) // 8 + n_exc * (8 + pos_bytes)
+        if best is None or sz < best:
+            best = sz
+    return float(best)
+
+
 def pick_numeric(
     v: np.ndarray, level: int, seed: int, exclude: tuple[int, ...] = ()
 ) -> int:
@@ -72,6 +105,7 @@ def pick_numeric(
     cands: list[int] = []
     if not is_float:
         cands.append(numeric.FOR_BP)
+        cands.append(numeric.PFOR)
     if avg_run_length > 2.0:
         cands.append(numeric.RLE)
     if est_ratio < 0.5:
@@ -87,11 +121,25 @@ def pick_numeric(
     cands = [c for c in cands if c not in exclude and c in enabled]
     if not cands:
         return numeric.UNCOMPRESSED
-    if cands == [numeric.FOR_BP]:
-        return numeric.FOR_BP
 
     full_est: dict[int, float] = {numeric.UNCOMPRESSED: float(n * 8)}
+    # FOR_BP and PFOR are sized analytically on the FULL block (their
+    # cost is a pure function of the residual width distribution; a
+    # sampled probe systematically misses the outliers PFOR patches)
+    if numeric.FOR_BP in cands or numeric.PFOR in cands:
+        residuals = (rv.astype(np.int64) - int(rv.min())).astype(np.uint64)
+    if numeric.FOR_BP in cands:
+        w_full = bits_needed(int(residuals.max()))
+        full_est[numeric.FOR_BP] = 14.0 + (n * w_full + 7) // 8
+    if numeric.PFOR in cands:
+        full_est[numeric.PFOR] = _pfor_size_est(residuals)
+    if set(full_est) | set(cands) <= {
+        numeric.UNCOMPRESSED, numeric.FOR_BP, numeric.PFOR
+    }:
+        return min(full_est, key=lambda s: full_est[s])
     for scheme in cands:
+        if scheme in (numeric.FOR_BP, numeric.PFOR):
+            continue
         if scheme == numeric.DICT:
             # code width sits between the sample's distinct count (lower
             # bound) and the Chao extrapolation (upper); averaging avoids

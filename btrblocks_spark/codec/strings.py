@@ -161,15 +161,14 @@ def encode_pieces(
     if scheme == DICT:
         uoffsets, upool, codes = unique_strings(offsets, pool)
         codes_blob = numeric.encode(codes, level - 1, seed)
-        pool_compressed = len(upool) >= POOL_COMPRESS_MIN_BYTES
-        upool_out = zlib.compress(upool, _ZLIB_LEVEL) if pool_compressed else upool
+        upool_out, pool_mode = _compress_dict_pool(upool)
         return [
             struct.pack(
                 "<BIIBI",
                 DICT,
                 n,
                 len(uoffsets) - 1,
-                1 if pool_compressed else 0,
+                pool_mode,
                 len(upool_out),
             ),
             _enc_offsets(uoffsets, level, seed),
@@ -191,6 +190,33 @@ def encode_pieces(
             _enc_offsets(offsets, level, seed),
         ]
     raise ValueError(f"unknown string scheme {scheme}")
+
+
+_POOL_RAW, _POOL_ZLIB, _POOL_FSST = 0, 1, 2
+_POOL_PROBE_BYTES = 64 * 1024
+
+
+def _compress_dict_pool(upool) -> tuple[object, int]:
+    """Entropy-compress a DICT dictionary pool >= 16 KiB, competing FSST
+    against zlib the way the reference FSSTs its dict pool
+    (scheme/string/DynamicDictionary.cpp:54-56). Large pools decide on a
+    64 KiB probe, then run only the winner on the whole pool; if neither
+    shrinks the pool it stays raw. Returns (pool_bytes, mode)."""
+    if len(upool) < POOL_COMPRESS_MIN_BYTES:
+        return upool, _POOL_RAW
+    whole = len(upool) <= 4 * _POOL_PROBE_BYTES
+    probe = bytes(upool if whole else upool[:_POOL_PROBE_BYTES])
+    z = zlib.compress(probe, _ZLIB_LEVEL)
+    fz = fsst_codec.compress(probe)
+    if len(fz) < len(z):
+        out = fz if whole else fsst_codec.compress(bytes(upool))
+        mode = _POOL_FSST
+    else:
+        out = z if whole else zlib.compress(bytes(upool), _ZLIB_LEVEL)
+        mode = _POOL_ZLIB
+    if len(out) >= len(upool):
+        return upool, _POOL_RAW
+    return out, mode
 
 
 def decode(buf: memoryview, offset: int) -> tuple[np.ndarray, object, int]:
@@ -217,8 +243,10 @@ def decode(buf: memoryview, offset: int) -> tuple[np.ndarray, object, int]:
         uoffsets, pos = _dec_offsets(buf, pos)
         upool = buf[pos : pos + plen]
         pos += plen
-        if pool_compressed:
+        if pool_compressed == _POOL_ZLIB:
             upool = zlib.decompress(upool)
+        elif pool_compressed == _POOL_FSST:
+            upool = fsst_codec.decompress(upool)
         codes, consumed = numeric.decode(buf, pos, "i")
         pos += consumed
         # gather: vectorized via arrow take
@@ -334,4 +362,6 @@ def scheme_tree(buf: memoryview, offset: int = 0) -> dict:
         n, n_uniq, pool_compressed, _plen = struct.unpack_from("<IIBI", buf, offset + 1)
         node["unique"] = n_uniq
         node["pool_compressed"] = bool(pool_compressed)
+        node["pool_codec"] = {_POOL_RAW: "raw", _POOL_ZLIB: "zlib",
+                              _POOL_FSST: "fsst"}.get(pool_compressed)
     return node

@@ -107,6 +107,13 @@ def main(argv: list[str] | None = None) -> int:
     vc = sub.add_parser("vacuum", help="remove orphan data/staging files")
     vc.add_argument("--table", required=True)
     vc.add_argument("--dry-run", action="store_true")
+    vc.add_argument(
+        "--older-than",
+        type=float,
+        default=3 * 24 * 3600.0,
+        help="age threshold in seconds (default 3 days); younger files "
+        "are kept to protect in-flight/resumable jobs",
+    )
 
     ac = sub.add_parser("add-column", help="schema evolution: add a column")
     ac.add_argument("--table", required=True)
@@ -214,7 +221,9 @@ def main(argv: list[str] | None = None) -> int:
         out = t.rollback(args.snapshot)
     elif args.cmd == "vacuum":
         t = BtrTable.load(spark, args.table)
-        out = t.remove_orphan_files(dry_run=args.dry_run)
+        out = t.remove_orphan_files(
+            dry_run=args.dry_run, older_than_seconds=args.older_than
+        )
     elif args.cmd == "add-column":
         t = BtrTable.load(spark, args.table)
         out = t.add_column(args.name, args.type)

@@ -463,6 +463,7 @@ def cluster(
             salt_buckets=salt_buckets,
             hot_share_threshold=hot_share_threshold,
             curve=curve,
+            max_rows_per_file=max_rows_per_file,
         )
     assert curve in ("zorder", "hilbert")
     job_id = job_id or f"cluster-{uuid.uuid4().hex[:8]}"

@@ -82,12 +82,20 @@ def merge_into(
     keyscan = table.scan(columns=[on], prune=prune, with_file=True)
 
     if strategy == "staged":
-        src_tbl = source.toArrow()
-        if src_tbl.nbytes <= max_staged_source_mb * 1024 * 1024:
-            return _merge_staged(
-                table, src_tbl, on, when_matched, when_not_matched,
-                job_id, keyscan, source, prune,
-            )
+        cap = max_staged_source_mb * 1024 * 1024
+        # estimate the source size WITHOUT collecting it (count x sampled
+        # avg row bytes) — a multi-GB source must never be materialized
+        # on the driver just to decide to fall back to shuffle
+        n_src = source.count()
+        sample = source.limit(1000).toArrow()
+        avg_row = (sample.nbytes / max(1, sample.num_rows)) if n_src else 0.0
+        if n_src * avg_row <= cap:
+            src_tbl = source.toArrow()
+            if src_tbl.nbytes <= cap:  # exact check on the bounded collect
+                return _merge_staged(
+                    table, src_tbl, on, when_matched, when_not_matched,
+                    job_id, keyscan, source, prune,
+                )
         # source too large for the staged broadcast model
 
     touched = [
@@ -208,11 +216,6 @@ def _merge_staged(
     owner_json = _json.dumps(
         {str(k): v for k, v in owner_of_key.items()}
     )
-    # a real broadcast: the source travels to each executor once, NOT
-    # inside every task's pickled closure (72 MB in the closure re-parsed
-    # per task measured 199 x ~0.4 s)
-    bc = spark.sparkContext.broadcast((src_blob, owner_json))
-
     root = table.root
     ckpt = fs.join(root, "_checkpoints", job_id)
     fs.mkdirs(ckpt)
@@ -226,6 +229,10 @@ def _merge_staged(
     ]
     new_rows: list[dict] = []
     if specs:
+        # a real broadcast: the source travels to each executor once, NOT
+        # inside every task's pickled closure (72 MB in the closure
+        # re-parsed per task measured 199 x ~0.4 s)
+        bc = spark.sparkContext.broadcast((src_blob, owner_json))
         try:
             cores = spark.sparkContext.defaultParallelism
         except Exception:
@@ -337,8 +344,16 @@ def _merge_staged(
                     _fs.write_bytes_atomic(marker, payload.encode())
                     yield pa.RecordBatch.from_pydict({"rows": [payload]})
 
-        for r in spec_df.mapInArrow(rewrite, "rows string").collect():
-            new_rows.extend(_json.loads(r.rows))
+        try:
+            for r in spec_df.mapInArrow(rewrite, "rows string").collect():
+                new_rows.extend(_json.loads(r.rows))
+        finally:
+            # free the driver+executor broadcast blocks — a long-lived
+            # session running many merges must not accumulate them
+            try:
+                bc.destroy()
+            except Exception:
+                bc.unpersist()
 
     if when_not_matched == "insert":
         inserts = source.join(

@@ -202,9 +202,14 @@ def split_by_partition(table: pa.Table, parts: list[str]):
 
     if not parts:
         return [("{}", table)]
+    # NULL partition values: fill with a sentinel BEFORE joining so the
+    # composite key never goes null (a null key made u.as_py() None and
+    # crashed .split in the worker kernels); the sentinel maps back to
+    # JSON null in the manifest partition spec.
+    _NULL = "\x00__null__"
     key_str = None
     for c in parts:
-        col = pc.cast(table.column(c), pa.string())
+        col = pc.fill_null(pc.cast(table.column(c), pa.string()), _NULL)
         key_str = (
             col
             if key_str is None
@@ -212,6 +217,7 @@ def split_by_partition(table: pa.Table, parts: list[str]):
         )
     out = []
     for u in pc.unique(key_str.combine_chunks()):
-        pjson = _json.dumps(dict(zip(parts, u.as_py().split("\x1f"))))
+        vals = [None if v == _NULL else v for v in u.as_py().split("\x1f")]
+        pjson = _json.dumps(dict(zip(parts, vals)))
         out.append((pjson, table.filter(pc.equal(key_str, u))))
     return out

@@ -120,6 +120,29 @@ def list_files(path: str) -> list[str]:
     )
 
 
+def list_dirs(path: str) -> list[str]:
+    """Names of directories directly under ``path``; [] if absent."""
+    f, p = resolve(path)
+    try:
+        infos = f.get_file_info(pafs.FileSelector(p, recursive=False))
+    except (FileNotFoundError, OSError):
+        return []
+    return sorted(
+        os.path.basename(i.path)
+        for i in infos
+        if i.type == pafs.FileType.Directory
+    )
+
+
+def mtime(path: str) -> float:
+    """Modification time (epoch seconds); 0.0 when the store has none."""
+    f, p = resolve(path)
+    info = f.get_file_info(p)
+    if info.mtime is None:
+        return 0.0
+    return info.mtime.timestamp()
+
+
 def read_bytes(path: str) -> bytes:
     f, p = resolve(path)
     with f.open_input_stream(p) as stream:

@@ -681,24 +681,54 @@ class BtrTable:
         return {"snapshot_id": sid, "rolled_back_to": snapshot_id,
                 "files": len(rows)}
 
-    def remove_orphan_files(self, dry_run: bool = False) -> dict:
+    def remove_orphan_files(
+        self,
+        dry_run: bool = False,
+        older_than_seconds: float = 3 * 24 * 3600.0,
+    ) -> dict:
         """Delete data/staging files not referenced by ANY retained
         snapshot (Iceberg remove_orphan_files): crashed-job leftovers,
-        superseded staging output. Never touches referenced files."""
+        superseded staging output. Never touches referenced files.
+
+        Two extra guards protect in-flight / resumable jobs (the
+        checkpoint-resume protocol intentionally leaves
+        committed-later data files plus ``_checkpoints`` markers on
+        disk, and vacuuming between a crash and a resume would commit a
+        manifest referencing deleted files):
+
+        - files younger than ``older_than_seconds`` (Iceberg's 3-day
+          default) are kept, and
+        - files belonging to a job_id with live ``_checkpoints/<job>/``
+          markers are kept regardless of age (data files are named
+          ``<job_id>-...``; staging lives under ``_staging/<job_id>/``).
+        """
         referenced: set[str] = set()
         for s in self.snapshots():
             for r in self._manifest_rows(s["snapshot_id"]):
                 referenced.add(fs.join(
                     self.root, "data", r["file_path"].rsplit("/", 1)[-1]
                 ))
-        removed = []
+        live_jobs = set(fs.list_dirs(fs.join(self.root, "_checkpoints")))
+        cutoff = time.time() - older_than_seconds
+
+        def _protected(name: str, path: str) -> bool:
+            if any(name.startswith(j + "-") or name.startswith(j + "/")
+                   for j in live_jobs):
+                return True
+            return fs.mtime(path) > cutoff
+
+        removed, kept = [], 0
         data_dir = fs.join(self.root, "data")
         for name in fs.list_files(data_dir):
             p = fs.join(data_dir, name)
-            if p not in referenced:
-                removed.append(p)
-                if not dry_run:
-                    fs.delete_file(p)
+            if p in referenced:
+                continue
+            if _protected(name, p):
+                kept += 1
+                continue
+            removed.append(p)
+            if not dry_run:
+                fs.delete_file(p)
         # transient staging output (crashed jobs) — recurse the tree
         staging_root = fs.join(self.root, "_staging")
         f_, p_ = fs.resolve(staging_root)
@@ -710,13 +740,15 @@ class BtrTable:
             infos = []
         for i in infos:
             if i.type == pafs.FileType.File:
-                q = self.root.rstrip("/") + "/_staging" + i.path.split(
-                    "/_staging", 1
-                )[-1]
+                rel = i.path.split("/_staging", 1)[-1].lstrip("/")
+                q = self.root.rstrip("/") + "/_staging/" + rel
+                if rel.split("/", 1)[0] in live_jobs or fs.mtime(q) > cutoff:
+                    kept += 1
+                    continue
                 removed.append(q)
                 if not dry_run:
                     fs.delete_file(q)
-        return {"removed": len(removed), "dry_run": dry_run,
+        return {"removed": len(removed), "kept": kept, "dry_run": dry_run,
                 "paths": removed[:20]}
 
     def rewrite_manifests(self) -> dict:

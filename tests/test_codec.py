@@ -269,3 +269,108 @@ def test_empty_arrays():
     for arr in (pa.array([], pa.int64()), pa.array([], pa.large_string())):
         out = block.decode_block(block.encode_block(arr))
         assert len(out) == 0
+
+
+def test_split_by_partition_null_keys():
+    import json
+
+    import pyarrow as pa
+
+    from btrblocks_spark.sources.blockfile import split_by_partition
+
+    t = pa.table(
+        {
+            "fmt": ["png", None, "png", None],
+            "v": [1, 2, 3, 4],
+        }
+    )
+    groups = split_by_partition(t, ["fmt"])
+    by_key = {json.loads(p)["fmt"]: sub for p, sub in groups}
+    assert set(by_key) == {"png", None}
+    assert by_key[None].column("v").to_pylist() == [2, 4]
+    assert by_key["png"].column("v").to_pylist() == [1, 3]
+
+
+def test_pfor_patched_roundtrip_and_picker():
+    """Patched PFOR (PBP.cpp:18-57 semantics): outlier-salted ints pack
+    at the narrow base width with exceptions patched; the picker must
+    choose PFOR there and it must beat plain FOR_BP by a wide margin."""
+    import numpy as np
+
+    from btrblocks_spark.codec import numeric
+    from btrblocks_spark.codec.picker import pick_numeric
+
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 200, 65536).astype(np.int64)
+    v[rng.choice(65536, 30, replace=False)] = 2**40  # stray sentinels
+
+    blob = numeric.encode(v, 3, 42, force_scheme=numeric.PFOR)
+    out, consumed = numeric.decode(memoryview(blob), 0, "i")
+    assert np.array_equal(out, v) and consumed == len(blob)
+
+    for_blob = numeric.encode(v, 3, 42, force_scheme=numeric.FOR_BP)
+    assert len(for_blob) > 4 * len(blob)
+    assert pick_numeric(v, 3, 42) == numeric.PFOR
+
+    # no-outlier column: FOR_BP (fewer headers) still wins
+    v2 = rng.integers(0, 1000, 65536).astype(np.int64)
+    assert pick_numeric(v2, 3, 42) == numeric.FOR_BP
+
+    # negative + extreme ranges round-trip
+    v3 = rng.integers(-(2**62), 2**62, 4096).astype(np.int64)
+    b3 = numeric.encode(v3, 3, 42, force_scheme=numeric.PFOR)
+    o3, c3 = numeric.decode(memoryview(b3), 0, "i")
+    assert np.array_equal(o3, v3) and c3 == len(b3)
+
+
+def test_dict_pool_fsst_wins_on_caption_text():
+    """The DICT dictionary pool competes FSST vs zlib (the reference
+    FSSTs dict pools >= 16 KiB, DynamicDictionary.cpp:54-56). On
+    natural-language-like caption pools (diverse short-range structure,
+    little long-range repetition) FSST must win and round-trip."""
+    import random
+
+    import pyarrow as pa
+
+    from btrblocks_spark.codec import strings
+
+    random.seed(1)
+    syll = ["ka", "ro", "mi", "ta", "lu", "en", "so", "vi", "ne", "da",
+            "pol", "gra", "shi", "tem"]
+
+    def word():
+        return "".join(random.choices(syll, k=random.randint(2, 4)))
+
+    caps = [" ".join(word() for _ in range(10)).encode() for _ in range(4000)]
+    vals = [random.choice(caps) for _ in range(40000)]
+    arr = pa.array(vals, pa.large_binary())
+    off, pool = strings.from_arrow(arr)
+    blob = strings.encode(off, pool, 3, 42, force_scheme=strings.DICT)
+    tree = strings.scheme_tree(memoryview(blob))
+    assert tree["pool_codec"] == "fsst", tree
+    o2, p2, _ = strings.decode(memoryview(blob), 0)
+    assert strings.to_arrow(o2, p2).equals(arr)
+    assert len(blob) < int(pool.nbytes) if hasattr(pool, "nbytes") else True
+
+
+def test_dict_pool_zlib_wins_on_repetitive_text():
+    """Highly repetitive pools (tiny vocabulary) stay with zlib — the
+    probe competition must not regress them."""
+    import random
+
+    import pyarrow as pa
+
+    from btrblocks_spark.codec import strings
+
+    random.seed(3)
+    words = "the quick brown fox jumps over a lazy dog".split()
+    caps = [" ".join(random.choices(words, k=12)).encode()
+            for _ in range(3000)]
+    vals = [random.choice(caps) for _ in range(30000)]
+    arr = pa.array(vals, pa.large_binary())
+    off, pool = strings.from_arrow(arr)
+    blob = strings.encode(off, pool, 3, 42, force_scheme=strings.DICT)
+    tree = strings.scheme_tree(memoryview(blob))
+    assert tree["pool_codec"] == "zlib", tree
+    o2, p2, _ = strings.decode(memoryview(blob), 0)
+    assert strings.to_arrow(o2, p2).equals(arr)

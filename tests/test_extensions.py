@@ -128,9 +128,22 @@ def test_rollback_and_orphans(spark, tmp_path):
     # data, so plant an extra fake orphan too)
     orphan = fs.join(root, "data", "zzz-orphan.parquet")
     fs.write_bytes_atomic(orphan, b"junk")
-    dry = t.remove_orphan_files(dry_run=True)
-    assert any(p.endswith("zzz-orphan.parquet") for p in dry["paths"])
-    assert fs.exists(orphan)
-    res = t.remove_orphan_files()
+    # default 3-day age threshold protects the freshly planted file
+    safe = t.remove_orphan_files()
+    assert fs.exists(orphan) and safe["removed"] == 0 and safe["kept"] >= 1
+    # a file owned by a job with live _checkpoints markers is protected
+    # even past the age threshold
+    fs.mkdirs(fs.join(root, "_checkpoints", "livejob"))
+    fs.write_bytes_atomic(
+        fs.join(root, "_checkpoints", "livejob", "t0.json"), b"{}"
+    )
+    live = fs.join(root, "data", "livejob-bin00000.parquet")
+    fs.write_bytes_atomic(live, b"junk")
+    res = t.remove_orphan_files(older_than_seconds=0.0)
+    assert fs.exists(live)
     assert not fs.exists(orphan)
     assert t.scan().count() == 200  # referenced data untouched
+    dry = t.remove_orphan_files(dry_run=True, older_than_seconds=0.0)
+    assert not any(p.endswith("livejob-bin00000.parquet")
+                   for p in dry["paths"])
+    fs.delete_file(live)
