@@ -49,8 +49,8 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     raise ValueError(f"unknown fmt {fmt}")
 
 
-def decode_image(data: bytes) -> np.ndarray:
-    """encoded bytes -> (h, w, 3) uint8 pixels."""
+def decode_image(data) -> np.ndarray:
+    """encoded bytes/memoryview -> (h, w, 3) uint8 pixels."""
     magic, (w, h) = data[:4], struct.unpack("<II", data[4:12])
     body = data[12:]
     if magic == MAGIC_BMP:
@@ -114,6 +114,24 @@ def sample_frames(pixels: np.ndarray, n: int) -> list[np.ndarray]:
 # --------------------------------------------------------- Spark kernels
 
 
+def _binary_views(arr):
+    """Zero-copy per-cell access to a binary column: (offsets, databuf).
+
+    Cell i is ``databuf[offsets[i]:offsets[i+1]]`` — a memoryview slice
+    of the Arrow buffer, no per-cell ``.as_py()`` bytes copy (the same
+    trick as blockfile.decode_batches). The per-image *decode* stays a
+    Python loop (that is the honest cost of the stub codecs), but buffer
+    access is O(1) and copy-free."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not pa.types.is_large_binary(arr.type):
+        arr = arr.cast(pa.large_binary())
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], np.int64, len(arr) + 1, arr.offset * 8)
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return offs, data
+
+
 def decode_stats_batches(batch_iter):
     """mapInArrow kernel: (image_id, bytes, fmt) -> per-image pixel stats.
 
@@ -121,12 +139,12 @@ def decode_stats_batches(batch_iter):
     """
     for batch in batch_iter:
         ids = batch.column("image_id")
-        data = batch.column("bytes")
+        offs, buf = _binary_views(batch.column("bytes"))
         n = len(batch)
         means = np.empty(n)
         stds = np.empty(n)
         for i in range(n):
-            px = decode_image(data[i].as_py())
+            px = decode_image(buf[offs[i] : offs[i + 1]])
             means[i] = px.mean()
             stds[i] = px.std()
         yield pa.RecordBatch.from_pydict(
@@ -147,13 +165,13 @@ def resize_batches(batch_iter, out_w: int = 64, out_h: int = 64):
     """
     for batch in batch_iter:
         ids = batch.column("image_id")
-        data = batch.column("bytes")
-        fmts = batch.column("fmt")
+        offs, buf = _binary_views(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
         out = []
         for i in range(len(batch)):
-            px = decode_image(data[i].as_py())
+            px = decode_image(buf[offs[i] : offs[i + 1]])
             out.append(
-                encode_image(resize_nearest(px, out_w, out_h), fmts[i].as_py())
+                encode_image(resize_nearest(px, out_w, out_h), fmts[i])
             )
         yield pa.RecordBatch.from_pydict(
             {
@@ -173,14 +191,14 @@ def reencode_check_batches(batch_iter, min_psnr: float = 40.0):
     """
     for batch in batch_iter:
         ids = batch.column("image_id")
-        data = batch.column("bytes")
-        fmts = batch.column("fmt")
+        offs, buf = _binary_views(batch.column("bytes"))
+        fmts = batch.column("fmt").to_pylist()
         n = len(batch)
         ok = np.zeros(n, bool)
         psnrs = np.empty(n)
         for i in range(n):
-            raw = data[i].as_py()
-            fmt = fmts[i].as_py()
+            raw = buf[offs[i] : offs[i + 1]]
+            fmt = fmts[i]
             px = decode_image(raw)
             re = encode_image(px, fmt)
             if fmt in LOSSLESS_FMTS:

@@ -265,17 +265,21 @@ def cluster_staged(
                                 key_str, col, "\x1f"
                             )
                         )
-                    part_np = key_str.combine_chunks().to_pylist()
+                    part_np = (
+                        key_str.combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                    )
                 else:
                     part_np = None
                 out_entries = []
                 combo = bucket * salt_buckets + salt
                 if part_np is not None:
-                    uniq_parts = sorted(set(part_np))
-                    part_idx = np.array(
-                        [uniq_parts.index(p) for p in part_np], np.int64
-                    )
-                    combo = combo * len(uniq_parts) + part_idx
+                    # vectorized dictionary build: np.unique returns the
+                    # sorted uniques AND the per-row index in one pass
+                    # (the uniq_parts.index(p) loop was O(rows*parts))
+                    uniq_np, part_idx = np.unique(part_np, return_inverse=True)
+                    uniq_parts = uniq_np.tolist()
+                    combo = combo * len(uniq_parts) + part_idx.astype(np.int64)
                 else:
                     uniq_parts = [None]
                 for cval in np.unique(combo):
