@@ -128,7 +128,13 @@ def _binary_views(arr):
         arr = arr.cast(pa.large_binary())
     bufs = arr.buffers()
     offs = np.frombuffer(bufs[1], np.int64, len(arr) + 1, arr.offset * 8)
-    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    # cast to unsigned: pyarrow buffers expose format 'b' (signed), under
+    # which memoryview == bytes is False for any payload byte >= 0x80
+    data = (
+        memoryview(bufs[2]).cast("B")
+        if bufs[2] is not None
+        else memoryview(b"")
+    )
     return offs, data
 
 

@@ -100,6 +100,11 @@ def main(argv: list[str] | None = None) -> int:
         help="read block files via pyarrow.fs in executors (object stores)",
     )
 
+    rm = sub.add_parser(
+        "rewrite-manifests", help="compact the manifest list into one"
+    )
+    rm.add_argument("--table", required=True)
+
     rb = sub.add_parser("rollback", help="roll back to an earlier snapshot")
     rb.add_argument("--table", required=True)
     rb.add_argument("--snapshot", type=int, required=True)
@@ -219,6 +224,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "rollback":
         t = BtrTable.load(spark, args.table)
         out = t.rollback(args.snapshot)
+    elif args.cmd == "rewrite-manifests":
+        t = BtrTable.load(spark, args.table)
+        out = t.rewrite_manifests()
     elif args.cmd == "vacuum":
         t = BtrTable.load(spark, args.table)
         out = t.remove_orphan_files(

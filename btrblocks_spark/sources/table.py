@@ -3,31 +3,39 @@
 Layout under ``root/``::
 
     data/<job>-p<task>-<k>.parquet     immutable block files
-    manifests/manifest-<snapshot>.parquet
+    manifests/manifest-<sid>-{a,r<k>,m}.parquet   append-only manifest list
     metadata.json                       atomic pointer + snapshot log
     _checkpoints/<job>/<task>.json      per-task resume markers
 
 Commit protocol (driver-side, the analog of the reference's
 single-threaded ``writeMetadata`` finale,
-``/root/reference/tools/conversion/csvtobtr.cpp:190``):
+``/root/reference/tools/conversion/csvtobtr.cpp:190``), Iceberg-style
+manifest lists:
 
 1. executors write immutable data files + per-task checkpoint markers
    (temp file + ``os.replace`` → atomic; a marker holds the manifest rows
    for that task, so a killed-and-rerun job skips finished tasks);
-2. the driver collects manifest rows, writes ``manifest-<id>.parquet``;
-3. the driver rewrites ``metadata.json`` via temp + ``os.replace`` —
-   the single atomic step that makes the snapshot visible.
+2. the driver writes ONE new manifest with the added rows
+   (``manifest-<sid>-a``) and rewrites only the manifests whose path
+   range contains a replaced file (``manifest-<sid>-r<k>``); all other
+   manifests are referenced by name, unread and unrewritten — commit
+   cost is O(added + touched), not O(table files);
+3. the driver rewrites ``metadata.json`` (which carries each snapshot's
+   manifest list with per-manifest file counts and path bounds) via
+   temp + ``os.replace`` — the single atomic step that makes the
+   snapshot visible.
 
 Readers resolve ``metadata.json`` once per scan; data files are immutable,
 so a concurrent maintenance commit never disturbs a running scan
 (snapshot isolation). Single-writer is assumed (guarded by a lock file);
 a real deployment would swap step 3 for a catalog CAS.
 
-Scale notes (100 TB / 1000 executors): the manifest is itself a DataFrame
-— file pruning is a Catalyst filter over it, never a driver loop over
-file lists; block files are sized to ~16 MiB parts x N blocks so a scan
-task reads one file; stats-based pruning (min/max per column per file)
-happens before any data I/O.
+Scale notes (100 TB / 1000 executors): the manifest set is read as a
+DataFrame — stats-based file pruning (min/max per column per file) runs
+as a Catalyst filter over it before any data I/O, and only surviving
+paths return to the driver; the manifest list is bin-packed when it
+exceeds ``MANIFEST_LIST_MAX`` entries; block files are sized to ~16 MiB
+parts x N blocks so a scan task reads one file.
 """
 
 from __future__ import annotations
@@ -308,6 +316,55 @@ class BtrTable:
         return rows
 
     # ------------------------------------------------------------ commit
+    #: manifest-list compaction threshold: when a snapshot would carry
+    #: more manifest files than this, the smallest ones are merged.
+    MANIFEST_LIST_MAX = 64
+
+    def _read_manifest(self, name: str) -> list[dict]:
+        return fs.read_parquet(
+            fs.join(self.root, "manifests", name)
+        ).to_pylist()
+
+    @staticmethod
+    def _entry_from_rows(name: str, rows: list[dict]) -> dict:
+        paths = [r["file_path"] for r in rows]
+        return {
+            "name": name,
+            "file_count": len(rows),
+            "row_count_sum": int(sum(r["row_count"] for r in rows)),
+            "path_min": min(paths) if paths else "",
+            "path_max": max(paths) if paths else "",
+        }
+
+    def _write_manifest(self, name: str, rows: list[dict]) -> dict:
+        path = fs.join(self.root, "manifests", name)
+        cols = {
+            f.name: pa.array([r[f.name] for r in rows], f.type)
+            for f in MANIFEST_SCHEMA
+        }
+        _write_parquet_atomic(pa.table(cols, schema=MANIFEST_SCHEMA), path)
+        return self._entry_from_rows(name, rows)
+
+    def _manifest_list(self, snapshot_id: int) -> list[dict]:
+        """Manifest-list entries for a snapshot (Iceberg manifest list).
+
+        v2 snapshots carry ``manifests``: a list of
+        ``{name, file_count, row_count_sum, path_min, path_max}``. v1
+        snapshots (single ``manifest``) get one synthesized entry with
+        unknown bounds, which the next commit migrates in place."""
+        snap = self._snapshot(snapshot_id)
+        if snap.get("manifests") is not None:
+            return [dict(e) for e in snap["manifests"]]
+        if snap.get("manifest"):
+            return [{
+                "name": snap["manifest"],
+                "file_count": None,
+                "row_count_sum": None,
+                "path_min": None,
+                "path_max": None,
+            }]
+        return []
+
     def _commit(
         self,
         new_rows: list[dict],
@@ -315,7 +372,17 @@ class BtrTable:
         replaced: set[str] | None,
         extra_summary: dict | None = None,
     ) -> int:
-        """Atomic snapshot commit: new manifest = old - replaced + new."""
+        """Atomic snapshot commit, O(added + touched) not O(table files).
+
+        Added files go into ONE new appended manifest; manifests whose
+        [path_min, path_max] range can contain a replaced path are the
+        only ones read and rewritten (file paths embed the writing
+        job_id, so ranges are tight); every other manifest is referenced
+        as-is by name in the new snapshot's manifest list. At 10^6-10^7
+        files a compaction commit therefore never rereads or rewrites
+        the untouched bulk of the metadata."""
+        import bisect
+
         lock = fs.join(self.root, "_commit.lock")
         locked = False
         try:
@@ -324,37 +391,68 @@ class BtrTable:
             locked = True
             meta = self.metadata()
             current = meta["current_snapshot_id"]
-            old_rows = self._manifest_rows(current)
-            if replaced:
-                missing = replaced - {r["file_path"] for r in old_rows}
-                if missing:
-                    raise CommitConflict(f"files vanished from manifest: {missing}")
-                old_rows = [r for r in old_rows if r["file_path"] not in replaced]
-            all_rows = old_rows + new_rows
+            entries = self._manifest_list(current)
             snapshot_id = current + 1
-            manifest_name = f"manifest-{snapshot_id}.parquet"
-            manifest_path = fs.join(self.root, "manifests", manifest_name)
-            cols = {
-                f.name: pa.array(
-                    [r[f.name] for r in all_rows], f.type
+            replaced = set(replaced or ())
+            rsorted = sorted(replaced)
+
+            def may_contain(e: dict) -> bool:
+                if e["path_min"] is None:
+                    return True
+                i = bisect.bisect_left(rsorted, e["path_min"])
+                return i < len(rsorted) and rsorted[i] <= e["path_max"]
+
+            kept: list[dict] = []
+            found: set[str] = set()
+            k = 0
+            for e in entries:
+                if not (replaced and may_contain(e)):
+                    if e["file_count"] is None:  # v1 migration: fill meta
+                        e = self._entry_from_rows(
+                            e["name"], self._read_manifest(e["name"])
+                        )
+                    kept.append(e)
+                    continue
+                rows = self._read_manifest(e["name"])
+                hit = {r["file_path"] for r in rows} & replaced
+                if not hit:  # range false positive — keep untouched
+                    kept.append(self._entry_from_rows(e["name"], rows))
+                    continue
+                found |= hit
+                remaining = [
+                    r for r in rows if r["file_path"] not in replaced
+                ]
+                if remaining:
+                    name = f"manifest-{snapshot_id}-r{k}.parquet"
+                    k += 1
+                    kept.append(self._write_manifest(name, remaining))
+            missing = replaced - found
+            if missing:
+                raise CommitConflict(
+                    f"files vanished from manifest: {missing}"
                 )
-                for f in MANIFEST_SCHEMA
-            }
-            _write_parquet_atomic(
-                pa.table(cols, schema=MANIFEST_SCHEMA), manifest_path
-            )
+            if new_rows:
+                kept.append(
+                    self._write_manifest(
+                        f"manifest-{snapshot_id}-a.parquet", list(new_rows)
+                    )
+                )
+            kept = self._maybe_merge_manifests(kept, snapshot_id)
+            total_files = sum(e["file_count"] for e in kept)
+            total_rows = sum(e["row_count_sum"] for e in kept)
             meta["snapshots"].append(
                 {
                     "snapshot_id": snapshot_id,
                     "parent": current,
                     "ts": time.time(),
                     "operation": operation,
-                    "manifest": manifest_name,
+                    "manifest": None,
+                    "manifests": kept,
                     "summary": {
                         "added_files": len(new_rows),
-                        "removed_files": len(replaced or ()),
-                        "total_files": len(all_rows),
-                        "total_rows": sum(r["row_count"] for r in all_rows),
+                        "removed_files": len(replaced),
+                        "total_files": total_files,
+                        "total_rows": total_rows,
                         **(extra_summary or {}),
                     },
                 }
@@ -366,6 +464,26 @@ class BtrTable:
         finally:
             if locked:
                 fs.delete_file(lock)
+
+    def _maybe_merge_manifests(
+        self, entries: list[dict], snapshot_id: int
+    ) -> list[dict]:
+        """Bin-pack the manifest list when it grows past
+        MANIFEST_LIST_MAX: merge the smallest entries into one manifest
+        (Iceberg rewrite_manifests, amortized — a merge touches only the
+        small tail, never the large stable manifests)."""
+        if len(entries) <= self.MANIFEST_LIST_MAX:
+            return entries
+        by_size = sorted(entries, key=lambda e: e["file_count"])
+        n_merge = len(entries) - self.MANIFEST_LIST_MAX // 2
+        to_merge, rest = by_size[:n_merge], by_size[n_merge:]
+        rows: list[dict] = []
+        for e in to_merge:
+            rows.extend(self._read_manifest(e["name"]))
+        merged = self._write_manifest(
+            f"manifest-{snapshot_id}-m.parquet", rows
+        )
+        return rest + [merged]
 
     def _write_job_metrics(
         self,
@@ -425,11 +543,10 @@ class BtrTable:
         )
 
     def _manifest_rows(self, snapshot_id: int) -> list[dict]:
-        snap = self._snapshot(snapshot_id)
-        if snap["manifest"] is None:
-            return []
-        path = fs.join(self.root, "manifests", snap["manifest"])
-        return fs.read_parquet(path).to_pylist()
+        rows: list[dict] = []
+        for e in self._manifest_list(snapshot_id):
+            rows.extend(self._read_manifest(e["name"]))
+        return rows
 
     def _snapshot(self, snapshot_id: int) -> dict:
         for s in self.metadata()["snapshots"]:
@@ -440,17 +557,22 @@ class BtrTable:
     # ------------------------------------------------------------ read
     def manifest_df(self, snapshot_id: int | None = None) -> DataFrame:
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
-        snap = self._snapshot(sid)
-        if snap["manifest"] is None:
+        entries = self._manifest_list(sid)
+        if not entries:
             return self.spark.createDataFrame([], schema=self._manifest_spark_schema())
-        path = fs.join(self.root, "manifests", snap["manifest"])
-        if fs.is_local(path):
-            return self.spark.read.parquet(path)
+        paths = [
+            fs.join(self.root, "manifests", e["name"]) for e in entries
+        ]
+        if fs.is_local(paths[0]):
+            return self.spark.read.schema(
+                self._manifest_spark_schema()
+            ).parquet(*paths)
         # object store / registered scheme: the JVM may lack a connector for
-        # it; read the manifest (file metadata only, 1 row per data file)
+        # it; read the manifests (file metadata only, 1 row per data file)
         # through pyarrow and hand Spark the Arrow table
+        tbl = pa.concat_tables([fs.read_parquet(p) for p in paths])
         return self.spark.createDataFrame(
-            fs.read_parquet(path).to_pandas(), schema=self._manifest_spark_schema()
+            tbl.to_pandas(), schema=self._manifest_spark_schema()
         )
 
     @staticmethod
@@ -489,9 +611,13 @@ class BtrTable:
 
         ``prune`` = {col: (lo, hi)} filters *files* via manifest min/max
         stats before any data I/O (the stats live outside the data files,
-        like Iceberg manifests — Catalyst cannot see inside our blocks, so
-        this pruning is explicit). Parquet column pruning then skips the
-        ``b_<col>`` blobs of unselected columns at I/O level.
+        like Iceberg manifests — Catalyst cannot see inside our blocks).
+        The pruning predicate runs as a Catalyst filter over the manifest
+        DataFrame (``get_json_object`` on the stats column), so at 10^6+
+        files the stats evaluation is distributed; only the SURVIVING
+        file paths come back to the driver to build the scan. Parquet
+        column pruning then skips the ``b_<col>`` blobs of unselected
+        columns at I/O level.
 
         ``native_io``: executors open block files through ``pyarrow.fs``
         directly instead of Spark's JVM parquet reader — the analog of the
@@ -499,17 +625,31 @@ class BtrTable:
         decompression-speed-s3.cpp:37-110``). Auto-enabled for object-store
         roots (no Hadoop connector needed); opt-in for local paths.
         """
-        rows = self.data_files(snapshot_id)
         if files is not None:
-            rows = [r for r in rows if r["file_path"] in files]
-        if prune:
-            rows = [r for r in rows if _file_may_match(r, prune)]
+            # explicit file list (maintenance inner scans): driver-side
+            # filtering over the already-known subset
+            rows = self.data_files(snapshot_id)
+            rows = [r for r in rows if r["file_path"] in set(files)]
+            if prune:
+                rows = [r for r in rows if _file_may_match(r, prune)]
+            paths = [r["file_path"] for r in rows]
+        elif prune:
+            # Catalyst filter over the manifest DataFrame — stats never
+            # loop through the driver; only surviving paths collect back
+            mdf = self.manifest_df(snapshot_id)
+            paths = [
+                r.file_path
+                for r in mdf.filter(_prune_predicate(prune))
+                .select("file_path")
+                .collect()
+            ]
+        else:
+            paths = [r["file_path"] for r in self.data_files(snapshot_id)]
         arrow_schema = self.schema_arrow()
         want = list(columns or arrow_schema.names)
         spark_schema = self._spark_schema_for(want)
-        if not rows:
+        if not paths:
             return self.spark.createDataFrame([], schema=spark_schema)
-        paths = [r["file_path"] for r in rows]
         if native_io is None:
             native_io = not fs.is_local(paths[0])
         schema_hex = arrow_schema.serialize().hex().decode()
@@ -603,6 +743,11 @@ class BtrTable:
         for s in retained:
             for r in self._manifest_rows(s["snapshot_id"]):
                 keep_files.add(r["file_path"])
+        keep_manifests = {
+            e["name"]
+            for s in retained
+            for e in self._manifest_list(s["snapshot_id"])
+        }
         removed_data, removed_manifests = 0, 0
         for s in expired:
             for r in self._manifest_rows(s["snapshot_id"]):
@@ -611,8 +756,13 @@ class BtrTable:
                 ):
                     fs.delete_file(r["file_path"])
                     removed_data += 1
-            if s["manifest"]:
-                mp = fs.join(self.root, "manifests", s["manifest"])
+            # manifests may be SHARED across snapshots (append-only
+            # manifest lists) — delete only those no retained snapshot
+            # references
+            for e in self._manifest_list(s["snapshot_id"]):
+                if e["name"] in keep_manifests:
+                    continue
+                mp = fs.join(self.root, "manifests", e["name"])
                 if fs.exists(mp):
                     fs.delete_file(mp)
                     removed_manifests += 1
@@ -623,6 +773,51 @@ class BtrTable:
             "removed_data_files": removed_data,
             "removed_manifests": removed_manifests,
         }
+
+    def rewrite_manifests(self) -> dict:
+        """Compact the whole manifest list into one manifest (Iceberg
+        ``rewrite_manifests``) — the explicit form of the automatic
+        bin-packing commits do past MANIFEST_LIST_MAX."""
+        lock = fs.join(self.root, "_commit.lock")
+        if not fs.create_exclusive(lock):
+            raise CommitConflict(f"another commit holds {lock}")
+        try:
+            meta = self.metadata()
+            current = meta["current_snapshot_id"]
+            before = len(self._manifest_list(current))
+            rows = self._manifest_rows(current)
+            snapshot_id = current + 1
+            entries = []
+            if rows:
+                entries = [
+                    self._write_manifest(
+                        f"manifest-{snapshot_id}-m.parquet", rows
+                    )
+                ]
+            meta["snapshots"].append(
+                {
+                    "snapshot_id": snapshot_id,
+                    "parent": current,
+                    "ts": time.time(),
+                    "operation": "rewrite-manifests",
+                    "manifest": None,
+                    "manifests": entries,
+                    "summary": {
+                        "manifests_before": before,
+                        "manifests_after": len(entries),
+                        "total_files": len(rows),
+                    },
+                }
+            )
+            meta["current_snapshot_id"] = snapshot_id
+            _atomic_write_json(self._meta_path, meta)
+            return {
+                "snapshot_id": snapshot_id,
+                "manifests_before": before,
+                "manifests_after": len(entries),
+            }
+        finally:
+            fs.delete_file(lock)
 
     def add_column(self, name: str, spark_ddl_type: str) -> dict:
         """Schema evolution: append a nullable column (Iceberg add-column).
@@ -649,13 +844,15 @@ class BtrTable:
             meta["spark_schema_json"] = spark_schema.json()
             meta["arrow_schema_hex"] = arrow_schema.serialize().hex().decode()
             current = meta["current_snapshot_id"]
+            cur_snap = self._snapshot(current)
             meta["snapshots"].append(
                 {
                     "snapshot_id": current + 1,
                     "parent": current,
                     "ts": time.time(),
                     "operation": "add-column",
-                    "manifest": self._snapshot(current)["manifest"],
+                    "manifest": cur_snap.get("manifest"),
+                    "manifests": cur_snap.get("manifests"),
                     "summary": {"column": name, "type": spark_ddl_type},
                 }
             )
@@ -788,6 +985,27 @@ class BtrTable:
             "raw_bytes",
             "sort_key",
         )
+
+
+def _prune_predicate(prune: dict):
+    """Catalyst twin of :func:`_file_may_match`: a Column predicate over
+    manifest rows. Missing/uncastable stats keep the file (pruning is an
+    optimization, never a correctness filter)."""
+    pred = F.lit(True)
+    for col, (lo, hi) in prune.items():
+        smin = F.get_json_object(F.col("stats"), f"$.{col}.min")
+        smax = F.get_json_object(F.col("stats"), f"$.{col}.max")
+        numeric = isinstance(lo, (int, float)) or isinstance(hi, (int, float))
+        if numeric:
+            smin, smax = smin.cast("double"), smax.cast("double")
+        cannot_prune = smin.isNull() | smax.isNull()
+        keep = F.lit(True)
+        if lo is not None:
+            keep = keep & (smax >= F.lit(lo))
+        if hi is not None:
+            keep = keep & (smin <= F.lit(hi))
+        pred = pred & (cannot_prune | keep)
+    return pred
 
 
 def _file_may_match(row: dict, prune: dict) -> bool:

@@ -113,3 +113,136 @@ def test_scan_column_order_independent(table):
     pdf = out.toPandas()
     assert len(pdf) == table.scan().count()  # fixture may have grown
     assert pdf["w"].dtype.kind == "i" and pdf["phash"].dtype.kind == "i"
+
+
+def test_commit_is_o_added_not_o_table(spark, tmp_path):
+    """Manifest-list commits: a commit over a synthetic 100k-file
+    manifest must NOT reread or rewrite the untouched bulk — only the
+    one manifest containing replaced paths plus one appended manifest."""
+    import json
+    import time as _time
+
+    import pyarrow as pa
+
+    from btrblocks_spark.sources import fs
+    from btrblocks_spark.sources.table import MANIFEST_SCHEMA, BtrTable
+
+    root = str(tmp_path / "bigmanifest")
+    for sub in ("data", "manifests", "_checkpoints"):
+        fs.mkdirs(fs.join(root, sub))
+
+    def fake_rows(job, n, start=0):
+        return [
+            {
+                "file_path": fs.join(
+                    root, "data", f"{job}-p{i:07d}-0.parquet"
+                ),
+                "partition": "{}",
+                "row_count": 10,
+                "block_count": 1,
+                "file_bytes": 100,
+                "raw_bytes": 200,
+                "stats": json.dumps({"x": {"min": str(i), "max": str(i)}}),
+                "job_id": job,
+                "source_files": "[]",
+                "sort_key": "",
+            }
+            for i in range(start, start + n)
+        ]
+
+    # two big stable manifests (job A, job B) + metadata referencing them
+    t = BtrTable(spark, root)
+    big_a = t._write_manifest("manifest-1-a.parquet", fake_rows("jobA", 50_000))
+    big_b = t._write_manifest("manifest-2-a.parquet", fake_rows("jobB", 50_000))
+    meta = {
+        "format_version": 1,
+        "table_uuid": "t",
+        "arrow_schema_hex": pa.schema([("x", pa.int64())])
+        .serialize()
+        .hex()
+        .decode(),
+        "spark_schema_json": spark.createDataFrame(
+            [], "x long"
+        ).schema.json(),
+        "partition_by": [],
+        "current_snapshot_id": 2,
+        "snapshots": [
+            {"snapshot_id": 2, "parent": None, "ts": 0.0,
+             "operation": "append", "manifest": None,
+             "manifests": [big_a, big_b], "summary": {}},
+        ],
+    }
+    fs.write_json_atomic(fs.join(root, "metadata.json"), meta)
+
+    a_path = fs.join(root, "manifests", "manifest-1-a.parquet")
+    mtime_before = fs.mtime(a_path)
+    replaced = {r["file_path"] for r in fake_rows("jobB", 3, start=77)}
+    t0 = _time.time()
+    sid = t._commit(fake_rows("jobC", 5), "compact", replaced)
+    commit_s = _time.time() - t0
+
+    snap = t._snapshot(sid)
+    names = {e["name"] for e in snap["manifests"]}
+    # untouched jobA manifest referenced as-is, byte-identical on disk
+    assert "manifest-1-a.parquet" in names
+    assert fs.mtime(a_path) == mtime_before
+    # jobB manifest rewritten once; new rows in their own manifest
+    assert f"manifest-{sid}-r0.parquet" in names
+    assert f"manifest-{sid}-a.parquet" in names
+    assert snap["summary"]["total_files"] == 100_000 - 3 + 5
+    # O(added+touched): the touched manifest is 50k rows; well under 30 s
+    # even on a busy host (the old O(table) path rewrote all 100k rows
+    # AND collected them through the driver per commit)
+    assert commit_s < 30
+
+    # scan pruning goes through the manifest DataFrame (Catalyst filter)
+    df = t.scan(prune={"x": (100000, 100002)})
+    assert df.columns == ["x"]  # plan builds against pruned (empty) set
+
+
+def test_manifest_list_autocompaction(spark, tmp_path):
+    """Past MANIFEST_LIST_MAX entries the commit bin-packs the smallest
+    manifests so the list stays bounded."""
+    import json
+
+    import pyarrow as pa
+
+    from btrblocks_spark.sources import fs
+    from btrblocks_spark.sources.table import BtrTable
+
+    root = str(tmp_path / "autocompact")
+    for sub in ("data", "manifests", "_checkpoints"):
+        fs.mkdirs(fs.join(root, sub))
+    t = BtrTable(spark, root)
+    meta = {
+        "format_version": 1,
+        "table_uuid": "t",
+        "arrow_schema_hex": pa.schema([("x", pa.int64())])
+        .serialize().hex().decode(),
+        "spark_schema_json": spark.createDataFrame([], "x long").schema.json(),
+        "partition_by": [],
+        "current_snapshot_id": 0,
+        "snapshots": [
+            {"snapshot_id": 0, "parent": None, "ts": 0.0,
+             "operation": "create-empty", "manifest": None,
+             "manifests": [], "summary": {}},
+        ],
+    }
+    fs.write_json_atomic(fs.join(root, "metadata.json"), meta)
+
+    def row(job, i):
+        return {
+            "file_path": fs.join(root, "data", f"{job}-p{i:05d}-0.parquet"),
+            "partition": "{}", "row_count": 1, "block_count": 1,
+            "file_bytes": 10, "raw_bytes": 20,
+            "stats": json.dumps({}), "job_id": job,
+            "source_files": "[]", "sort_key": "",
+        }
+
+    for j in range(BtrTable.MANIFEST_LIST_MAX + 10):
+        t._commit([row(f"j{j:03d}", j)], "append", None)
+    entries = t._manifest_list(t.current_snapshot_id())
+    assert len(entries) <= BtrTable.MANIFEST_LIST_MAX
+    assert sum(e["file_count"] for e in entries) == BtrTable.MANIFEST_LIST_MAX + 10
+    # every row still reachable
+    assert len(t.data_files()) == BtrTable.MANIFEST_LIST_MAX + 10
