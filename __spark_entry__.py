@@ -127,21 +127,28 @@ def _docs_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data curation pipeline: keep English documents
     above a quality floor, drop exact duplicates (keep min doc_id), and
-    report the per-document stats a downstream tokenizer wants. One scan,
-    two shuffles (dedup groupBy + final sort)."""
-    from btrblocks_spark.functions.dedup import exact_dedup
-    from btrblocks_spark.functions.text import lang_id, quality_score
+    report the per-document stats a downstream tokenizer wants.
+
+    ONE scan and ONE shuffle: all per-row features (tokens, quality,
+    lang, content hash) come from a single projection
+    (text.corpus_features), and the dedup keep/count decision is a
+    window partitioned by the content hash — no per-feature rescans, no
+    joins. Scale-safe: the window key is the md5 digest (uniform)."""
+    from pyspark.sql import Window
+
+    from btrblocks_spark.functions.text import corpus_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    q = quality_score(docs).select("doc_id", "n_tokens", "quality")
-    lang = lang_id(docs).select("doc_id", "pred_lang")
-    keep = exact_dedup(docs).select(
-        F.col("keep_doc_id").alias("doc_id"), "dup_count"
-    )
+    feats = corpus_features(docs)
+    w = Window.partitionBy("content_hash")
     return (
-        q.join(lang, "doc_id")
-        .join(keep, "doc_id")
-        .filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.3))
+        feats.withColumn("dup_count", F.count("*").over(w))
+        .withColumn("_keep", F.min("doc_id").over(w))
+        .filter(
+            (F.col("doc_id") == F.col("_keep"))
+            & (F.col("pred_lang") == "en")
+            & (F.col("quality") >= 0.3)
+        )
         .select("doc_id", "n_tokens", F.round("quality", 6).alias("quality"),
                 "dup_count")
         .orderBy("doc_id")

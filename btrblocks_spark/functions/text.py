@@ -102,6 +102,44 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def corpus_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass projection of everything the corpus-curation pipeline
+    needs: token count, quality, predicted language, and the exact-dedup
+    content hash — a single scan with zero shuffles, so the composite
+    filter downstream needs only ONE shuffle (the dedup window on the
+    hash) instead of separate scans + joins per feature."""
+    n = F.length(F.col(text_col))
+    alpha = F.length(F.regexp_replace(text_col, "[^A-Za-z]", ""))
+    toks = _tokens(text_col)
+    ntok = F.size(toks)
+    quality = F.round(
+        (alpha / F.greatest(n, F.lit(1)))
+        * F.least(ntok / F.lit(100.0), F.lit(1.0)),
+        6,
+    )
+    hits = {}
+    for lang, words in STOPWORDS.items():
+        lst = ",".join(f"'{w}'" for w in words)
+        hits[lang] = F.expr(
+            f"size(filter(filter(split(lower({text_col}), '[^a-z0-9]+'),"
+            f" x -> x != ''), x -> x in ({lst})))"
+        )
+    langs = list(STOPWORDS)
+    best = F.greatest(*[hits[lang] for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        quality.alias("quality"),
+        pred.alias("pred_lang"),
+        F.md5(norm).alias("content_hash"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-content fingerprint: md5 of lowercased, space-collapsed text."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
