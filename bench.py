@@ -122,6 +122,43 @@ def _ensure_btr_table(spark) -> str:
     return canon
 
 
+def _refresh_manifest_meta(root: str) -> None:
+    """Recompute per-manifest entry metadata (file counts, path bounds)
+    in metadata.json after manifest files were rewritten — commits use
+    the bounds to pick which manifests to read."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    mpath = os.path.join(root, "metadata.json")
+    with open(mpath) as f:
+        meta = _json.load(f)
+    for s in meta["snapshots"]:
+        if not s.get("manifests"):
+            continue
+        new_entries = []
+        for e in s["manifests"]:
+            t = pq.read_table(
+                os.path.join(root, "manifests", e["name"]),
+                columns=["file_path", "row_count"],
+            )
+            paths = t.column("file_path").to_pylist()
+            new_entries.append(
+                {
+                    "name": e["name"],
+                    "file_count": len(paths),
+                    "row_count_sum": int(
+                        sum(t.column("row_count").to_pylist())
+                    ),
+                    "path_min": min(paths) if paths else "",
+                    "path_max": max(paths) if paths else "",
+                }
+            )
+        s["manifests"] = new_entries
+    with open(mpath, "w") as f:
+        _json.dump(meta, f)
+
+
 def _retarget_manifest(root: str) -> None:
     """Fix absolute file paths inside manifests after a table dir copy."""
     import pyarrow.parquet as pq
@@ -143,6 +180,7 @@ def _retarget_manifest(root: str) -> None:
         if changed:
             cols = {k: [r[k] for r in rows] for k in t.schema.names}
             pq.write_table(pa.table(cols, schema=t.schema), path)
+    _refresh_manifest_meta(root)
 
 
 def _duplicate_table(root: str, times: int) -> None:
@@ -168,6 +206,7 @@ def _duplicate_table(root: str, times: int) -> None:
                 out.append(dup)
         cols = {kk: [r[kk] for r in out] for kk in t.schema.names}
         pq.write_table(pa.table(cols, schema=t.schema), path)
+    _refresh_manifest_meta(root)
 
 
 def compact_job(cores: int) -> dict:

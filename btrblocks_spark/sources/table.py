@@ -403,22 +403,18 @@ class BtrTable:
                 return i < len(rsorted) and rsorted[i] <= e["path_max"]
 
             kept: list[dict] = []
+            skipped: list[dict] = []  # entries not read (range miss)
             found: set[str] = set()
             k = 0
-            for e in entries:
-                if not (replaced and may_contain(e)):
-                    if e["file_count"] is None:  # v1 migration: fill meta
-                        e = self._entry_from_rows(
-                            e["name"], self._read_manifest(e["name"])
-                        )
-                    kept.append(e)
-                    continue
+
+            def process(e: dict) -> None:
+                nonlocal k
                 rows = self._read_manifest(e["name"])
                 hit = {r["file_path"] for r in rows} & replaced
                 if not hit:  # range false positive — keep untouched
                     kept.append(self._entry_from_rows(e["name"], rows))
-                    continue
-                found |= hit
+                    return
+                found.update(hit)
                 remaining = [
                     r for r in rows if r["file_path"] not in replaced
                 ]
@@ -426,6 +422,26 @@ class BtrTable:
                     name = f"manifest-{snapshot_id}-r{k}.parquet"
                     k += 1
                     kept.append(self._write_manifest(name, remaining))
+
+            for e in entries:
+                if replaced and may_contain(e):
+                    process(e)
+                elif e["file_count"] is None:  # v1 migration: fill meta
+                    kept.append(
+                        self._entry_from_rows(
+                            e["name"], self._read_manifest(e["name"])
+                        )
+                    )
+                else:
+                    kept.append(e)
+                    skipped.append(e)
+            if replaced - found and skipped:
+                # stale path bounds (e.g. a copied/retargeted table):
+                # degrade gracefully to reading the remaining manifests
+                # instead of failing the commit
+                for e in skipped:
+                    kept.remove(e)
+                    process(e)
             missing = replaced - found
             if missing:
                 raise CommitConflict(
@@ -748,7 +764,12 @@ class BtrTable:
             for s in retained
             for e in self._manifest_list(s["snapshot_id"])
         }
+        # manifests are SHARED across snapshots (append-only manifest
+        # lists): phase 1 reads every expired snapshot's rows while all
+        # manifests still exist, phase 2 deletes the manifests no
+        # retained snapshot references
         removed_data, removed_manifests = 0, 0
+        expired_manifest_names: set[str] = set()
         for s in expired:
             for r in self._manifest_rows(s["snapshot_id"]):
                 if r["file_path"] not in keep_files and fs.exists(
@@ -756,16 +777,14 @@ class BtrTable:
                 ):
                     fs.delete_file(r["file_path"])
                     removed_data += 1
-            # manifests may be SHARED across snapshots (append-only
-            # manifest lists) — delete only those no retained snapshot
-            # references
-            for e in self._manifest_list(s["snapshot_id"]):
-                if e["name"] in keep_manifests:
-                    continue
-                mp = fs.join(self.root, "manifests", e["name"])
-                if fs.exists(mp):
-                    fs.delete_file(mp)
-                    removed_manifests += 1
+            expired_manifest_names |= {
+                e["name"] for e in self._manifest_list(s["snapshot_id"])
+            }
+        for name in expired_manifest_names - keep_manifests:
+            mp = fs.join(self.root, "manifests", name)
+            if fs.exists(mp):
+                fs.delete_file(mp)
+                removed_manifests += 1
         meta["snapshots"] = retained
         _atomic_write_json(self._meta_path, meta)
         return {
