@@ -32,6 +32,30 @@ from pyspark.sql import functions as F
 from btrblocks_spark.sources.table import BtrTable
 
 
+def _estimate_df_bytes(df: DataFrame) -> int:
+    """Approximate in-memory Arrow size of a DataFrame via one JVM-side
+    aggregation (octet_length for variable-width columns, fixed widths
+    for the rest) — no rows cross to Python."""
+    from pyspark.sql import types as T
+
+    exprs = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (T.StringType, T.BinaryType)):
+            exprs.append(F.coalesce(F.octet_length(c), F.lit(0)) + F.lit(16))
+        elif isinstance(f.dataType, T.ArrayType):
+            exprs.append(
+                F.coalesce(F.size(c), F.lit(0)).cast("long") * 8 + F.lit(16)
+            )
+        else:
+            exprs.append(F.lit(8))
+    total = exprs[0]
+    for e in exprs[1:]:
+        total = total + e
+    row = df.agg(F.sum(total.cast("long")).alias("b")).collect()[0]
+    return int(row.b or 0)
+
+
 def _norm(path: str) -> str:
     return path.removeprefix("file://").removeprefix("file:")
 
@@ -83,13 +107,11 @@ def merge_into(
 
     if strategy == "staged":
         cap = max_staged_source_mb * 1024 * 1024
-        # estimate the source size WITHOUT collecting it (count x sampled
-        # avg row bytes) — a multi-GB source must never be materialized
-        # on the driver just to decide to fall back to shuffle
-        n_src = source.count()
-        sample = source.limit(1000).toArrow()
-        avg_row = (sample.nbytes / max(1, sample.num_rows)) if n_src else 0.0
-        if n_src * avg_row <= cap:
+        # estimate the source size WITHOUT collecting it — one JVM-side
+        # aggregation of per-row byte sizes (octet_length etc.), no Arrow
+        # transfer. A multi-GB source must never be materialized on the
+        # driver just to decide to fall back to shuffle.
+        if _estimate_df_bytes(source) <= cap:
             src_tbl = source.toArrow()
             if src_tbl.nbytes <= cap:  # exact check on the bounded collect
                 return _merge_staged(

@@ -650,15 +650,32 @@ class BtrTable:
                 rows = [r for r in rows if _file_may_match(r, prune)]
             paths = [r["file_path"] for r in rows]
         elif prune:
-            # Catalyst filter over the manifest DataFrame — stats never
-            # loop through the driver; only surviving paths collect back
-            mdf = self.manifest_df(snapshot_id)
-            paths = [
-                r.file_path
-                for r in mdf.filter(_prune_predicate(prune))
-                .select("file_path")
-                .collect()
-            ]
+            sid = (
+                self.current_snapshot_id()
+                if snapshot_id is None
+                else snapshot_id
+            )
+            entries = self._manifest_list(sid)
+            n_files = sum(e["file_count"] or 0 for e in entries)
+            if n_files <= 10_000:
+                # small table: a Spark job costs more than the loop
+                rows = self._manifest_rows(sid)
+                paths = [
+                    r["file_path"]
+                    for r in rows
+                    if _file_may_match(r, prune)
+                ]
+            else:
+                # Catalyst filter over the manifest DataFrame — stats
+                # never loop through the driver; only surviving paths
+                # collect back
+                mdf = self.manifest_df(snapshot_id)
+                paths = [
+                    r.file_path
+                    for r in mdf.filter(_prune_predicate(prune))
+                    .select("file_path")
+                    .collect()
+                ]
         else:
             paths = [r["file_path"] for r in self.data_files(snapshot_id)]
         arrow_schema = self.schema_arrow()

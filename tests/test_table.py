@@ -199,6 +199,27 @@ def test_commit_is_o_added_not_o_table(spark, tmp_path):
     df = t.scan(prune={"x": (100000, 100002)})
     assert df.columns == ["x"]  # plan builds against pruned (empty) set
 
+    # the Catalyst predicate and the driver-loop predicate must agree
+    from btrblocks_spark.sources.table import (
+        _file_may_match,
+        _prune_predicate,
+    )
+
+    prune = {"x": (10, 25)}
+    via_loop = sorted(
+        r["file_path"]
+        for r in t._manifest_rows(sid)
+        if _file_may_match(r, prune)
+    )
+    via_catalyst = sorted(
+        r.file_path
+        for r in t.manifest_df(sid)
+        .filter(_prune_predicate(prune))
+        .select("file_path")
+        .collect()
+    )
+    assert via_loop == via_catalyst and len(via_loop) == 32
+
 
 def test_manifest_list_autocompaction(spark, tmp_path):
     """Past MANIFEST_LIST_MAX entries the commit bin-packs the smallest
