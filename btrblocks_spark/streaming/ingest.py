@@ -117,6 +117,81 @@ def stream_into_table(
     )
 
 
+DEDUP_SCHEMA = StructType(
+    [
+        StructField("content_hash", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("first_seen_batch", LongType()),
+        StructField("dup_count", LongType()),
+    ]
+)
+
+_DEDUP_STATE_SCHEMA = StructType(
+    [
+        StructField("keep_doc_id", LongType()),
+        StructField("seen", LongType()),
+    ]
+)
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact dedup — the incremental twin of
+    ``functions.dedup.exact_dedup``.
+
+    Groups by the normalized-content md5 (computed JVM-side) and keeps
+    per-hash state (first doc id + running count) in
+    ``applyInPandasWithState``. Emits one row per hash per micro-batch
+    only when NEW duplicates arrive, so a continuously-ingesting corpus
+    keeps an exact, incrementally-maintained duplicate registry without
+    ever re-scanning history — at 10^12 docs the state store holds one
+    small row per distinct document. Keys are hashes, so state is
+    uniformly partitioned (no hot keys).
+    """
+    import pandas as pd
+
+    hashed = stream.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+        ).alias("content_hash"),
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (content_hash,) = key
+        rows = pd.concat(list(pdfs))
+        batch_min = int(rows["doc_id"].min())
+        n_new = len(rows)
+        if state.exists:
+            keep, seen = state.get
+            first = 0
+        else:
+            keep, seen = batch_min, 0
+            first = 1
+        keep = min(keep, batch_min)
+        seen += n_new
+        state.update((keep, seen))
+        yield pd.DataFrame(
+            {
+                "content_hash": [content_hash],
+                "doc_id": [keep],
+                "first_seen_batch": [first],
+                "dup_count": [seen],
+            }
+        )
+
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        fn,
+        outputStructType=DEDUP_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

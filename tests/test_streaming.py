@@ -65,3 +65,53 @@ def test_sessionize_batch_semantics(spark, tmp_path):
     u1 = [r for r in got if r.user_id == 1]
     assert len(u1) == 1
     assert u1[0].n_events == 3 and u1[0].total_value == 3.0
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Incremental exact dedup over two micro-batches must converge to
+    the batch exact_dedup answer (keep = min doc_id, dup_count = total)."""
+    from btrblocks_spark.functions.dedup import exact_dedup
+    from btrblocks_spark.streaming.ingest import streaming_dedup
+
+    rows = [
+        (1, "hello world"),
+        (2, "goodbye moon"),
+        (3, "Hello   World"),  # dup of 1 after normalization
+        (4, "unique text here"),
+        (5, "goodbye moon"),  # dup of 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs_in")
+    # two files -> with maxFilesPerTrigger=1 the drain runs 2 micro-batches
+    df.filter("doc_id <= 3").coalesce(1).write.parquet(src)
+    df.filter("doc_id > 3").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode: last row per hash is the converged state
+    got = spark.sql(
+        """SELECT content_hash, doc_id, dup_count FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY content_hash ORDER BY dup_count DESC) rn
+             FROM t_dedup) WHERE rn = 1"""
+    ).collect()
+    want = {
+        r.content_hash: (r.keep_doc_id, r.dup_count)
+        for r in exact_dedup(df).collect()
+    }
+    assert len(got) == len(want) == 3
+    for r in got:
+        assert want[r.content_hash] == (r.doc_id, r.dup_count)
