@@ -233,3 +233,44 @@ def test_embedding_near_dup_lsh_subset_of_exact(spark):
     l = {(r.id_a, r.id_b) for r in lsh.collect()}
     assert len(e) > 0
     assert l.issubset(e)
+
+
+def test_ivf_table_probe_matches_inmemory_ivf(spark, tmp_path):
+    """IVF cells persisted into the table layout: the stats-pruned probe
+    scan must return the same top-k as the in-memory knn_ivf with the
+    same centroids, and the probe must open fewer files than the table
+    holds."""
+    from btrblocks_spark.functions.similarity import (
+        build_ivf_table,
+        knn_ivf,
+        knn_ivf_scan,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    root = str(tmp_path / "ivftab")
+    table, cents = build_ivf_table(
+        spark, emb, root, dim=dim, n_centroids=8
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = knn_ivf_scan(table, q, cents, k=5, n_probe=2)
+    want = knn_ivf(
+        emb, q, dim=dim, k=5, n_centroids=8, n_probe=2, centroids=cents
+    )
+    g = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in got.collect()}
+    w = {(r.query_id, r.rank): (r.vec_id, r.cosine) for r in want.collect()}
+    assert g == w and len(g) == 15
+
+    # pruning actually skips files: per-cell file stats are disjoint
+    import json
+
+    rows = table.data_files()
+    assert len(rows) >= 8  # one file per cell partition at least
+    probed_cells = set()
+    for r in rows:
+        st = json.loads(r["stats"])
+        assert st["cell"]["min"] == st["cell"]["max"]  # partitioned build
