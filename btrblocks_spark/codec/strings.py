@@ -205,8 +205,24 @@ def _compress_dict_pool(upool) -> tuple[object, int]:
     if len(upool) < POOL_COMPRESS_MIN_BYTES:
         return upool, _POOL_RAW
     whole = len(upool) <= 4 * _POOL_PROBE_BYTES
-    probe = bytes(upool if whole else upool[:_POOL_PROBE_BYTES])
+    if whole:
+        probe = bytes(upool)
+    else:
+        # STRIDED probe: 4 slices spread across the pool — a head-only
+        # probe misjudges mixed pools (e.g. a compressible bmp blob first,
+        # then megabytes of already-entropy-coded png/jpeg)
+        n_sl, sl = 4, _POOL_PROBE_BYTES // 4
+        stride = max((len(upool) - sl) // (n_sl - 1), 1)
+        probe = b"".join(
+            bytes(upool[i * stride : i * stride + sl]) for i in range(n_sl)
+        )
     z = zlib.compress(probe, _ZLIB_LEVEL)
+    # near-incompressible pools (dictionaries of already-entropy-coded
+    # image blobs) bail after the cheap probe — whole-pool zlib for a
+    # ~1.0 ratio is the single biggest CPU burn in the image bin rewrite
+    # path, and every future scan would pay the decompress too
+    if len(z) >= 0.95 * len(probe):
+        return upool, _POOL_RAW
     fz = fsst_codec.compress(probe)
     if len(fz) < len(z):
         out = fz if whole else fsst_codec.compress(bytes(upool))
