@@ -224,7 +224,7 @@ def compact_job(cores: int) -> dict:
         shutil.rmtree(work_root, ignore_errors=True)
         shutil.copytree(canon, work_root)
         _retarget_manifest(work_root)
-        _duplicate_table(work_root, int(os.environ.get("BENCH_DUP", "2")))
+        _duplicate_table(work_root, int(os.environ.get("BENCH_DUP", "4")))
         return work_root
 
     # full untimed warmup compact in the same JVM: forks+faults the python
