@@ -445,14 +445,15 @@ def embedding_near_dup_pairs(
     use_lsh: bool = True,
     dim: int | None = None,
     nbits: int = 10,
+    bands: int = 4,
 ) -> DataFrame:
     """Pairs with cosine >= threshold (near-duplicate embeddings).
 
-    Default path is the LSH-bucketed self-join — the all-pairs cross
-    join is quadratic in corpus size and exists only as the exact twin
-    for oracle checking at test scale (``use_lsh=False``). True near
-    duplicates (cosine near 1) collide in the sign-signature bucket with
-    high probability; recall is tuned via ``nbits``.
+    Default path is the banded LSH self-join (OR over ``bands``
+    independent ``nbits``-bit sign signatures — candidates collide in
+    ANY band, the standard recall/cost dial) — the all-pairs cross join
+    is quadratic in corpus size and exists only as the exact twin for
+    oracle checking at test scale (``use_lsh=False``).
     """
     a = vectors.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
@@ -463,10 +464,27 @@ def embedding_near_dup_pairs(
     if use_lsh:
         if dim is None:
             dim = len(vectors.select(vec_col).first()[0])
-        sig = hyperplane_signature_udf(dim, nbits)
-        a = a.withColumn("_sig", sig(F.col("va")))
-        b = b.withColumn("_sig", sig(F.col("vb")))
-        pairs = a.join(b, on="_sig").filter(F.col("id_a") < F.col("id_b"))
+        # one explode into (band, sig) rows -> a single self-join on
+        # (band, sig) covers the OR-construction in one shuffle
+        sigs = [hyperplane_signature_udf(dim, nbits, seed=42 + l)
+                for l in range(bands)]
+        bexpr = F.explode(
+            F.array(*[
+                F.struct(F.lit(l).alias("band"), sigs[l](F.col("va")).alias("sig"))
+                for l in range(bands)
+            ])
+        ).alias("bb")
+        ab = a.select("id_a", bexpr).select("id_a", "bb.band", "bb.sig")
+        bb = ab.select(F.col("id_a").alias("id_b"), "band", "sig")
+        cand = (
+            ab.join(bb, on=["band", "sig"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # dedup candidates on ids only, THEN fetch vectors — the heavy
+        # array columns never ride through the band join or the distinct
+        pairs = cand.join(a, "id_a").join(b, "id_b")
     else:
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return pairs.select(
