@@ -810,51 +810,6 @@ class BtrTable:
             "removed_manifests": removed_manifests,
         }
 
-    def rewrite_manifests(self) -> dict:
-        """Compact the whole manifest list into one manifest (Iceberg
-        ``rewrite_manifests``) — the explicit form of the automatic
-        bin-packing commits do past MANIFEST_LIST_MAX."""
-        lock = fs.join(self.root, "_commit.lock")
-        if not fs.create_exclusive(lock):
-            raise CommitConflict(f"another commit holds {lock}")
-        try:
-            meta = self.metadata()
-            current = meta["current_snapshot_id"]
-            before = len(self._manifest_list(current))
-            rows = self._manifest_rows(current)
-            snapshot_id = current + 1
-            entries = []
-            if rows:
-                entries = [
-                    self._write_manifest(
-                        f"manifest-{snapshot_id}-m.parquet", rows
-                    )
-                ]
-            meta["snapshots"].append(
-                {
-                    "snapshot_id": snapshot_id,
-                    "parent": current,
-                    "ts": time.time(),
-                    "operation": "rewrite-manifests",
-                    "manifest": None,
-                    "manifests": entries,
-                    "summary": {
-                        "manifests_before": before,
-                        "manifests_after": len(entries),
-                        "total_files": len(rows),
-                    },
-                }
-            )
-            meta["current_snapshot_id"] = snapshot_id
-            _atomic_write_json(self._meta_path, meta)
-            return {
-                "snapshot_id": snapshot_id,
-                "manifests_before": before,
-                "manifests_after": len(entries),
-            }
-        finally:
-            fs.delete_file(lock)
-
     def add_column(self, name: str, spark_ddl_type: str) -> dict:
         """Schema evolution: append a nullable column (Iceberg add-column).
         Existing files stay untouched; their rows scan as NULL for the new
@@ -985,28 +940,65 @@ class BtrTable:
                 "paths": removed[:20]}
 
     def rewrite_manifests(self) -> dict:
-        """Rewrite the current manifest: sort rows by (partition, first
-        sort-key column min) so scan planning reads a clustered manifest,
-        and drop rows for files that vanished (defensive). Commits a new
-        snapshot; data files untouched (Iceberg rewrite_manifests analog).
-        """
-        rows = self.data_files()
-        kept = [r for r in rows if fs.exists(r["file_path"])]
+        """Compact the whole manifest list into ONE clustered manifest
+        (Iceberg rewrite_manifests): rows sorted by (partition, first
+        stat min) so scan planning reads a clustered manifest, rows for
+        vanished files dropped (defensive), and the manifest list
+        collapses to a single entry — the explicit form of the automatic
+        bin-packing commits do past MANIFEST_LIST_MAX. Data files are
+        untouched."""
+        lock = fs.join(self.root, "_commit.lock")
+        if not fs.create_exclusive(lock):
+            raise CommitConflict(f"another commit holds {lock}")
+        try:
+            meta = self.metadata()
+            current = meta["current_snapshot_id"]
+            before = len(self._manifest_list(current))
+            rows = self._manifest_rows(current)
+            kept = [r for r in rows if fs.exists(r["file_path"])]
 
-        def sort_key(r: dict):
-            stats = json.loads(r["stats"])
-            first = next(iter(stats.values()), {})
-            return (r["partition"], str(first.get("min")))
+            def sort_key(r: dict):
+                stats = json.loads(r["stats"])
+                first = next(iter(stats.values()), {})
+                return (r["partition"], str(first.get("min")))
 
-        kept.sort(key=sort_key)
-        dropped = len(rows) - len(kept)
-        sid = self._commit(
-            kept,
-            operation="rewrite-manifests",
-            replaced={r["file_path"] for r in rows},
-            extra_summary={"dropped_missing": dropped},
-        )
-        return {"snapshot_id": sid, "files": len(kept), "dropped": dropped}
+            kept.sort(key=sort_key)
+            dropped = len(rows) - len(kept)
+            snapshot_id = current + 1
+            entries = []
+            if kept:
+                entries = [
+                    self._write_manifest(
+                        f"manifest-{snapshot_id}-m.parquet", kept
+                    )
+                ]
+            meta["snapshots"].append(
+                {
+                    "snapshot_id": snapshot_id,
+                    "parent": current,
+                    "ts": time.time(),
+                    "operation": "rewrite-manifests",
+                    "manifest": None,
+                    "manifests": entries,
+                    "summary": {
+                        "manifests_before": before,
+                        "manifests_after": len(entries),
+                        "total_files": len(kept),
+                        "dropped_missing": dropped,
+                    },
+                }
+            )
+            meta["current_snapshot_id"] = snapshot_id
+            _atomic_write_json(self._meta_path, meta)
+            return {
+                "snapshot_id": snapshot_id,
+                "files": len(kept),
+                "dropped": dropped,
+                "manifests_before": before,
+                "manifests_after": len(entries),
+            }
+        finally:
+            fs.delete_file(lock)
 
     def lineage_df(self) -> DataFrame:
         """Per-file lineage as a DataFrame (job ids + source files)."""

@@ -69,3 +69,33 @@ def test_cli_compact_verify_export(setup, spark, capsys):
          "--columns", "image_id,phash"]
     ) == 0
     assert spark.read.parquet(out2).columns == ["image_id", "phash"]
+
+
+def test_cli_rewrite_manifests(setup, spark, capsys):
+    from btrblocks_spark.sources.table import BtrTable
+
+    _, _, root = setup
+    assert jobs.main(["rewrite-manifests", "--table", root]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["manifests_after"] == 1
+    t = BtrTable.load(spark, root)
+    assert t.scan().count() == N  # contents unchanged
+
+
+def test_entry_queries_and_oracles_consistent():
+    """Every oracle_sql key must have a queries() twin, and the known
+    rows-only set is exactly the non-SQL-expressible fast paths."""
+    import __spark_entry__ as e
+
+    q = set(e.queries())
+    o = set(e.oracle_sql())
+    assert o <= q, o - q
+    rows_only = q - o
+    assert rows_only == {
+        "minhash_lsh_pairs",
+        "simhash",
+        "simhash_near_pairs",
+        "knn_lsh",
+        "knn_ivf",
+        "embedding_near_dup_lsh",
+    }
