@@ -38,22 +38,25 @@ def _bit_widths(res: np.ndarray) -> np.ndarray:
     return np.where(hi > 0, hi_w + 32, lo_w)
 
 
-def _pfor_size_est(res: np.ndarray) -> float:
-    """Exact-width PFOR size estimate on the FULL block (mirrors the
-    encoder's base-width minimization in numeric._enc_pfor). O(n)
-    vectorized — cheap enough to run per block, and unlike a sampled
-    probe it cannot miss the rare outliers PFOR exists to patch."""
+def _pfor_size_est(
+    res: np.ndarray, scale: float = 1.0, n_full: int | None = None
+) -> float:
+    """Width-histogram PFOR size estimate (mirrors the encoder's
+    base-width minimization in numeric._enc_pfor). With ``scale=1`` on
+    the full residual block it is exact; with a sampled residual array
+    and ``scale = n_full/len(sample)`` it extrapolates exception counts
+    — used as the cheap gate before paying for the exact pass."""
     from btrblocks_spark.codec.bitpack import _WIDTHS, bits_needed
 
-    n = len(res)
-    if n == 0:
+    n = n_full if n_full is not None else len(res)
+    if n == 0 or len(res) == 0:
         return 18.0
     hist = np.bincount(_bit_widths(res), minlength=65)
     above = np.cumsum(hist[::-1])[::-1]  # above[w] = count(width >= w)
     pos_bytes = (bits_needed(max(n - 1, 0)) + 7) // 8
     best = None
     for w in _WIDTHS:
-        n_exc = int(above[w + 1]) if w < 64 else 0
+        n_exc = float(above[w + 1]) * scale if w < 64 else 0.0
         sz = 18 + (n * w + 7) // 8 + n_exc * (8 + pos_bytes)
         if best is None or sz < best:
             best = sz
@@ -83,8 +86,9 @@ def pick_numeric(
     enabled = cfg.double_schemes if is_float else cfg.integer_schemes
     rv = v.view(np.int64) if is_float else v
 
+    rmin, rmax = int(rv.min()), int(rv.max())
     # exact ONE_VALUE short-circuit (bit-pattern compare; cheap single pass)
-    if numeric.ONE_VALUE in enabled and rv.min() == rv.max():
+    if numeric.ONE_VALUE in enabled and rmin == rmax:
         return numeric.ONE_VALUE
 
     diffs = np.diff(rv)
@@ -123,16 +127,28 @@ def pick_numeric(
         return numeric.UNCOMPRESSED
 
     full_est: dict[int, float] = {numeric.UNCOMPRESSED: float(n * 8)}
-    # FOR_BP and PFOR are sized analytically on the FULL block (their
-    # cost is a pure function of the residual width distribution; a
-    # sampled probe systematically misses the outliers PFOR patches)
-    if numeric.FOR_BP in cands or numeric.PFOR in cands:
-        residuals = (rv.astype(np.int64) - int(rv.min())).astype(np.uint64)
+    # FOR_BP is sized exactly from the full-block min/max (no residual
+    # array needed). PFOR's exact sizing needs a full-block width
+    # histogram — an O(n) pass with two temporaries — so it is gated
+    # behind a sampled outlier signal: only when the sample's width
+    # distribution (or a max outside the sample) says patching could
+    # beat plain FOR_BP by >2% do we pay for the exact histogram.
+    w_full = bits_needed(rmax - rmin)
     if numeric.FOR_BP in cands:
-        w_full = bits_needed(int(residuals.max()))
         full_est[numeric.FOR_BP] = 14.0 + (n * w_full + 7) // 8
     if numeric.PFOR in cands:
-        full_est[numeric.PFOR] = _pfor_size_est(residuals)
+        s_res = (s_rv.astype(np.int64) - rmin).astype(np.uint64)
+        s_widths = _bit_widths(s_res)
+        sw_max = int(s_widths.max()) if len(s_widths) else 0
+        pfor_est = _pfor_size_est(
+            s_res, scale=n / max(len(s_res), 1), n_full=n
+        )
+        for_size = 14.0 + (n * w_full + 7) // 8
+        if w_full > sw_max or pfor_est < for_size * 0.98:
+            # outliers beyond the sample, or a sampled win — exact pass
+            residuals = (rv.astype(np.int64) - rmin).astype(np.uint64)
+            full_est[numeric.PFOR] = _pfor_size_est(residuals)
+        # else: PFOR cannot meaningfully beat FOR_BP here; leave it out
     if set(full_est) | set(cands) <= {
         numeric.UNCOMPRESSED, numeric.FOR_BP, numeric.PFOR
     }:
