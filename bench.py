@@ -391,6 +391,7 @@ def merge_job(cores: int) -> dict:
             "touched_files": res["touched_files"],
             "rewritten_bytes": touched_bytes,
             "gbps": touched_bytes / max(elapsed, 1e-9) / 1e9,
+            "timings": res.get("timings", {}),
         }
         shutil.rmtree(work_root, ignore_errors=True)
         if best is None or out["gbps"] > best["gbps"]:

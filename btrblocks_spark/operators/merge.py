@@ -32,27 +32,53 @@ from pyspark.sql import functions as F
 from btrblocks_spark.sources.table import BtrTable
 
 
-def _estimate_df_bytes(df: DataFrame) -> int:
-    """Approximate in-memory Arrow size of a DataFrame via one JVM-side
-    aggregation (octet_length for variable-width columns, fixed widths
-    for the rest) — no rows cross to Python."""
+def _row_bytes_expr(df: DataFrame):
+    """Column expression for the approximate in-memory Arrow size of one
+    row (octet_length for variable-width columns, fixed widths for the
+    rest; nested types recurse so an array<string>- or struct-heavy
+    source cannot slip under the staged-merge cap by 10x)."""
     from pyspark.sql import types as T
 
-    exprs = []
+    def field_bytes(c, dt):
+        if isinstance(dt, (T.StringType, T.BinaryType)):
+            return F.coalesce(F.octet_length(c), F.lit(0)).cast("long") + 16
+        if isinstance(dt, T.ArrayType):
+            el = dt.elementType
+            if isinstance(el, (T.StringType, T.BinaryType)):
+                per = F.aggregate(
+                    c,
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc
+                    + F.coalesce(F.octet_length(x), F.lit(0)).cast("long")
+                    + 16,
+                )
+                return F.coalesce(per, F.lit(0)) + 16
+            if isinstance(el, (T.ArrayType, T.StructType, T.MapType)):
+                # nested-nested: conservative 64 B/element floor
+                return (
+                    F.coalesce(F.size(c), F.lit(0)).cast("long") * 64 + 16
+                )
+            return F.coalesce(F.size(c), F.lit(0)).cast("long") * 8 + 16
+        if isinstance(dt, T.StructType):
+            total = F.lit(16).cast("long")
+            for sf in dt.fields:
+                total = total + field_bytes(c.getField(sf.name), sf.dataType)
+            return total
+        if isinstance(dt, T.MapType):
+            # values are opaque here; assume string-ish 32 B/entry
+            return F.coalesce(F.size(c), F.lit(0)).cast("long") * 32 + 16
+        return F.lit(8).cast("long")
+
+    total = F.lit(0).cast("long")
     for f in df.schema.fields:
-        c = F.col(f.name)
-        if isinstance(f.dataType, (T.StringType, T.BinaryType)):
-            exprs.append(F.coalesce(F.octet_length(c), F.lit(0)) + F.lit(16))
-        elif isinstance(f.dataType, T.ArrayType):
-            exprs.append(
-                F.coalesce(F.size(c), F.lit(0)).cast("long") * 8 + F.lit(16)
-            )
-        else:
-            exprs.append(F.lit(8))
-    total = exprs[0]
-    for e in exprs[1:]:
-        total = total + e
-    row = df.agg(F.sum(total.cast("long")).alias("b")).collect()[0]
+        total = total + field_bytes(F.col(f.name), f.dataType)
+    return total
+
+
+def _estimate_df_bytes(df: DataFrame) -> int:
+    """Approximate in-memory Arrow size of a DataFrame via one JVM-side
+    aggregation — no rows cross to Python."""
+    row = df.agg(F.sum(_row_bytes_expr(df)).alias("b")).collect()[0]
     return int(row.b or 0)
 
 
@@ -89,6 +115,9 @@ def merge_into(
     cols = table.schema_arrow().names
     assert on in cols, f"merge key {on} not in table schema"
 
+    import time as _time
+
+    timings: dict[str, float] = {}
     source = source.select(*cols)
     if broadcast_source is None:
         broadcast_source = True  # dims/updates are usually << target
@@ -96,27 +125,31 @@ def merge_into(
     src_keys = F.broadcast(source.select(on).distinct()) if broadcast_source \
         else source.select(on).distinct()
 
-    # 1. stats-prune candidate files by source key range (driver-cheap)
-    key_minmax = source.agg(
-        F.min(on).alias("lo"), F.max(on).alias("hi")
-    ).collect()[0]
-    prune = {on: (key_minmax.lo, key_minmax.hi)}
+    # 1. ONE source pass: key range (stats pruning) + byte-size estimate
+    #    (the staged-path gate) in a single aggregation job. No rows
+    #    cross to Python; a multi-GB source must never be materialized
+    #    on the driver just to decide to fall back to shuffle.
+    t0 = _time.time()
+    aggs = [F.min(on).alias("lo"), F.max(on).alias("hi")]
+    if strategy == "staged":
+        aggs.append(F.sum(_row_bytes_expr(source)).alias("b"))
+    srow = source.agg(*aggs).collect()[0]
+    prune = {on: (srow.lo, srow.hi)}
+    timings["source_stats"] = _time.time() - t0
 
     # 2. touched files: key-only scan of candidates x source keys
     keyscan = table.scan(columns=[on], prune=prune, with_file=True)
 
     if strategy == "staged":
         cap = max_staged_source_mb * 1024 * 1024
-        # estimate the source size WITHOUT collecting it — one JVM-side
-        # aggregation of per-row byte sizes (octet_length etc.), no Arrow
-        # transfer. A multi-GB source must never be materialized on the
-        # driver just to decide to fall back to shuffle.
-        if _estimate_df_bytes(source) <= cap:
+        if int(srow.b or 0) <= cap:
+            t0 = _time.time()
             src_tbl = source.toArrow()
+            timings["source_collect"] = _time.time() - t0
             if src_tbl.nbytes <= cap:  # exact check on the bounded collect
                 return _merge_staged(
                     table, src_tbl, on, when_matched, when_not_matched,
-                    job_id, keyscan, source, prune,
+                    job_id, keyscan, source, prune, timings,
                 )
         # source too large for the staged broadcast model
 
@@ -192,14 +225,17 @@ def _merge_staged(
     keyscan: DataFrame,
     source: DataFrame,
     prune: dict,
+    timings: dict | None = None,
 ) -> dict:
     """File-staged copy-on-write MERGE: one task per touched-file bin."""
     import json as _json
+    import time as _time
 
     import pyarrow as pa
 
     from btrblocks_spark.sources import fs
 
+    timings = timings if timings is not None else {}
     spark = table.spark
     cols = table.schema_arrow().names
     parts = table.partition_by()
@@ -211,6 +247,7 @@ def _merge_staged(
     # may appear in several files; exactly one rewrite emits the
     # replacement row). keyscan is cached — the insert anti-join below
     # reuses it instead of rescanning.
+    t0 = _time.time()
     keyscan = keyscan.cache()
     file_of = {r["file_path"]: r for r in table.data_files()}
     src_keys = F.broadcast(source.select(on).distinct())
@@ -220,6 +257,7 @@ def _merge_staged(
         .distinct()
         .collect()
     )
+    timings["keyscan"] = _time.time() - t0
     touched = sorted({_norm(r._file) for r in matched_pairs})
     owner_of_key: dict = {}
     if when_matched == "update":
@@ -366,9 +404,11 @@ def _merge_staged(
                     _fs.write_bytes_atomic(marker, payload.encode())
                     yield pa.RecordBatch.from_pydict({"rows": [payload]})
 
+        t0 = _time.time()
         try:
             for r in spec_df.mapInArrow(rewrite, "rows string").collect():
                 new_rows.extend(_json.loads(r.rows))
+            timings["rewrite"] = _time.time() - t0
         finally:
             # free the driver+executor broadcast blocks — a long-lived
             # session running many merges must not accumulate them
@@ -378,12 +418,15 @@ def _merge_staged(
                 bc.unpersist()
 
     if when_not_matched == "insert":
+        t0 = _time.time()
         inserts = source.join(
             keyscan.select(on), on=on, how="left_anti"
         ).select(*cols)
         new_rows.extend(table._write_files(inserts, job_id=job_id))
+        timings["inserts"] = _time.time() - t0
     keyscan.unpersist()
 
+    t0 = _time.time()
     sid = table._commit(
         new_rows,
         operation="merge",
@@ -394,10 +437,12 @@ def _merge_staged(
             "strategy": "staged",
         },
     )
+    timings["commit"] = _time.time() - t0
     return {
         "job_id": job_id,
         "snapshot_id": sid,
         "touched_files": len(touched),
         "new_files": len(new_rows),
         "strategy": "staged",
+        "timings": {k: round(v, 3) for k, v in timings.items()},
     }

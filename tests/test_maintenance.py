@@ -218,3 +218,22 @@ def test_merge_update_changing_partition_column(spark, tmp_path_factory):
             .select("fmt").distinct().collect()
         )
         assert {x.fmt for x in got} == {part["fmt"]}, r["file_path"]
+
+
+def test_estimate_df_bytes_nested(spark):
+    """The staged-merge size gate must not underestimate nested columns
+    (an array<string>-heavy source underestimated 10x could be fully
+    collected on the driver despite exceeding the cap)."""
+    from btrblocks_spark.operators.merge import _estimate_df_bytes
+
+    rows = [
+        (i, ["x" * 200, "y" * 300], {"a": "z" * 150, "b": i})
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, tags array<string>, meta struct<a:string,b:long>"
+    )
+    est = _estimate_df_bytes(df)
+    actual = df.toArrow().nbytes
+    assert est >= actual * 0.5, (est, actual)
+    assert est <= actual * 4, (est, actual)
