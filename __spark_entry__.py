@@ -255,7 +255,7 @@ def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    return knn_lsh(emb, queries, dim=dim, k=5, nbits=8)
+    return knn_lsh(emb, queries, dim=dim, k=5)
 
 
 def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -645,7 +645,8 @@ class BtrTable:
             # explicit file list (maintenance inner scans): driver-side
             # filtering over the already-known subset
             rows = self.data_files(snapshot_id)
-            rows = [r for r in rows if r["file_path"] in set(files)]
+            wanted = set(files)
+            rows = [r for r in rows if r["file_path"] in wanted]
             if prune:
                 rows = [r for r in rows if _file_may_match(r, prune)]
             paths = [r["file_path"] for r in rows]
@@ -1018,31 +1019,60 @@ class BtrTable:
 def _prune_predicate(prune: dict):
     """Catalyst twin of :func:`_file_may_match`: a Column predicate over
     manifest rows. Missing/uncastable stats keep the file (pruning is an
-    optimization, never a correctness filter)."""
+    optimization, never a correctness filter).
+
+    Each prune value is either a ``(lo, hi)`` range or a list/set of
+    discrete values (``in``-set form): the file survives iff ANY value
+    falls inside its [min, max] — probing cells {0, 15} of 16 must not
+    read the 14 files in between."""
     pred = F.lit(True)
-    for col, (lo, hi) in prune.items():
+    for col, bound in prune.items():
         smin = F.get_json_object(F.col("stats"), f"$.{col}.min")
         smax = F.get_json_object(F.col("stats"), f"$.{col}.max")
-        numeric = isinstance(lo, (int, float)) or isinstance(hi, (int, float))
-        if numeric:
-            smin, smax = smin.cast("double"), smax.cast("double")
+        if isinstance(bound, (list, set, frozenset)):
+            vals = sorted(set(bound))
+            numeric = any(isinstance(v, (int, float)) for v in vals)
+            if numeric:
+                smin, smax = smin.cast("double"), smax.cast("double")
+            keep = F.lit(False)
+            for v in vals:
+                keep = keep | ((smin <= F.lit(v)) & (smax >= F.lit(v)))
+        else:
+            lo, hi = bound
+            numeric = isinstance(lo, (int, float)) or isinstance(
+                hi, (int, float)
+            )
+            if numeric:
+                smin, smax = smin.cast("double"), smax.cast("double")
+            keep = F.lit(True)
+            if lo is not None:
+                keep = keep & (smax >= F.lit(lo))
+            if hi is not None:
+                keep = keep & (smin <= F.lit(hi))
         cannot_prune = smin.isNull() | smax.isNull()
-        keep = F.lit(True)
-        if lo is not None:
-            keep = keep & (smax >= F.lit(lo))
-        if hi is not None:
-            keep = keep & (smin <= F.lit(hi))
         pred = pred & (cannot_prune | keep)
     return pred
 
 
 def _file_may_match(row: dict, prune: dict) -> bool:
     stats = json.loads(row["stats"])
-    for col, (lo, hi) in prune.items():
+    for col, bound in prune.items():
         st = stats.get(col)
         if not st or st["min"] is None:
             continue
         smin, smax = st["min"], st["max"]
+        if isinstance(bound, (list, set, frozenset)):
+            vals = set(bound)
+            numeric_bound = any(isinstance(v, (int, float)) for v in vals)
+            if numeric_bound:
+                try:
+                    smin, smax = float(smin), float(smax)
+                except (TypeError, ValueError):
+                    continue
+            if not any(smin <= v <= smax for v in vals):
+                return False
+            continue
+        lo, hi = bound
         # stats are stored stringified; coerce them to the bound's type
         numeric_bound = isinstance(lo, (int, float)) or isinstance(hi, (int, float))
         if numeric_bound:

@@ -274,3 +274,63 @@ def test_ivf_table_probe_matches_inmemory_ivf(spark, tmp_path):
     for r in rows:
         st = json.loads(r["stats"])
         assert st["cell"]["min"] == st["cell"]["max"]  # partitioned build
+
+    # SET-based pruning: probing cells {0, 7} of 8 must not open any
+    # file of the mid-range cells 1..6 (a (0,7) range prune would read
+    # every file in between) — checked on both the driver-side matcher
+    # and its Catalyst twin
+    from btrblocks_spark.sources.table import (
+        _file_may_match,
+        _prune_predicate,
+    )
+
+    survivors = {
+        r["file_path"]
+        for r in rows
+        if _file_may_match(r, {"cell": [0, 7]})
+    }
+    want_files = {
+        r["file_path"]
+        for r in rows
+        if int(json.loads(r["stats"])["cell"]["min"]) in (0, 7)
+    }
+    assert survivors == want_files and survivors
+    mid = {
+        r["file_path"]
+        for r in rows
+        if 1 <= int(json.loads(r["stats"])["cell"]["min"]) <= 6
+    }
+    assert not (survivors & mid)
+    catalyst = {
+        r.file_path
+        for r in table.manifest_df()
+        .filter(_prune_predicate({"cell": [0, 7]}))
+        .select("file_path")
+        .collect()
+    }
+    assert catalyst == survivors
+
+
+def test_knn_lsh_fast_recall_gate(spark):
+    """The production (numpy) LSH path must reach recall@5 >= 0.8
+    against brute force on the fixture corpus — the same gate the det
+    path has, now covering the fast path (banded OR-construction +
+    hamming-1 multi-probe)."""
+    from btrblocks_spark.functions.similarity import (
+        knn_bruteforce,
+        knn_lsh,
+        knn_recall,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_bruteforce(emb, q, k=5)
+    ann = knn_lsh(emb, q, dim=dim, k=5)
+    rec = knn_recall(ann, exact, k=5).agg(
+        F.avg("recall_at_k").alias("r")
+    ).collect()[0].r
+    assert rec >= 0.8, f"fast-path recall@5 {rec}"
