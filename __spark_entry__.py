@@ -50,19 +50,18 @@ _MINHASH_SIG_CTES = f"""norm AS (
             ), ids AS (
               SELECT sh.doc_id, dict.shingle_id
               FROM sh JOIN dict USING (shingle)
-            ), params(hash_idx, a, b) AS (VALUES
-              (0, 1610612741, 12345), (1, 805306457, 67891),
-              (2, 402653189, 23457), (3, 201326611, 78913),
-              (4, 100663319, 34569), (5, 50331653, 89125),
-              (6, 25165843, 45671), (7, 12582917, 1237),
-              (8, 6291469, 56789), (9, 3145739, 11113),
-              (10, 1572869, 22229), (11, 786433, 33331),
-              (12, 393241, 44449), (13, 196613, 55557),
-              (14, 98317, 66667), (15, 49157, 77783))
-            , sig AS (
+            ), params AS (
+              SELECT unnest(range(0, 16)) AS hash_idx
+            ), sig AS (
+              -- stream i hashes x = shingle_id*16 + i + 1 through the
+              -- product of two affine streams mod two different primes
+              -- (identical constants to functions/dedup.py)
               SELECT ids.doc_id, CAST(params.hash_idx AS INT) AS hash_idx,
-                     min((ids.shingle_id * params.a + params.b) % 2147483647)
-                       AS minhash
+                     min((((ids.shingle_id * 16 + params.hash_idx + 1)
+                            * 48271 + 11) % 2147483647)
+                         * (((ids.shingle_id * 16 + params.hash_idx + 1)
+                            * 69621 + 7) % 2147483629)
+                         % 2147483647) AS minhash
               FROM ids CROSS JOIN params
               GROUP BY ids.doc_id, params.hash_idx
             )"""

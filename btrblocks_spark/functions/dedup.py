@@ -26,21 +26,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# fixed MinHash parameters (deterministic, shared with the DuckDB oracle)
+# fixed MinHash parameters (deterministic, shared with the DuckDB oracle).
+# Stream i hashes x = shingle_id*K + i + 1 through the PRODUCT of two
+# affine congruential streams mod two different primes — the same mixing
+# construction as the deterministic LSH planes in similarity.py. A naive
+# per-stream multiplier family of 3*2^k-style constants mod the Mersenne
+# prime degenerates to bit rotations: all K streams were perfectly
+# correlated, so a band collision behaved like a SINGLE minhash match
+# (P ~ jaccard, not jaccard^rows_per_band) and the det banding flagged
+# ~32% of all pairs as candidates.
 MINHASH_K = 16
-MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
-MINHASH_A = [
-    1_610_612_741, 805_306_457, 402_653_189, 201_326_611,
-    100_663_319, 50_331_653, 25_165_843, 12_582_917,
-    6_291_469, 3_145_739, 1_572_869, 786_433,
-    393_241, 196_613, 98_317, 49_157,
-]
-MINHASH_B = [
-    12_345, 67_891, 23_457, 78_913,
-    34_569, 89_125, 45_671, 1_237,
-    56_789, 11_113, 22_229, 33_331,
-    44_449, 55_557, 66_667, 77_783,
-]
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+MINHASH_P2 = 2_147_483_629
+MINHASH_A1 = 48_271
+MINHASH_A2 = 69_621
+MINHASH_B1 = 11
+MINHASH_B2 = 7
 
 
 def _norm_text(text_col: str):
@@ -189,28 +190,17 @@ def minhash_signatures(
     ids = sh.join(shingle_dictionary(sh), "shingle").select(
         "doc_id", "shingle_id"
     )
-    # One explode of the K (hash_idx, a, b) params — a single scan and a
-    # single shuffle, instead of a K-way unionByName re-scan of ids.
-    params = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("hash_idx"),
-                F.lit(MINHASH_A[i]).alias("a"),
-                F.lit(MINHASH_B[i]).alias("b"),
-            )
-            for i in range(MINHASH_K)
-        ]
-    )
+    # One explode of the K hash indices — a single scan and a single
+    # shuffle, instead of a K-way unionByName re-scan of ids.
+    params = F.array(*[F.lit(i) for i in range(MINHASH_K)])
+    x = F.col("shingle_id") * MINHASH_K + F.col("hash_idx") + 1
+    h = (
+        ((x * MINHASH_A1 + MINHASH_B1) % MINHASH_PRIME)
+        * ((x * MINHASH_A2 + MINHASH_B2) % MINHASH_P2)
+    ) % MINHASH_PRIME
     allh = ids.select(
-        "doc_id", "shingle_id", F.explode(params).alias("p")
-    ).select(
-        "doc_id",
-        F.col("p.hash_idx").alias("hash_idx"),
-        (
-            (F.col("shingle_id") * F.col("p.a") + F.col("p.b"))
-            % F.lit(MINHASH_PRIME)
-        ).alias("h"),
-    )
+        "doc_id", "shingle_id", F.explode(params).alias("hash_idx")
+    ).select("doc_id", "hash_idx", h.alias("h"))
     return allh.groupBy("doc_id", "hash_idx").agg(F.min("h").alias("minhash"))
 
 

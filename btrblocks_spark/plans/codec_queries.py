@@ -105,12 +105,20 @@ def dict_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     Declarative TDynamicDictionary (DynamicDictionary.hpp:29-75): distinct
     + sort = the dictionary, dense_rank = the code assignment.
     """
+    from btrblocks_spark.functions.dedup import _ordered_dense_ids
+
     part = _t(spark, sf_dir, "part")
     counts = part.groupBy("p_brand").agg(F.count("*").alias("n_rows"))
-    w = Window.orderBy("p_brand")
-    return counts.withColumn(
-        "code", (F.dense_rank().over(w) - 1).cast("long")
-    ).select("p_brand", "code", "n_rows").orderBy("code")
+    # scale-safe: range-partitioned rank + tiny offset summary instead
+    # of an unpartitioned dense_rank window (single task at a
+    # high-cardinality dictionary); ids are identical to the global rank
+    ids = _ordered_dense_ids(counts, "p_brand", "_id")
+    return (
+        counts.join(ids, "p_brand")
+        .withColumn("code", (F.col("_id") - 1).cast("long"))
+        .select("p_brand", "code", "n_rows")
+        .orderBy("code")
+    )
 
 
 def for_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,12 +140,15 @@ def frequency_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frequency.hpp:23-48). Deterministic ties: higher count, then brand asc."""
     part = _t(spark, sf_dir, "part")
     counts = part.groupBy("p_type", "p_brand").agg(F.count("*").alias("cnt"))
+    # ONE scan of part: the per-type total is a window sum over the tiny
+    # (type, brand) count frame instead of a second scan + join
     w = Window.partitionBy("p_type").orderBy(F.desc("cnt"), F.asc("p_brand"))
-    ranked = counts.withColumn("rn", F.row_number().over(w))
-    totals = part.groupBy("p_type").agg(F.count("*").alias("total"))
+    wt = Window.partitionBy("p_type")
+    ranked = counts.withColumn("rn", F.row_number().over(w)).withColumn(
+        "total", F.sum("cnt").over(wt)
+    )
     return (
         ranked.filter(F.col("rn") == 1)
-        .join(totals, "p_type")
         .select(
             "p_type",
             F.col("p_brand").alias("top_value"),

@@ -334,3 +334,34 @@ def test_knn_lsh_fast_recall_gate(spark):
         F.avg("recall_at_k").alias("r")
     ).collect()[0].r
     assert rec >= 0.8, f"fast-path recall@5 {rec}"
+
+
+def test_minhash_fast_path_recall_vs_exact_jaccard(spark, docs):
+    """Quantified recall for the xxhash64 MinHash LSH fast path: its
+    candidate set must contain >= 80% of the TRUE near-dup pairs
+    (char-5-gram Jaccard >= 0.8, the oracle-checked operator), with
+    planted duplicates making the truth set non-vacuous."""
+    from btrblocks_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_fast,
+        ngram_jaccard_pairs,
+    )
+
+    base = docs.select("doc_id", "text")
+    planted = base
+    for i, r in enumerate(base.limit(8).collect()):
+        planted = planted.unionByName(
+            spark.createDataFrame(
+                [(900001 + i, r.text)], "doc_id long, text string"
+            )
+        )
+    truth = (
+        ngram_jaccard_pairs(planted, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    n_truth = truth.count()
+    assert n_truth >= 8  # the planted dups at minimum
+    cands = lsh_candidate_pairs(minhash_signatures_fast(planted))
+    found = truth.join(cands, ["doc_a", "doc_b"]).count()
+    assert found / n_truth >= 0.8, (found, n_truth)

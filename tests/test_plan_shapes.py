@@ -46,3 +46,27 @@ def test_codec_queries_windows_are_bucket_partitioned(spark, qname):
     # the fact-table window/aggregation exchanges hash on the range
     # bucket — the old single global Window.orderBy plan had none
     assert plan.count("hashpartitioning(_bkt") >= 1, plan[:2000]
+
+
+def test_dict_build_no_unpartitioned_full_window(spark):
+    """dict_build must rank inside range partitions: the only
+    unpartitioned window (the offset prefix sum) runs over the tiny
+    per-partition count summary, never the full dictionary."""
+    from btrblocks_spark.plans import codec_queries as cq
+
+    df = cq.dict_build(spark, SF)
+    plan = _executed(df)
+    # rank window partitioned by _pid; no dense_rank over an
+    # unpartitioned full-cardinality exchange
+    assert "dense_rank" not in plan
+    assert plan.count("hashpartitioning(_pid") >= 1, plan[:2000]
+
+
+def test_frequency_mode_scans_part_once(spark):
+    """frequency_mode computes totals from the aggregated count frame —
+    exactly one scan of the part table."""
+    from btrblocks_spark.plans import codec_queries as cq
+
+    df = cq.frequency_mode(spark, SF)
+    plan = _executed(df)
+    assert plan.count("part.parquet") == 1, plan[:3000]
