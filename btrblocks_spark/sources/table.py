@@ -767,38 +767,128 @@ class BtrTable:
         return StructType([by_name[c] for c in columns])
 
     # ------------------------------------------------------------ maintenance
+    #: above this many files, the explicit metadata-maintenance ops
+    #: (expire_snapshots / remove_orphan_files / rewrite_manifests) run
+    #: as Spark jobs over the manifest DataFrames instead of driver
+    #: loops with per-file fs calls — driver work stays O(manifests),
+    #: matching the commit path's O(added+touched) guarantee
+    DISTRIBUTED_META_MIN = 10_000
+
+    def _manifests_files_df(self, sids: list[int]) -> DataFrame:
+        """One DataFrame over the UNION of the snapshots' manifests
+        (deduped by manifest name — manifests are shared across
+        snapshots)."""
+        names = sorted(
+            {e["name"] for sid in sids for e in self._manifest_list(sid)}
+        )
+        if not names:
+            return self.spark.createDataFrame(
+                [], schema=self._manifest_spark_schema()
+            )
+        paths = [fs.join(self.root, "manifests", n) for n in names]
+        if fs.is_local(paths[0]):
+            return self.spark.read.schema(
+                self._manifest_spark_schema()
+            ).parquet(*paths)
+        tbl = pa.concat_tables([fs.read_parquet(p) for p in paths])
+        return self.spark.createDataFrame(
+            tbl.to_pandas(), schema=self._manifest_spark_schema()
+        )
+
+    def _delete_paths_spark(self, paths_df: DataFrame) -> int:
+        """Delete the ``file_path`` column's files in a Spark job (the
+        driver never stats or deletes a data file); missing files are
+        counted as already gone."""
+
+        def dele(batch_iter):
+            import pyarrow as _pa
+
+            from btrblocks_spark.sources import fs as _fs
+
+            for batch in batch_iter:
+                n = 0
+                for p in batch.column("file_path").to_pylist():
+                    try:
+                        _fs.delete_file(p)
+                        n += 1
+                    except (FileNotFoundError, OSError):
+                        pass
+                yield _pa.RecordBatch.from_pydict({"n": [n]})
+
+        try:
+            par = max(self.spark.sparkContext.defaultParallelism, 1)
+        except Exception:
+            par = 8
+        row = (
+            paths_df.select("file_path")
+            .repartition(par)
+            .mapInArrow(dele, "n long")
+            .groupBy()
+            .sum("n")
+            .collect()[0]
+        )
+        return int(row[0] or 0)
+
     def expire_snapshots(self, keep_last: int = 1) -> dict:
-        """Drop all but the last ``keep_last`` snapshots; delete orphans."""
+        """Drop all but the last ``keep_last`` snapshots; delete orphans.
+
+        Above ``DISTRIBUTED_META_MIN`` expired files the doomed-file set
+        is computed as a Spark anti-join of the expired snapshots'
+        manifest rows against the retained ones', and deletion runs in
+        executor tasks — the driver reads no manifest rows and makes no
+        per-file fs calls (O(manifests) driver work)."""
         meta = self.metadata()
         snaps = meta["snapshots"]
         retained = snaps[-keep_last:]
         expired = snaps[:-keep_last]
-        keep_files: set[str] = set()
-        for s in retained:
-            for r in self._manifest_rows(s["snapshot_id"]):
-                keep_files.add(r["file_path"])
+        retained_sids = [s["snapshot_id"] for s in retained]
+        expired_sids = [s["snapshot_id"] for s in expired]
         keep_manifests = {
-            e["name"]
-            for s in retained
-            for e in self._manifest_list(s["snapshot_id"])
+            e["name"] for sid in retained_sids for e in self._manifest_list(sid)
         }
         # manifests are SHARED across snapshots (append-only manifest
         # lists): phase 1 reads every expired snapshot's rows while all
         # manifests still exist, phase 2 deletes the manifests no
         # retained snapshot references
-        removed_data, removed_manifests = 0, 0
-        expired_manifest_names: set[str] = set()
-        for s in expired:
-            for r in self._manifest_rows(s["snapshot_id"]):
-                if r["file_path"] not in keep_files and fs.exists(
-                    r["file_path"]
-                ):
-                    fs.delete_file(r["file_path"])
-                    removed_data += 1
-            expired_manifest_names |= {
-                e["name"] for e in self._manifest_list(s["snapshot_id"])
-            }
-        for name in expired_manifest_names - keep_manifests:
+        expired_entries: dict[str, dict] = {}
+        for sid in expired_sids:
+            for e in self._manifest_list(sid):
+                expired_entries[e["name"]] = e
+        n_expired_files = sum(
+            e["file_count"] or 0 for e in expired_entries.values()
+        )
+        removed_manifests = 0
+        if expired and n_expired_files >= self.DISTRIBUTED_META_MIN:
+            doomed = (
+                self._manifests_files_df(expired_sids)
+                .select("file_path")
+                .distinct()
+                .join(
+                    self._manifests_files_df(retained_sids)
+                    .select("file_path")
+                    .distinct(),
+                    "file_path",
+                    "left_anti",
+                )
+            )
+            removed_data = self._delete_paths_spark(doomed)
+        else:
+            keep_files: set[str] = set()
+            for sid in retained_sids:
+                for r in self._manifest_rows(sid):
+                    keep_files.add(r["file_path"])
+            removed_data = 0
+            seen: set[str] = set()
+            for sid in expired_sids:
+                for r in self._manifest_rows(sid):
+                    p = r["file_path"]
+                    if p in keep_files or p in seen:
+                        continue
+                    seen.add(p)
+                    if fs.exists(p):
+                        fs.delete_file(p)
+                        removed_data += 1
+        for name in set(expired_entries) - keep_manifests:
             mp = fs.join(self.root, "manifests", name)
             if fs.exists(mp):
                 fs.delete_file(mp)
@@ -891,33 +981,94 @@ class BtrTable:
           markers are kept regardless of age (data files are named
           ``<job_id>-...``; staging lives under ``_staging/<job_id>/``).
         """
-        referenced: set[str] = set()
-        for s in self.snapshots():
-            for r in self._manifest_rows(s["snapshot_id"]):
-                referenced.add(fs.join(
-                    self.root, "data", r["file_path"].rsplit("/", 1)[-1]
-                ))
         live_jobs = set(fs.list_dirs(fs.join(self.root, "_checkpoints")))
         cutoff = time.time() - older_than_seconds
+        all_sids = [s["snapshot_id"] for s in self.snapshots()]
+        data_dir = fs.join(self.root, "data")
 
-        def _protected(name: str, path: str) -> bool:
-            if any(name.startswith(j + "-") or name.startswith(j + "/")
-                   for j in live_jobs):
-                return True
-            return fs.mtime(path) > cutoff
+        # ONE recursive-free listing with mtimes — no per-file stat calls
+        from pyarrow import fs as pafs
+
+        f_, p_ = fs.resolve(data_dir)
+        try:
+            infos = [
+                i
+                for i in f_.get_file_info(pafs.FileSelector(p_))
+                if i.type == pafs.FileType.File
+            ]
+        except (FileNotFoundError, OSError):
+            infos = []
+
+        def _job_protected(name: str) -> bool:
+            return any(
+                name.startswith(j + "-") or name.startswith(j + "/")
+                for j in live_jobs
+            )
 
         removed, kept = [], 0
-        data_dir = fs.join(self.root, "data")
-        for name in fs.list_files(data_dir):
-            p = fs.join(data_dir, name)
-            if p in referenced:
-                continue
-            if _protected(name, p):
-                kept += 1
-                continue
-            removed.append(p)
-            if not dry_run:
-                fs.delete_file(p)
+        if len(infos) >= self.DISTRIBUTED_META_MIN:
+            # distributed: anti-join the listing against the referenced
+            # basenames from the manifest DataFrame; the driver never
+            # reads manifest rows or touches a data file
+            listing = self.spark.createDataFrame(
+                [
+                    (
+                        data_dir.rstrip("/") + "/" + i.base_name,
+                        i.base_name,
+                        i.mtime.timestamp() if i.mtime else 0.0,
+                    )
+                    for i in infos
+                ],
+                "file_path string, name string, mtime double",
+            )
+            ref = (
+                self._manifests_files_df(all_sids)
+                .select(
+                    F.element_at(
+                        F.split(F.col("file_path"), "/"), -1
+                    ).alias("name")
+                )
+                .distinct()
+            )
+            cand = listing.join(ref, "name", "left_anti")
+            for j in live_jobs:
+                cand = cand.filter(~F.col("name").startswith(j + "-"))
+            n_cand = cand.count()
+            orphans = cand.filter(F.col("mtime") <= F.lit(cutoff))
+            removed = [
+                r.file_path
+                for r in orphans.select("file_path").limit(20).collect()
+            ]
+            if dry_run:
+                n_removed = orphans.count()
+            else:
+                n_removed = self._delete_paths_spark(orphans)
+            kept += n_cand - n_removed
+            n_removed_data = n_removed
+        else:
+            referenced: set[str] = set()
+            for sid in all_sids:
+                for r in self._manifest_rows(sid):
+                    referenced.add(
+                        fs.join(
+                            self.root,
+                            "data",
+                            r["file_path"].rsplit("/", 1)[-1],
+                        )
+                    )
+            for i in infos:
+                name = i.base_name
+                p = fs.join(data_dir, name)
+                if p in referenced:
+                    continue
+                mtime = i.mtime.timestamp() if i.mtime else fs.mtime(p)
+                if _job_protected(name) or mtime > cutoff:
+                    kept += 1
+                    continue
+                removed.append(p)
+                if not dry_run:
+                    fs.delete_file(p)
+            n_removed_data = len(removed)
         # transient staging output (crashed jobs) — recurse the tree
         staging_root = fs.join(self.root, "_staging")
         f_, p_ = fs.resolve(staging_root)
@@ -935,26 +1086,150 @@ class BtrTable:
                     kept += 1
                     continue
                 removed.append(q)
+                n_removed_data += 1
                 if not dry_run:
                     fs.delete_file(q)
-        return {"removed": len(removed), "kept": kept, "dry_run": dry_run,
+        # orphan MANIFESTS: a manifest written then superseded within
+        # its own commit (merged away by manifest bin-packing) or left
+        # by a crash before the metadata.json swap is referenced by no
+        # snapshot and would otherwise accumulate forever. O(manifests)
+        # driver loop, same age guard.
+        referenced_manifests = {
+            e["name"] for sid in all_sids for e in self._manifest_list(sid)
+        }
+        mdir = fs.join(self.root, "manifests")
+        for name in fs.list_files(mdir):
+            if name in referenced_manifests:
+                continue
+            mp = fs.join(mdir, name)
+            if fs.mtime(mp) > cutoff:
+                kept += 1
+                continue
+            removed.append(mp)
+            n_removed_data += 1
+            if not dry_run:
+                fs.delete_file(mp)
+        return {"removed": n_removed_data, "kept": kept, "dry_run": dry_run,
                 "paths": removed[:20]}
 
+    #: target rows per manifest written by the distributed
+    #: rewrite_manifests path
+    REWRITE_MANIFEST_ROWS = 100_000
+
+    def _rewrite_manifests_spark(self, current: int, snapshot_id: int):
+        """Distributed manifest rewrite: sort the manifest DataFrame by
+        (partition, file_path) with a range partitioner and have each
+        task write one clustered manifest, yielding only its entry
+        metadata — the driver never reads a manifest row. Unlike the
+        small path there is no per-file existence check (10^7 stat
+        calls); vanished files are remove_orphan_files' concern, and a
+        scan of a missing file fails loudly rather than silently."""
+        mdf = self._manifests_files_df([current])
+        n_files = mdf.count()
+        n_out = max(1, -(-n_files // self.REWRITE_MANIFEST_ROWS))
+        root = self.root
+        sorted_df = mdf.repartitionByRange(
+            n_out, F.col("partition"), F.col("file_path")
+        ).sortWithinPartitions("partition", "file_path")
+
+        def write_part(batch_iter):
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+
+            from btrblocks_spark.sources import fs as _fs
+            from btrblocks_spark.sources.table import MANIFEST_SCHEMA
+
+            batches = [
+                b.select(MANIFEST_SCHEMA.names).cast(MANIFEST_SCHEMA)
+                for b in batch_iter
+            ]
+            if not batches:
+                return
+            tbl = _pa.Table.from_batches(batches, MANIFEST_SCHEMA)
+            paths = tbl.column("file_path").to_pylist()
+            # deterministic name from the partition's content, not the
+            # task/partition id — idempotent across retries
+            import hashlib as _hl
+
+            tag = _hl.sha256(
+                (paths[0] + paths[-1]).encode()
+            ).hexdigest()[:12]
+            name = f"manifest-{snapshot_id}-d{tag}.parquet"
+            _fs.write_parquet_atomic(
+                tbl, _fs.join(root, "manifests", name)
+            )
+            yield _pa.RecordBatch.from_pydict(
+                {
+                    "name": [name],
+                    "file_count": [tbl.num_rows],
+                    "row_count_sum": [
+                        int(_pc.sum(tbl.column("row_count")).as_py())
+                    ],
+                    "path_min": [min(paths)],
+                    "path_max": [max(paths)],
+                }
+            )
+
+        entries = [
+            r.asDict()
+            for r in sorted_df.mapInArrow(
+                write_part,
+                "name string, file_count long, row_count_sum long, "
+                "path_min string, path_max string",
+            ).collect()
+        ]
+        entries.sort(key=lambda e: e["path_min"])
+        return entries, n_files
+
     def rewrite_manifests(self) -> dict:
-        """Compact the whole manifest list into ONE clustered manifest
-        (Iceberg rewrite_manifests): rows sorted by (partition, first
-        stat min) so scan planning reads a clustered manifest, rows for
-        vanished files dropped (defensive), and the manifest list
-        collapses to a single entry — the explicit form of the automatic
-        bin-packing commits do past MANIFEST_LIST_MAX. Data files are
-        untouched."""
+        """Compact the manifest list into clustered manifests (Iceberg
+        rewrite_manifests): rows sorted by partition/cluster position so
+        scan planning reads clustered manifests. Below
+        ``DISTRIBUTED_META_MIN`` files: ONE manifest, driver-side, with
+        defensive vanished-file drops. Above it: a Spark job writes one
+        ~``REWRITE_MANIFEST_ROWS``-row manifest per range partition and
+        the driver handles only the O(manifests) entry list. Data files
+        are untouched."""
         lock = fs.join(self.root, "_commit.lock")
         if not fs.create_exclusive(lock):
             raise CommitConflict(f"another commit holds {lock}")
         try:
             meta = self.metadata()
             current = meta["current_snapshot_id"]
-            before = len(self._manifest_list(current))
+            mlist = self._manifest_list(current)
+            before = len(mlist)
+            n_total = sum(e["file_count"] or 0 for e in mlist)
+            snapshot_id = current + 1
+            if n_total >= self.DISTRIBUTED_META_MIN:
+                entries, n_kept = self._rewrite_manifests_spark(
+                    current, snapshot_id
+                )
+                dropped = 0
+                meta["snapshots"].append(
+                    {
+                        "snapshot_id": snapshot_id,
+                        "parent": current,
+                        "ts": time.time(),
+                        "operation": "rewrite-manifests",
+                        "manifest": None,
+                        "manifests": entries,
+                        "summary": {
+                            "manifests_before": before,
+                            "manifests_after": len(entries),
+                            "total_files": n_kept,
+                            "dropped_missing": 0,
+                        },
+                    }
+                )
+                meta["current_snapshot_id"] = snapshot_id
+                _atomic_write_json(self._meta_path, meta)
+                return {
+                    "snapshot_id": snapshot_id,
+                    "files": n_kept,
+                    "dropped": 0,
+                    "manifests_before": before,
+                    "manifests_after": len(entries),
+                }
             rows = self._manifest_rows(current)
             kept = [r for r in rows if fs.exists(r["file_path"])]
 
@@ -965,7 +1240,6 @@ class BtrTable:
 
             kept.sort(key=sort_key)
             dropped = len(rows) - len(kept)
-            snapshot_id = current + 1
             entries = []
             if kept:
                 entries = [

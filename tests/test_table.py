@@ -267,3 +267,160 @@ def test_manifest_list_autocompaction(spark, tmp_path):
     assert sum(e["file_count"] for e in entries) == BtrTable.MANIFEST_LIST_MAX + 10
     # every row still reachable
     assert len(t.data_files()) == BtrTable.MANIFEST_LIST_MAX + 10
+
+
+def test_metadata_ops_driver_work_o_manifests(spark, tmp_path, monkeypatch):
+    """rewrite_manifests and expire_snapshots on a 10^5-file table must
+    do O(manifests) driver work: no per-data-file fs calls from the
+    driver (the Spark jobs handle rows and deletions), matching the
+    commit path's O(added+touched) guarantee."""
+    import time as _time
+
+    from btrblocks_spark.fixtures import image_caption_table
+    from btrblocks_spark.sources import fs
+    from btrblocks_spark.sources.table import BtrTable
+
+    root = str(tmp_path / "bigmeta")
+    df = spark.createDataFrame(image_caption_table(60, seed=7))
+    t = BtrTable.create(spark, root, df, num_files=2, job_id="b0")
+    real_files = {r["file_path"] for r in t.data_files()}
+    base_entries = t._manifest_list(t.current_snapshot_id())
+
+    n_fake = 100_000
+    rows = [
+        {
+            "file_path": f"{root}/data/fake-{i:07d}.parquet",
+            "partition": "{}",
+            "row_count": 1,
+            "block_count": 1,
+            "file_bytes": 10,
+            "raw_bytes": 10,
+            "stats": "{}",
+            "job_id": "fake",
+            "source_files": "[]",
+            "sort_key": "",
+        }
+        for i in range(n_fake)
+    ]
+    entry = t._write_manifest("manifest-big.parquet", rows)
+    meta = t.metadata()
+    cur = meta["current_snapshot_id"]
+    meta["snapshots"].append(
+        {
+            "snapshot_id": cur + 1,
+            "parent": cur,
+            "ts": _time.time(),
+            "operation": "append",
+            "manifest": None,
+            "manifests": base_entries + [entry],
+            "summary": {},
+        }
+    )
+    meta["current_snapshot_id"] = cur + 1
+    fs.write_json_atomic(t._meta_path, meta)
+    t = BtrTable.load(spark, root)
+
+    calls = {"exists": 0, "mtime": 0, "delete": 0}
+    real_exists, real_mtime, real_delete = fs.exists, fs.mtime, fs.delete_file
+
+    def c_exists(p):
+        calls["exists"] += 1
+        return real_exists(p)
+
+    def c_mtime(p):
+        calls["mtime"] += 1
+        return real_mtime(p)
+
+    def c_delete(p, *a, **kw):
+        calls["delete"] += 1
+        return real_delete(p, *a, **kw)
+
+    monkeypatch.setattr(fs, "exists", c_exists)
+    monkeypatch.setattr(fs, "mtime", c_mtime)
+    monkeypatch.setattr(fs, "delete_file", c_delete)
+
+    res = t.rewrite_manifests()
+    assert res["files"] == n_fake + len(real_files)
+    assert res["manifests_after"] >= 1
+    driver_calls = sum(calls.values())
+    assert driver_calls < 100, calls  # O(manifests), never O(files)
+    # entry metadata is consistent with the rewritten manifests
+    assert sum(
+        e["file_count"] for e in t._manifest_list(res["snapshot_id"])
+    ) == n_fake + len(real_files)
+
+    # drop the fake files from the NEW current snapshot (metadata-only
+    # graft), then expire: the doomed-file anti-join and deletions must
+    # run as Spark jobs, not driver loops
+    meta = t.metadata()
+    cur = meta["current_snapshot_id"]
+    meta["snapshots"].append(
+        {
+            "snapshot_id": cur + 1,
+            "parent": cur,
+            "ts": _time.time(),
+            "operation": "rewrite",
+            "manifest": None,
+            "manifests": base_entries,
+            "summary": {},
+        }
+    )
+    meta["current_snapshot_id"] = cur + 1
+    fs.write_json_atomic(t._meta_path, meta)
+    t = BtrTable.load(spark, root)
+
+    for k in calls:
+        calls[k] = 0
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired_snapshots"] >= 2
+    driver_calls = sum(calls.values())
+    assert driver_calls < 100, calls
+    # retained data intact
+    assert {r["file_path"] for r in t.data_files()} == real_files
+    assert t.scan().count() == 60
+
+
+def test_remove_orphans_distributed_path(spark, tmp_path, monkeypatch):
+    """remove_orphan_files above the threshold: orphan detection is a
+    Spark anti-join over the single mtime-bearing listing — zero
+    driver-side per-data-file mtime/exists calls."""
+    import os as _os
+
+    from btrblocks_spark.fixtures import image_caption_table
+    from btrblocks_spark.sources import fs
+    from btrblocks_spark.sources.table import BtrTable
+
+    root = str(tmp_path / "orph")
+    df = spark.createDataFrame(image_caption_table(40, seed=9))
+    t = BtrTable.create(spark, root, df, num_files=2, job_id="o0")
+    real_files = {r["file_path"] for r in t.data_files()}
+    orphans = []
+    for i in range(3):
+        p = _os.path.join(root, "data", f"dead-{i}.parquet")
+        open(p, "wb").write(b"x")
+        _os.utime(p, (1_000_000, 1_000_000))  # ancient mtime
+        orphans.append(p)
+
+    monkeypatch.setattr(BtrTable, "DISTRIBUTED_META_MIN", 1)
+    calls = {"mtime": 0}
+    real_mtime = fs.mtime
+
+    def c_mtime(p):
+        if "/data/" in p:
+            calls["mtime"] += 1
+        return real_mtime(p)
+
+    monkeypatch.setattr(fs, "mtime", c_mtime)
+    # plus an orphan MANIFEST (written then superseded / crash leftover)
+    dead_manifest = _os.path.join(root, "manifests", "manifest-dead.parquet")
+    t._write_manifest("manifest-dead.parquet", [])
+    _os.utime(dead_manifest, (1_000_000, 1_000_000))
+
+    res = t.remove_orphan_files(older_than_seconds=60.0)
+    assert calls["mtime"] <= 2, calls  # manifest-orphan age guard only
+    for p in orphans:
+        assert not _os.path.exists(p)
+    assert not _os.path.exists(dead_manifest)
+    for p in real_files:
+        assert _os.path.exists(p)
+    assert t.scan().count() == 40
