@@ -255,9 +255,16 @@ def cluster_staged(
                         np.flatnonzero(hot_rows) + gid * 1_000_003
                     ) % salt_buckets
                 if parts:
+                    # NULL partition values: same sentinel as
+                    # blockfile.split_by_partition — an unfilled null
+                    # cell would surface as None and crash np.unique
+                    # ('<' unsupported between NoneType and str)
+                    _NULL = "\x00__null__"
                     key_str = None
                     for c in parts:
-                        col = pc.cast(tbl.column(c), pa.string())
+                        col = pc.fill_null(
+                            pc.cast(tbl.column(c), pa.string()), _NULL
+                        )
                         key_str = (
                             col
                             if key_str is None
@@ -294,7 +301,15 @@ def cluster_staged(
                     pjson = (
                         _json.dumps(
                             dict(
-                                zip(parts, str(uniq_parts[pi]).split("\x1f"))
+                                zip(
+                                    parts,
+                                    [
+                                        None if v == "\x00__null__" else v
+                                        for v in str(
+                                            uniq_parts[pi]
+                                        ).split("\x1f")
+                                    ],
+                                )
                             )
                         )
                         if part_np is not None

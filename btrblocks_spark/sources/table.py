@@ -237,7 +237,10 @@ class BtrTable:
         def encode_task(batch_iter):
             from pyspark import TaskContext
 
-            from btrblocks_spark.sources.blockfile import encode_table
+            from btrblocks_spark.sources.blockfile import (
+                encode_table,
+                split_by_partition,
+            )
 
             from btrblocks_spark.sources import fs as _fs
 
@@ -251,36 +254,9 @@ class BtrTable:
             rows_out: list[dict] = []
             if batches:
                 tbl = pa.Table.from_batches(batches)
-                # one file per partition value present in this task
-                if parts:
-                    import pyarrow.compute as pc
-
-                    keys = [tbl.column(c) for c in parts]
-                    key_str = None
-                    for c in parts:
-                        col = pc.cast(tbl.column(c), pa.string())
-                        key_str = (
-                            col
-                            if key_str is None
-                            else pc.binary_join_element_wise(key_str, col, "\x1f")
-                        )
-                    uniq = pc.unique(key_str)
-                    groups = [
-                        (
-                            json.dumps(
-                                dict(
-                                    zip(
-                                        parts,
-                                        u.as_py().split("\x1f"),
-                                    )
-                                )
-                            ),
-                            tbl.filter(pc.equal(key_str, u)),
-                        )
-                        for u in uniq
-                    ]
-                else:
-                    groups = [("{}", tbl)]
+                # one file per partition value present in this task —
+                # shared kernel (null-safe sentinel handling included)
+                groups = split_by_partition(tbl, parts)
                 k = 0
                 for part_json, sub in groups:
                     step = max_rows or sub.num_rows or 1

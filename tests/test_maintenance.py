@@ -237,3 +237,32 @@ def test_estimate_df_bytes_nested(spark):
     actual = df.toArrow().nbytes
     assert est >= actual * 0.5, (est, actual)
     assert est <= actual * 4, (est, actual)
+
+
+def test_cluster_staged_null_partition_values(spark, tmp_path_factory):
+    """A null partition-column value must survive staged clustering:
+    the split kernel fills nulls with the shared sentinel and maps it
+    back to JSON null in the manifest (an unfilled None crashed
+    np.unique mid-job)."""
+    root = str(tmp_path_factory.mktemp("clusnull"))
+    pdf = image_caption_table(200, seed=41)
+    df = spark.createDataFrame(pdf).withColumn(
+        "fmt",
+        F.when(F.col("phash") % 3 == 0, F.lit(None)).otherwise(
+            F.col("fmt")
+        ),
+    )
+    n_null = df.filter(F.col("fmt").isNull()).count()
+    assert n_null > 0
+    t = BtrTable.create(
+        spark, root, df, partition_by=["fmt"], num_files=2,
+        max_rows_per_file=50, job_id="n0",
+    )
+    res = cluster(t, job_id="zn", max_rows_per_file=80)
+    assert res["new_files"] >= 1
+    assert t.scan().count() == 200
+    assert t.scan().filter(F.col("fmt").isNull()).count() == n_null
+    # manifests carry JSON null, not the sentinel or "None"
+    parts = {r["partition"] for r in t.data_files()}
+    assert any('"fmt": null' in p for p in parts), parts
+    assert not any("__null__" in p or '"None"' in p for p in parts)
