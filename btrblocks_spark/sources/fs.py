@@ -55,6 +55,76 @@ _LOCAL_FS = pafs.LocalFileSystem()
 _FS_CACHE: dict[tuple[str, str], pafs.FileSystem] = {}
 
 
+class _NoRenameHandler(pafs.FileSystemHandler):
+    """Local-disk-backed emulation of OBJECT-STORE semantics: direct
+    PUTs, list-after-write, and NO rename (S3 has none — a move is a
+    copy+delete and never atomic). Routed via the scheme map
+    (``{"s3like": "s3like"}``) so executor workers resolve it too.
+    Every engine path that would rely on an atomic rename raises
+    NotImplementedError here — the lifecycle test proves the
+    commit/maintenance protocol works without one."""
+
+    def __init__(self):
+        self._fs = pafs.LocalFileSystem()
+
+    def get_type_name(self):
+        return "s3like"
+
+    def normalize_path(self, path):
+        return self._fs.normalize_path(path)
+
+    def get_file_info(self, paths):
+        return self._fs.get_file_info(paths)
+
+    def get_file_info_selector(self, selector):
+        return self._fs.get_file_info(selector)
+
+    def create_dir(self, path, recursive):
+        self._fs.create_dir(path, recursive=recursive)
+
+    def delete_dir(self, path):
+        self._fs.delete_dir(path)
+
+    def delete_dir_contents(self, path, missing_dir_ok=False):
+        self._fs.delete_dir_contents(path, missing_dir_ok=missing_dir_ok)
+
+    def delete_root_dir_contents(self):
+        raise NotImplementedError("refusing to clear root")
+
+    def delete_file(self, path):
+        self._fs.delete_file(path)
+
+    def move(self, src, dest):
+        raise NotImplementedError(
+            "object store semantics: no rename/move (use direct PUT)"
+        )
+
+    def copy_file(self, src, dest):
+        self._fs.copy_file(src, dest)
+
+    def open_input_stream(self, path):
+        return self._fs.open_input_stream(path)
+
+    def open_input_file(self, path):
+        return self._fs.open_input_file(path)
+
+    def open_output_stream(self, path, metadata):
+        return self._fs.open_output_stream(path)
+
+    def open_append_stream(self, path, metadata):
+        return self._fs.open_append_stream(path)
+
+
+_S3LIKE: pafs.FileSystem | None = None
+
+
+def _s3like_fs() -> pafs.FileSystem:
+    global _S3LIKE
+    if _S3LIKE is None:
+        _S3LIKE = pafs.PyFileSystem(_NoRenameHandler())
+    return _S3LIKE
+
+
 def resolve(path: str) -> tuple[pafs.FileSystem, str]:
     """Path string -> (filesystem, path-within-filesystem).
 
@@ -68,6 +138,8 @@ def resolve(path: str) -> tuple[pafs.FileSystem, str]:
         env_map = json.loads(os.environ.get(_ENV_MAP, "{}"))
         if env_map.get(scheme) == "local":
             return _LOCAL_FS, "/" + rest.lstrip("/")
+        if env_map.get(scheme) == "s3like":
+            return _s3like_fs(), "/" + rest.lstrip("/")
         if scheme == "file":
             return _LOCAL_FS, "/" + rest.lstrip("/")
         if scheme in ("s3", "s3a", "gs", "gcs"):

@@ -8,7 +8,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 # route mem:// through LocalFileSystem in every process (see sources/fs.py);
 # must be set before the JVM starts so executor workers inherit it
-os.environ.setdefault("BTRSPARK_FS_SCHEME_MAP", '{"mem": "local"}')
+os.environ.setdefault("BTRSPARK_FS_SCHEME_MAP", '{"mem": "local", "s3like": "s3like"}')
 
 
 @pytest.fixture(scope="session")

@@ -118,3 +118,54 @@ def test_mem_scheme_compact_and_expire(spark, mem_table):
     exp = table.expire_snapshots(keep_last=1)
     assert exp["expired_snapshots"] >= 1
     assert table.scan().count() == before
+
+
+def test_s3like_no_rename_full_lifecycle(spark, tmp_path_factory):
+    """Full table lifecycle against a store that FORBIDS rename (S3
+    semantics — any engine path relying on an atomic move raises
+    NotImplementedError mid-job): create -> append -> merge -> compact
+    -> cluster -> rewrite manifests -> expire -> orphan cleanup ->
+    scan. The commit protocol's write-then-single-metadata-swap must
+    carry the whole run."""
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.operators.cluster import cluster
+    from btrblocks_spark.operators.merge import merge_into
+
+    local_root = str(tmp_path_factory.mktemp("s3like"))
+    root = f"s3like://{local_root.lstrip('/')}"
+    df = spark.createDataFrame(image_caption_table(240, seed=17))
+    table = BtrTable.create(
+        spark, root, df, partition_by=["fmt"], num_files=4,
+        max_rows_per_file=60, job_id="s0",
+    )
+    assert table.scan().count() == 240
+
+    extra = spark.createDataFrame(image_caption_table(30, seed=18)).withColumn(
+        "image_id", F.concat(F.lit("x-"), F.col("image_id"))
+    )
+    table.append(extra, job_id="s1")
+    assert table.scan().count() == 270
+
+    cols = table.schema_arrow().names
+    upd = (
+        table.scan(columns=cols).limit(10)
+        .withColumn("caption", F.lit("S3 EDIT"))
+    )
+    merge_into(table, upd, on="image_id", job_id="s2")
+    assert table.scan().filter(F.col("caption") == "S3 EDIT").count() == 10
+
+    res = compact(table, target_file_bytes=64 * 1024 * 1024, job_id="s3c")
+    assert res["bins"] >= 1
+    res = cluster(table, job_id="s4", max_rows_per_file=100)
+    assert res["new_files"] >= 1
+    res = table.rewrite_manifests()
+    assert res["manifests_after"] >= 1
+    res = table.expire_snapshots(keep_last=1)
+    assert res["expired_snapshots"] >= 1
+    res = table.remove_orphan_files(older_than_seconds=0.0, dry_run=True)
+    assert table.scan().count() == 270
+    assert table.scan().filter(F.col("caption") == "S3 EDIT").count() == 10
+    # every surviving path is remote-schemed; nothing leaked to os.* paths
+    for r in table.data_files():
+        assert r["file_path"].startswith("s3like://")
