@@ -287,12 +287,12 @@ def compact_job(cores: int) -> dict:
             yield pa.RecordBatch.from_pydict({"n": [n]})
 
     decode_best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         spec.mapInArrow(decode_only, "n long").groupBy().sum("n").collect()
         decode_best = min(decode_best, time.time() - t0)
     scan_best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         table.scan().count()
         scan_best = min(scan_best, time.time() - t0)
@@ -358,7 +358,7 @@ def merge_job(cores: int) -> dict:
 
     canon = _ensure_btr_table(spark)
     best = None
-    for rep in range(2):  # host CPU noise is one-sided; take the best
+    for rep in range(3):  # host CPU noise is one-sided; take the best
         work_root = os.path.join(CACHE, f"mergerun-{cores}-{os.getpid()}-{rep}")
         shutil.rmtree(work_root, ignore_errors=True)
         shutil.copytree(canon, work_root)

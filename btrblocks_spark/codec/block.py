@@ -43,6 +43,7 @@ NULL_ALLONES = 0  # no nulls
 NULL_ALLZEROS = 1  # all null
 NULL_BITMAP = 2  # packed validity bitset
 NULL_BITMAP_Z = 3  # zlib'd packed validity bitset
+NULL_ROARING = 4  # roaring-style container (array/run of minority side)
 
 _TYPE_OF_ARROW = {
     pa.int32(): T_INT32,
@@ -137,6 +138,65 @@ def _rebuild_list_with_nulls(arr: pa.Array, validity: np.ndarray) -> pa.Array:
     )
 
 
+def _roaring_encode(validity: np.ndarray) -> bytes | None:
+    """Roaring-style single-container nullmap for one <=65536-row block
+    (mirrors the reference's Roaring usage incl. FLIPPED mode,
+    ``btrblocks/extern/RoaringBitmap.cpp:117-159``): encode whichever
+    side (nulls or valids) is the minority, as either a sorted uint16
+    position array (<= 4096 entries) or (start, len-1) uint16 run pairs
+    — whichever is smaller. Returns None when neither beats giving up
+    (caller falls back to the bitmap kinds).
+
+    Layout: ``u8 container(0=array,1=runs) | u8 flipped | u16 count |
+    u16 payload[]`` — little-endian, O(1)-seekable, no bit twiddling on
+    decode (positions scatter straight into a bool array)."""
+    n = len(validity)
+    if n > 65536:
+        return None
+    n_valid = int(validity.sum())
+    flipped = n_valid < n - n_valid  # minority = valids -> flip
+    minority = validity if flipped else ~validity
+    pos = np.flatnonzero(minority).astype(np.uint16)
+    k = len(pos)
+    # runs of the minority side
+    breaks = np.flatnonzero(np.diff(pos.astype(np.int64)) > 1)
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [k - 1]))
+    r = len(starts)
+    arr_bytes, run_bytes = 2 * k, 4 * r
+    if min(arr_bytes, run_bytes) + 4 >= n // 8:  # bitmap wins
+        return None
+    if arr_bytes <= run_bytes:
+        payload = pos.tobytes()
+        container, count = 0, k
+    else:
+        pairs = np.empty(2 * r, np.uint16)
+        pairs[0::2] = pos[starts]
+        pairs[1::2] = (pos[ends].astype(np.int64)
+                       - pos[starts].astype(np.int64)).astype(np.uint16)
+        payload = pairs.tobytes()
+        container, count = 1, r
+    # count < n/2 <= 32768 (minority side), so u16 never wraps
+    return struct.pack("<BBH", container, int(flipped), count) + payload
+
+
+def _roaring_decode(payload: memoryview, n: int) -> np.ndarray:
+    container, flipped, count = struct.unpack_from("<BBH", payload, 0)
+    body = np.frombuffer(payload, np.uint16, offset=4)
+    minority = np.zeros(n, bool)
+    if container == 0:
+        minority[body.astype(np.int64)] = True
+    else:
+        starts = body[0::2].astype(np.int64)
+        lens = body[1::2].astype(np.int64) + 1
+        # vectorized run scatter: one diff array + cumsum
+        d = np.zeros(n + 1, np.int64)
+        np.add.at(d, starts, 1)
+        np.add.at(d, starts + lens, -1)
+        minority = np.cumsum(d[:-1]) > 0
+    return minority if flipped else ~minority
+
+
 def _encode_validity(arr: pa.Array) -> tuple[int, bytes, np.ndarray | None]:
     n = len(arr)
     if arr.null_count == 0:
@@ -144,11 +204,15 @@ def _encode_validity(arr: pa.Array) -> tuple[int, bytes, np.ndarray | None]:
     if arr.null_count == n:
         return NULL_ALLZEROS, b"", np.zeros(n, bool)
     validity = np.asarray(arr.is_valid())
+    roar = _roaring_encode(validity)
     packed = np.packbits(validity).tobytes()
     z = zlib.compress(packed, 1)
-    if len(z) < len(packed):
-        return NULL_BITMAP_Z, z, validity
-    return NULL_BITMAP, packed, validity
+    best_kind, best = NULL_BITMAP, packed
+    if len(z) < len(best):
+        best_kind, best = NULL_BITMAP_Z, z
+    if roar is not None and len(roar) < len(best):
+        best_kind, best = NULL_ROARING, roar
+    return best_kind, best, validity
 
 
 def _decode_validity(
@@ -158,6 +222,8 @@ def _decode_validity(
         return None
     if kind == NULL_ALLZEROS:
         return np.zeros(n, bool)
+    if kind == NULL_ROARING:
+        return _roaring_decode(payload, n)
     raw = zlib.decompress(bytes(payload)) if kind == NULL_BITMAP_Z else bytes(payload)
     return np.unpackbits(np.frombuffer(raw, np.uint8))[:n].astype(bool)
 

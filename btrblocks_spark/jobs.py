@@ -3,9 +3,8 @@
 Package the library and submit any maintenance job against a table root::
 
     python tools/make_pyfiles.py               # -> dist/btrblocks_spark.zip
-    spark-submit --py-files dist/btrblocks_spark.zip \
-        -m btrblocks_spark.jobs compact --table /data/imgtable \
-        --target-file-bytes 67108864
+    spark-submit --py-files dist/btrblocks_spark.zip tools/submit_job.py \
+        compact --table /data/imgtable --target-file-bytes 67108864
 
 (or ``python -m btrblocks_spark.jobs ...`` locally — the driver builds its
 own SparkSession; on a cluster, spark-submit's conf wins).

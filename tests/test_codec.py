@@ -374,3 +374,66 @@ def test_dict_pool_zlib_wins_on_repetitive_text():
     assert tree["pool_codec"] == "zlib", tree
     o2, p2, _ = strings.decode(memoryview(blob), 0)
     assert strings.to_arrow(o2, p2).equals(arr)
+
+
+def test_roaring_nullmap_containers():
+    """Roaring-style nullmap (RoaringBitmap.cpp:117-159 flipping parity):
+    sparse nulls -> uint16 position array, clustered nulls -> run pairs,
+    mostly-null -> flipped minority; dense random nulls fall back to the
+    bitmap kinds. All round-trip exactly."""
+    import numpy as np
+    import pyarrow as pa
+
+    from btrblocks_spark.codec.block import (
+        NULL_BITMAP,
+        NULL_BITMAP_Z,
+        NULL_ROARING,
+        decode_block,
+        encode_block,
+    )
+    from btrblocks_spark.codec import block as blockmod
+
+    def kind_of(blob):
+        import struct
+
+        return struct.unpack_from("<HBBII", blob, 0)[2]
+
+    n = 65536
+    rng = np.random.default_rng(7)
+
+    def roundtrip(mask):
+        vals = rng.integers(0, 1000, n)
+        arr = pa.array(
+            [None if m else int(v) for m, v in zip(mask, vals)],
+            pa.int64(),
+        )
+        blob = encode_block(arr)
+        back = decode_block(blob)
+        assert back.equals(arr)
+        return kind_of(blob)
+
+    # sparse scattered nulls -> array container
+    sparse = np.zeros(n, bool)
+    sparse[rng.choice(n, 50, replace=False)] = True
+    assert roundtrip(sparse) == NULL_ROARING
+
+    # clustered nulls -> run container beats 100 positions
+    clustered = np.zeros(n, bool)
+    clustered[1000:3000] = True
+    clustered[60000:61000] = True
+    assert roundtrip(clustered) == NULL_ROARING
+
+    # mostly-null block -> flipped minority (valids) container
+    mostly = np.ones(n, bool)
+    mostly[rng.choice(n, 40, replace=False)] = False
+    assert roundtrip(mostly) == NULL_ROARING
+
+    # dense random nulls -> roaring loses to the packed bitmap kinds
+    dense = rng.random(n) < 0.5
+    assert roundtrip(dense) in (NULL_BITMAP, NULL_BITMAP_Z)
+
+    # direct container checks
+    blob = blockmod._roaring_encode(~sparse)
+    assert blob is not None and blob[0] == 0  # array container
+    blob = blockmod._roaring_encode(~clustered)
+    assert blob is not None and blob[0] == 1  # run container
