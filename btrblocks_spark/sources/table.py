@@ -661,7 +661,13 @@ class BtrTable:
         if not paths:
             return self.spark.createDataFrame([], schema=spark_schema)
         if native_io is None:
-            native_io = not fs.is_local(paths[0])
+            # default EVERYWHERE, not just object stores: the block
+            # decode runs in Python workers regardless, so the JVM
+            # parquet reader only adds a second Arrow IPC hop and
+            # coalesces ~8 block files per task (maxPartitionBytes),
+            # starving parallelism — measured 4.4x slower than workers
+            # reading via pyarrow with one task per file
+            native_io = True
         schema_hex = arrow_schema.serialize().hex().decode()
         if with_file:
             from pyspark.sql.types import StringType, StructField, StructType
@@ -687,9 +693,16 @@ class BtrTable:
                 )
                 for batch in batch_iter:
                     for path in batch.column("file_path").to_pylist():
-                        bt = _fs.read_parquet(path)
-                        have = [c for c in bcols if c in bt.schema.names]
-                        bt = bt.select(have)
+                        try:
+                            # I/O-level column pruning: only the wanted
+                            # b_<col> blobs leave the store
+                            bt = _fs.read_parquet(path, columns=bcols)
+                        except Exception:
+                            # evolved schema: old files lack new columns
+                            bt = _fs.read_parquet(path)
+                            bt = bt.select(
+                                [c for c in bcols if c in bt.schema.names]
+                            )
                         if with_file:
                             bt = bt.append_column(
                                 "_file",
