@@ -679,9 +679,19 @@ class BtrTable:
             out_schema = spark_schema
 
         if native_io:
+            # one row per file, but cap the TASK count at 4x parallelism:
+            # a task has ~100ms of Arrow-stream setup overhead, so a
+            # narrow scan of 500 small files must not pay 500 of them;
+            # each task streams its files sequentially (still one file
+            # in memory at a time)
+            try:
+                par = max(self.spark.sparkContext.defaultParallelism, 1)
+            except Exception:
+                par = 8
+            n_tasks = max(1, min(len(paths), par * 4))
             spec_df = self.spark.createDataFrame(
                 [(p,) for p in paths], "file_path string"
-            ).repartition(len(paths))
+            ).repartition(n_tasks)
             bcols = ["tuple_count"] + [f"b_{c}" for c in want]
 
             def read_native(batch_iter):
