@@ -265,8 +265,10 @@ def compact_job(cores: int) -> dict:
     #   what a downstream DataFrame consumer actually experiences
     raw_bytes = sum(r["raw_bytes"] for r in table.data_files())
     paths = [r["file_path"] for r in table.data_files()]
+    # cap task count like table.scan() does — per-task Arrow-stream
+    # setup is ~100ms and must not dominate a per-file spec
     spec = spark.createDataFrame([(p,) for p in paths], "p string").repartition(
-        len(paths)
+        max(1, min(len(paths), cores * 4))
     )
     schema_hex = table.schema_arrow().serialize().hex().decode()
 
