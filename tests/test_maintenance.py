@@ -266,3 +266,63 @@ def test_cluster_staged_null_partition_values(spark, tmp_path_factory):
     parts = {r["partition"] for r in t.data_files()}
     assert any('"fmt": null' in p for p in parts), parts
     assert not any("__null__" in p or '"None"' in p for p in parts)
+
+
+def test_merge_staged_resume_after_commit_crash(spark, tmp_path_factory, monkeypatch):
+    """Kill MERGE at the commit step; a rerun with the same job id must
+    resume from the per-bin rewrite markers (files already rewritten are
+    not re-encoded) and land the same result exactly once."""
+    root = str(tmp_path_factory.mktemp("mergeresume"))
+    df = spark.createDataFrame(image_caption_table(300, seed=53))
+    t = BtrTable.create(
+        spark, root, df, partition_by=["fmt"], num_files=3,
+        max_rows_per_file=100, job_id="mr0",
+    )
+    before = t.scan().count()
+    cols = t.schema_arrow().names
+    src = (
+        t.scan(columns=cols).limit(20)
+        .withColumn("caption", F.lit("RESUMED EDIT"))
+    )
+    real_commit = BtrTable._commit
+    calls = {"n": 0}
+
+    def crashing_commit(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated driver death at commit")
+        return real_commit(self, *a, **kw)
+
+    monkeypatch.setattr(BtrTable, "_commit", crashing_commit)
+    with pytest.raises(RuntimeError, match="simulated"):
+        merge_into(t, src, on="image_id", job_id="mres")
+    # no snapshot landed; table unchanged
+    assert t.scan().count() == before
+    assert t.scan().filter(F.col("caption") == "RESUMED EDIT").count() == 0
+    res = merge_into(t, src, on="image_id", job_id="mres")  # resume
+    assert res["touched_files"] >= 1
+    assert t.scan().count() == before
+    assert t.scan().filter(F.col("caption") == "RESUMED EDIT").count() == 20
+
+
+def test_commit_lock_conflict(spark, tmp_path_factory):
+    """A held commit lock makes a second committer fail fast with
+    CommitConflict instead of corrupting metadata."""
+    from btrblocks_spark.sources import fs
+    from btrblocks_spark.sources.table import CommitConflict
+
+    root = str(tmp_path_factory.mktemp("lockconf"))
+    df = spark.createDataFrame(image_caption_table(60, seed=57))
+    t = BtrTable.create(spark, root, df, num_files=1, job_id="lk0")
+    lock = fs.join(root, "_commit.lock")
+    assert fs.create_exclusive(lock)
+    try:
+        with pytest.raises(CommitConflict):
+            t.rewrite_manifests()
+        with pytest.raises(CommitConflict):
+            t._commit([], operation="noop", replaced=set())
+    finally:
+        fs.delete_file(lock)
+    # lock released -> commits work again
+    t.rewrite_manifests()
+    assert t.scan().count() == 60
