@@ -88,3 +88,18 @@ def test_block_nullable_string_roundtrip(vals):
     arr = pa.array(vals, pa.large_string())
     out = block.decode_block(block.encode_block(arr))
     assert out.to_pylist() == vals
+
+
+@given(
+    arrays(np.bool_, st.integers(min_value=2, max_value=3000)),
+)
+@settings(max_examples=60, deadline=None)
+def test_roaring_validity_roundtrip(validity):
+    """Any mixed validity mask round-trips through the roaring
+    container when it qualifies; decode is exact either way."""
+    n = len(validity)
+    blob = block._roaring_encode(validity)
+    if blob is None:
+        return  # bitmap kinds win; covered by other round-trips
+    back = block._roaring_decode(memoryview(blob), n)
+    assert np.array_equal(back, validity)

@@ -424,3 +424,31 @@ def test_remove_orphans_distributed_path(spark, tmp_path, monkeypatch):
     for p in real_files:
         assert _os.path.exists(p)
     assert t.scan().count() == 40
+
+
+def test_rewrite_manifests_distributed_idempotent_rerun(spark, tmp_path, monkeypatch):
+    """Distributed rewrite_manifests writes content-derived manifest
+    names, so a rerun (e.g. after a crash between the Spark job and the
+    metadata swap) overwrites the same files and lands an equivalent
+    snapshot — no duplicate or orphaned state."""
+    from btrblocks_spark.fixtures import image_caption_table
+    from btrblocks_spark.sources.table import BtrTable
+
+    root = str(tmp_path / "rwidem")
+    df = spark.createDataFrame(image_caption_table(50, seed=13))
+    t = BtrTable.create(spark, root, df, num_files=2, job_id="ri0")
+    monkeypatch.setattr(BtrTable, "DISTRIBUTED_META_MIN", 1)
+
+    r1 = t.rewrite_manifests()
+    files_1 = sorted(
+        e["name"] for e in t._manifest_list(r1["snapshot_id"])
+    )
+    r2 = t.rewrite_manifests()  # rerun over the rewritten state
+    files_2 = sorted(
+        e["name"] for e in t._manifest_list(r2["snapshot_id"])
+    )
+    # same content -> same manifest set modulo the snapshot id prefix
+    strip = lambda names: sorted(n.split("-", 2)[-1] for n in names)
+    assert strip(files_1) == strip(files_2)
+    assert t.scan().count() == 50
+    assert r1["files"] == r2["files"] == len(t.data_files())
