@@ -245,6 +245,40 @@ def _knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_bruteforce(emb, queries, k=5)
 
 
+def _embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 quantization summary per vector (scale in microunits + L1 /
+    max of the int8 codes — deterministic integers both engines agree
+    on bit-for-bit; floor-based rounding throughout)."""
+    from btrblocks_spark.functions.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qd = quantize_embeddings(emb)
+    return (
+        qd.select(
+            "vec_id",
+            F.floor(F.col("q_scale") * 1e6).cast("long").alias("scale_micro"),
+            F.aggregate(
+                F.col("q"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + F.abs(x).cast("long"),
+            ).alias("q_l1"),
+            F.array_max("q").cast("int").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.similarity import knn_quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return knn_quantized(emb, queries, k=5)
+
+
 def _knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.similarity import knn_lsh
 
@@ -353,6 +387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs_det": _simhash_pairs_det,  # oracle-checked
         # similarity search
         "knn_bruteforce": _knn,
+        "embedding_quantize": _embedding_quantize,  # oracle-checked SQ8
+        "knn_quantized": _knn_quantized,  # oracle-checked int8 cosine
         "knn_lsh": _knn_lsh,  # rows-only (numpy hyperplanes)
         "knn_ivf": _knn_ivf,  # rows-only (numpy kmeans centroids)
         "knn_recall_lsh": _knn_recall_lsh,  # oracle-checked (det LSH)
@@ -685,6 +721,64 @@ def oracle_sql() -> dict[str, str]:
                      CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
               FROM cand
             ) WHERE hamming <= 3
+        """,
+        "embedding_quantize": """
+            WITH s AS (
+              SELECT vec_id,
+                     CASE WHEN list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) > 0
+                          THEN list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                          ELSE 1.0 END AS scale
+              FROM embeddings
+            )
+            SELECT e.vec_id,
+                   CAST(floor(s.scale * 1e6) AS BIGINT) AS scale_micro,
+                   CAST(list_sum(list_transform(e.embedding,
+                        x -> abs(floor(CAST(x AS DOUBLE)/s.scale + 0.5))))
+                        AS BIGINT) AS q_l1,
+                   CAST(list_max(list_transform(e.embedding,
+                        x -> floor(CAST(x AS DOUBLE)/s.scale + 0.5)))
+                        AS INT) AS q_max
+            FROM embeddings e JOIN s USING (vec_id)
+            ORDER BY e.vec_id
+        """,
+        "knn_quantized": """
+            WITH s AS (
+              SELECT vec_id,
+                     CASE WHEN list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) > 0
+                          THEN list_max(list_transform(embedding,
+                              x -> abs(CAST(x AS DOUBLE)))) / 127.0
+                          ELSE 1.0 END AS scale
+              FROM embeddings
+            ), qz AS (
+              SELECT e.vec_id,
+                     list_transform(e.embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)/s.scale + 0.5)
+                                 AS BIGINT)) AS q
+              FROM embeddings e JOIN s USING (vec_id)
+            ), qq AS (
+              SELECT vec_id AS query_id, q AS query_q
+              FROM qz WHERE vec_id < 3
+            ), scored AS (
+              SELECT qq.query_id, z.vec_id,
+                     round(
+                       CAST(list_dot_product(qq.query_q::DOUBLE[],
+                                             z.q::DOUBLE[]) AS DOUBLE)
+                       / (sqrt(list_dot_product(z.q::DOUBLE[],
+                                                z.q::DOUBLE[]))
+                          * sqrt(list_dot_product(qq.query_q::DOUBLE[],
+                                                  qq.query_q::DOUBLE[]))),
+                       4) AS cosine
+              FROM qz z CROSS JOIN qq
+            )
+            SELECT query_id, vec_id, cosine,
+                   CAST(row_number() OVER
+                     (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+            FROM scored
+            QUALIFY rank <= 5
         """,
         "knn_bruteforce": """
             WITH q AS (

@@ -464,6 +464,79 @@ def knn_ivf_scan(
     )
 
 
+def quantize_embeddings(
+    vectors: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Int8 scalar quantization (SQ8): per-vector scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5). 4x smaller vectors for the ANN scale
+    path (FAISS SQ8 analog) — all arithmetic is built-in higher-order
+    functions (transform/aggregate), JVM-side and whole-stage-codegen
+    friendly, and floor-based rounding is bit-reproducible in DuckDB
+    for the oracle."""
+    mx = F.aggregate(
+        F.col(vec_col),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int"),
+    )
+    return vectors.select(
+        F.col(id_col),
+        scale.alias("q_scale"),
+        q.alias("q"),
+    )
+
+
+def knn_quantized(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k over SQ8-quantized vectors: cosine computed on the
+    int8 codes (dot(q_a, q_b) is integer arithmetic; the per-vector
+    scales cancel in the cosine). Same broadcast x scan shape as
+    :func:`knn_bruteforce` but the scanned corpus is 4x smaller — the
+    memory/bandwidth trade a 10^12-vector ANN tier makes. Recall vs
+    float cosine is pytest-gated."""
+    vq = quantize_embeddings(vectors, vec_col, id_col)
+    qq = quantize_embeddings(
+        queries, "query_vec", "query_id"
+    ).withColumnRenamed("q", "qq").withColumnRenamed("q_scale", "qq_scale")
+    joined = vq.crossJoin(F.broadcast(qq))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q"), F.col("qq"), lambda a, b: (a * b).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.col(c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (x * x).cast("long"),
+        ).cast("double")
+    )
+    scored = joined.select(
+        "query_id",
+        F.col(id_col),
+        F.round(dot / (norm("q") * norm("qq")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
 def knn_recall(
     ann: "DataFrame", exact: "DataFrame", k: int = 5
 ) -> "DataFrame":

@@ -365,3 +365,38 @@ def test_minhash_fast_path_recall_vs_exact_jaccard(spark, docs):
     cands = lsh_candidate_pairs(minhash_signatures_fast(planted))
     found = truth.join(cands, ["doc_a", "doc_b"]).count()
     assert found / n_truth >= 0.8, (found, n_truth)
+
+
+def test_knn_quantized_recall_vs_float(spark):
+    """SQ8 cosine ranking must track the float ground truth:
+    recall@5 >= 0.8 on the fixture corpus (4x-smaller vectors are the
+    scale trade, not a quality cliff)."""
+    from btrblocks_spark.functions.similarity import (
+        knn_bruteforce,
+        knn_quantized,
+        knn_recall,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = knn_bruteforce(emb, q, k=5)
+    quant = knn_quantized(emb, q, k=5)
+    rec = knn_recall(quant, exact, k=5).agg(
+        F.avg("recall_at_k").alias("r")
+    ).collect()[0].r
+    assert rec >= 0.8, f"SQ8 recall@5 {rec}"
+
+
+def test_quantize_embeddings_codes_bounded(spark):
+    from btrblocks_spark.functions.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qd = quantize_embeddings(emb)
+    row = qd.selectExpr(
+        "max(array_max(transform(q, x -> abs(x)))) as mx",
+        "min(q_scale) as smin",
+    ).collect()[0]
+    assert row.mx <= 127 and row.smin > 0
