@@ -154,6 +154,46 @@ def _corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective scan through the block-compressed table: manifest stats
+    prune FILES, then per-block zone maps prune BLOCKS inside each
+    surviving file before decode (the predicate scan() the reference
+    declares but leaves UNREACHABLE — scheme/integer/PBP.cpp:51-56).
+    Orders are written sorted on o_orderkey so both pruning levels have
+    tight bounds; the predicate keeps the bottom 15% of the key space."""
+    import math
+    import tempfile
+
+    from btrblocks_spark.sources.table import BtrTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    thresh = int(
+        math.floor(orders.agg(F.max("o_orderkey")).collect()[0][0] * 0.15)
+    )
+    root = tempfile.mkdtemp(prefix="btr_zonemap_") + "/t"
+    table = BtrTable.create(
+        spark,
+        root,
+        orders.orderBy("o_orderkey").coalesce(1),
+        num_files=4,
+        block_rows=2048,
+        job_id="zscan",
+    )
+    return (
+        table.scan(
+            columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+            prune={"o_orderkey": (None, thresh)},
+        )
+        .filter(F.col("o_orderkey") <= thresh)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.dedup import exact_dedup
 
@@ -373,6 +413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _docs_tokens,
         "lang_id": _docs_lang,
         "doc_fingerprint": _docs_fingerprint,
+        # block-level zone-map predicate skipping (scan through BtrTable)
+        "zonemap_scan": _zonemap_scan,
         # composite training-data curation pipeline
         "corpus_filter": _corpus_filter,
         # dedup
@@ -543,6 +585,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "zonemap_scan": """
+            SELECT o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_total
+            FROM orders
+            WHERE o_orderkey <= (
+              SELECT CAST(floor(max(o_orderkey) * 0.15) AS BIGINT)
+              FROM orders
+            )
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "text_quality": f"""
             WITH toks AS (
@@ -762,14 +815,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id AS query_id, q AS query_q
               FROM qz WHERE vec_id < 3
             ), scored AS (
+              -- greatest(.., 1e-12) mirrors the Spark zero-norm guard
               SELECT qq.query_id, z.vec_id,
                      round(
                        CAST(list_dot_product(qq.query_q::DOUBLE[],
                                              z.q::DOUBLE[]) AS DOUBLE)
-                       / (sqrt(list_dot_product(z.q::DOUBLE[],
-                                                z.q::DOUBLE[]))
-                          * sqrt(list_dot_product(qq.query_q::DOUBLE[],
-                                                  qq.query_q::DOUBLE[]))),
+                       / greatest(
+                           sqrt(list_dot_product(z.q::DOUBLE[],
+                                                 z.q::DOUBLE[]))
+                           * sqrt(list_dot_product(qq.query_q::DOUBLE[],
+                                                   qq.query_q::DOUBLE[])),
+                           1e-12),
                        4) AS cosine
               FROM qz z CROSS JOIN qq
             )

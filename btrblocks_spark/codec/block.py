@@ -167,14 +167,16 @@ def _roaring_encode(validity: np.ndarray) -> bytes | None:
     if min(arr_bytes, run_bytes) + 4 >= n // 8:  # bitmap wins
         return None
     if arr_bytes <= run_bytes:
-        payload = pos.tobytes()
+        # explicit little-endian so the on-disk layout matches the spec
+        # on big-endian hosts too (files stay portable)
+        payload = pos.astype("<u2").tobytes()
         container, count = 0, k
     else:
         pairs = np.empty(2 * r, np.uint16)
         pairs[0::2] = pos[starts]
         pairs[1::2] = (pos[ends].astype(np.int64)
                        - pos[starts].astype(np.int64)).astype(np.uint16)
-        payload = pairs.tobytes()
+        payload = pairs.astype("<u2").tobytes()
         container, count = 1, r
     # count < n/2 <= 32768 (minority side), so u16 never wraps
     return struct.pack("<BBH", container, int(flipped), count) + payload
@@ -182,7 +184,7 @@ def _roaring_encode(validity: np.ndarray) -> bytes | None:
 
 def _roaring_decode(payload: memoryview, n: int) -> np.ndarray:
     container, flipped, count = struct.unpack_from("<BBH", payload, 0)
-    body = np.frombuffer(payload, np.uint16, offset=4)
+    body = np.frombuffer(payload, "<u2", offset=4)
     minority = np.zeros(n, bool)
     if container == 0:
         minority[body.astype(np.int64)] = True

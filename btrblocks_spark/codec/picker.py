@@ -144,8 +144,19 @@ def pick_numeric(
             s_res, scale=n / max(len(s_res), 1), n_full=n
         )
         for_size = 14.0 + (n * w_full + 7) // 8
-        if w_full > sw_max or pfor_est < for_size * 0.98:
-            # outliers beyond the sample, or a sampled win — exact pass
+        # extrapolation-variance repair: when the sample contains only a
+        # handful of wide values the extrapolated exception count is
+        # noisy — a sample that happens to hold the global max width but
+        # under-represents exceptions would otherwise silently drop a
+        # winning PFOR (compression-only regression, decode unaffected)
+        s_hist = np.bincount(s_widths, minlength=66) if len(s_widths) else \
+            np.zeros(66, np.int64)
+        s_above = np.cumsum(s_hist[::-1])[::-1]
+        n_exc_sampled = int(s_above[sw_max]) if sw_max > 0 else 0
+        few_wide = 0 < n_exc_sampled <= 4
+        if w_full > sw_max or few_wide or pfor_est < for_size * 0.98:
+            # outliers beyond the sample, a high-variance sampled
+            # exception estimate, or a sampled win — exact pass
             residuals = (rv.astype(np.int64) - rmin).astype(np.uint64)
             full_est[numeric.PFOR] = _pfor_size_est(residuals)
         # else: PFOR cannot meaningfully beat FOR_BP here; leave it out

@@ -524,10 +524,15 @@ def knn_quantized(
             lambda acc, x: acc + (x * x).cast("long"),
         ).cast("double")
     )
+    # zero-norm guard: an all-zero embedding quantizes to an all-zero
+    # code vector (scale falls back to 1.0) — an unguarded denominator
+    # would emit NaN/null cosines whose DESC ordering differs between
+    # engines; greatest(norm, 1e-12) is mirrored in the oracle SQL
+    denom = F.greatest(norm("q") * norm("qq"), F.lit(1e-12))
     scored = joined.select(
         "query_id",
         F.col(id_col),
-        F.round(dot / (norm("q") * norm("qq")), 4).alias("cosine"),
+        F.round(dot / denom, 4).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (

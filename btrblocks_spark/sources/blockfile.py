@@ -2,9 +2,13 @@
 
 A block file is parquet with schema::
 
-    block_id: int64, tuple_count: int32, b_<col>: binary ...
+    block_id: int64, tuple_count: int32, zone: large_string, b_<col>: binary ...
 
-Each ``b_<col>`` cell is one compressed block (codec blob). Block row
+Each ``b_<col>`` cell is one compressed block (codec blob); ``zone`` is
+the per-block zone map — JSON {col: {min, max}} over the stat-typed
+columns — enabling block-level predicate skipping at decode time (the
+predicate ``scan()`` the reference declares but leaves UNREACHABLE,
+``/root/reference/btrblocks/scheme/integer/PBP.cpp:51-56``). Block row
 geometry mirrors the reference: <= 65536 tuples per block
 (``/root/reference/btrblocks/btrblocks.hpp:24``) but additionally bounded
 so one block's *bytes* stay near the 16 MiB part-size threshold
@@ -13,6 +17,8 @@ binary (image) columns where 65536 tuples would be gigabytes.
 """
 
 from __future__ import annotations
+
+import json as _json
 
 import numpy as np
 import pyarrow as pa
@@ -70,13 +76,29 @@ def encode_table(
     # per-blob bytes materialization, no pa.array re-copy)
     pieces: dict[str, list] = {name: [] for name in names}
     blob_lens: dict[str, list] = {name: [] for name in names}
-    block_ids, tuple_counts = [], []
+    stat_cols = [
+        name
+        for name in names
+        if table.schema.field(name).type in STAT_TYPES
+        or pa.types.is_timestamp(table.schema.field(name).type)
+    ]
+    block_ids, tuple_counts, zones = [], [], []
     for b, start in enumerate(range(0, max(n, 1), rows)):
         chunk = table.slice(start, rows)
         if chunk.num_rows == 0 and n > 0:
             break
         block_ids.append(b)
         tuple_counts.append(chunk.num_rows)
+        zone: dict = {}
+        for name in stat_cols:
+            col = chunk.column(name)
+            if chunk.num_rows and col.null_count < chunk.num_rows:
+                mm = pc.min_max(col)
+                zone[name] = {
+                    "min": str(mm["min"].as_py()),
+                    "max": str(mm["max"].as_py()),
+                }
+        zones.append(_json.dumps(zone))
         for name in names:
             col = chunk.column(name)
             col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
@@ -86,6 +108,7 @@ def encode_table(
     out = {
         "block_id": pa.array(block_ids, pa.int64()),
         "tuple_count": pa.array(tuple_counts, pa.int32()),
+        "zone": pa.array(zones, pa.large_string()),
     }
     for name in names:
         buf = b"".join(pieces[name])
@@ -115,18 +138,39 @@ def decode_batches(
     logical_schema: pa.Schema,
     columns: list[str] | None = None,
     with_file: bool = False,
+    predicate: dict | None = None,
+    with_pos: bool = False,
+    deletes: np.ndarray | None = None,
 ):
     """mapInArrow kernel: block rows -> logical record batches.
 
     With ``with_file`` the incoming batches must carry a ``_file`` column
     (from ``input_file_name()``); it is repeated per decoded row so callers
     can trace each row to its data file (MERGE touched-file discovery).
+
+    ``predicate`` ({col: (lo, hi) | value-set}, the ``scan(prune=...)``
+    shape) skips whole blocks whose zone map proves no row can match —
+    the block is never decoded (ONE_VALUE / RLE blocks included). Like
+    file pruning this is advisory: surviving blocks may still hold
+    non-matching rows, so callers keep their row-level ``filter``.
+    Files written before zone maps existed decode every block.
+
+    ``with_pos`` appends a ``_pos`` int64 column: the row's global
+    position within its FILE (block offset + row-in-block), the
+    Iceberg-v2 positional-delete coordinate. ``deletes`` is a SORTED
+    int64 array of file positions to drop at decode time (merge-on-read
+    scan merge). Both require the batch stream to come from a single
+    file in block order — true for the per-file native read path.
     """
     want = columns or logical_schema.names
     fields = [logical_schema.field(name) for name in want]
-    out_schema = pa.schema(
-        fields + ([pa.field("_file", pa.string())] if with_file else [])
-    )
+    extra = []
+    if with_file:
+        extra.append(pa.field("_file", pa.string()))
+    if with_pos:
+        extra.append(pa.field("_pos", pa.int64()))
+    out_schema = pa.schema(fields + extra)
+    offset = 0  # file-global row position of the next block
     for batch in batch_iter:
         # zero-copy blob views: slice each binary column's data buffer
         # directly instead of copying every blob out via .as_py()
@@ -156,11 +200,32 @@ def decode_batches(
                 bufs[1], np.int64, len(col) + 1, col.offset * 8
             )
             views[f.name] = (memoryview(bufs[2]) if bufs[2] else None, offs)
+        if (with_pos or deletes is not None) and tuple_counts is None:
+            raise ValueError(
+                "_pos/deletes decoding needs the tuple_count column"
+            )
+        zone_col = (
+            batch.column("zone")
+            if predicate and "zone" in present
+            else None
+        )
         for i in range(batch.num_rows):
-            arrays = []
             n = (
                 int(tuple_counts[i]) if tuple_counts is not None else None
             )
+            if zone_col is not None:
+                zcell = zone_col[i]
+                if zcell.is_valid:
+                    from btrblocks_spark.sources.pruning import (
+                        stats_may_match,
+                    )
+
+                    if not stats_may_match(
+                        _json.loads(zcell.as_py()), predicate
+                    ):
+                        offset += n or 0
+                        continue
+            arrays = []
             deferred = []
             for f in fields:
                 view = views[f.name]
@@ -192,7 +257,20 @@ def decode_batches(
             if with_file:
                 fname = batch.column("_file")[i].as_py()
                 arrays.append(pa.array([fname] * (n or 0), pa.string()))
-            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+            if with_pos:
+                arrays.append(
+                    pa.array(np.arange(offset, offset + (n or 0)), pa.int64())
+                )
+            out = pa.RecordBatch.from_arrays(arrays, schema=out_schema)
+            if deletes is not None and n:
+                i0, i1 = np.searchsorted(deletes, [offset, offset + n])
+                if i1 > i0:
+                    mask = np.ones(n, bool)
+                    mask[(deletes[i0:i1] - offset).astype(np.int64)] = False
+                    out = out.filter(pa.array(mask))
+            offset += n or 0
+            if out.num_rows:
+                yield out
 
 
 def split_by_partition(table: pa.Table, parts: list[str]):

@@ -134,6 +134,7 @@ class BtrTable:
         max_rows_per_file: int | None = None,
         num_files: int | None = None,
         job_id: str | None = None,
+        block_rows: int | None = None,
     ) -> "BtrTable":
         """Create a table at ``root`` from ``df`` (initial snapshot)."""
         for sub in ("data", "manifests", "_checkpoints"):
@@ -164,6 +165,7 @@ class BtrTable:
             job_id=job_id or f"create-{uuid.uuid4().hex[:8]}",
             num_files=num_files,
             max_rows_per_file=max_rows_per_file,
+            block_rows=block_rows,
         )
         return table
 
@@ -181,6 +183,7 @@ class BtrTable:
         num_files: int | None = None,
         max_rows_per_file: int | None = None,
         operation: str = "append",
+        block_rows: int | None = None,
     ) -> int:
         """Encode ``df`` into new block files and commit a snapshot.
 
@@ -192,7 +195,11 @@ class BtrTable:
         """
         job_id = job_id or f"append-{uuid.uuid4().hex[:8]}"
         rows = self._write_files(
-            df, job_id, num_files=num_files, max_rows_per_file=max_rows_per_file
+            df,
+            job_id,
+            num_files=num_files,
+            max_rows_per_file=max_rows_per_file,
+            block_rows=block_rows,
         )
         self._commit(rows, operation=operation, replaced=None)
         return len(rows)
@@ -205,6 +212,7 @@ class BtrTable:
         max_rows_per_file: int | None = None,
         preserve_partitioning: bool = False,
         sort_key: str = "",
+        block_rows: int | None = None,
     ) -> list[dict]:
         """Run the distributed encode; returns manifest row dicts."""
         root = self.root
@@ -262,7 +270,9 @@ class BtrTable:
                     step = max_rows or sub.num_rows or 1
                     for start in range(0, sub.num_rows, step):
                         piece = sub.slice(start, step)
-                        block_table, stats = encode_table(piece, seed=42)
+                        block_table, stats = encode_table(
+                            piece, seed=42, block_rows=block_rows
+                        )
                         fname = f"{job_id}-p{task_id:05d}-{k}.parquet"
                         fpath = _fs.join(root, "data", fname)
                         fbytes = _write_blockfile_atomic(block_table, fpath)
@@ -559,13 +569,8 @@ class BtrTable:
             return self.spark.read.schema(
                 self._manifest_spark_schema()
             ).parquet(*paths)
-        # object store / registered scheme: the JVM may lack a connector for
-        # it; read the manifests (file metadata only, 1 row per data file)
-        # through pyarrow and hand Spark the Arrow table
-        tbl = pa.concat_tables([fs.read_parquet(p) for p in paths])
-        return self.spark.createDataFrame(
-            tbl.to_pandas(), schema=self._manifest_spark_schema()
-        )
+        n_files = sum(e["file_count"] or 0 for e in entries)
+        return self._read_manifests_arrow(paths, n_files)
 
     @staticmethod
     def _manifest_spark_schema():
@@ -598,6 +603,8 @@ class BtrTable:
         files: list[str] | None = None,
         with_file: bool = False,
         native_io: bool | None = None,
+        block_skip: bool = True,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Read the table back as a logical DataFrame.
 
@@ -610,6 +617,15 @@ class BtrTable:
         file paths come back to the driver to build the scan. Parquet
         column pruning then skips the ``b_<col>`` blobs of unselected
         columns at I/O level.
+
+        The same ``prune`` dict then cascades to BLOCK granularity
+        inside each surviving file (``block_skip``, default on): the
+        per-block ``zone`` maps written at encode time let the decode
+        kernel skip blocks no row of which can match — a selective
+        filter pays for headers + matching blocks only, not full-file
+        decode. ``with_pos`` appends the Iceberg-v2 positional
+        coordinate ``_pos`` (row position within ``_file``); it implies
+        the native per-file read path.
 
         ``native_io``: executors open block files through ``pyarrow.fs``
         directly instead of Spark's JVM parquet reader — the analog of the
@@ -669,14 +685,28 @@ class BtrTable:
             # reading via pyarrow with one task per file
             native_io = True
         schema_hex = arrow_schema.serialize().hex().decode()
-        if with_file:
-            from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
 
-            out_schema = StructType(
-                spark_schema.fields + [StructField("_file", StringType())]
+        extra_fields = []
+        if with_file:
+            extra_fields.append(StructField("_file", StringType()))
+        if with_pos:
+            extra_fields.append(StructField("_pos", LongType()))
+        out_schema = (
+            StructType(spark_schema.fields + extra_fields)
+            if extra_fields
+            else spark_schema
+        )
+        predicate = prune if (prune and block_skip) else None
+        if with_pos and not native_io:
+            raise ValueError(
+                "_pos needs the per-file native read path (native_io=True)"
             )
-        else:
-            out_schema = spark_schema
 
         if native_io:
             # one row per file, but cap the TASK count at 4x parallelism:
@@ -693,6 +723,8 @@ class BtrTable:
                 [(p,) for p in paths], "file_path string"
             ).repartition(n_tasks)
             bcols = ["tuple_count"] + [f"b_{c}" for c in want]
+            if predicate:
+                bcols.append("zone")
 
             def read_native(batch_iter):
                 from btrblocks_spark.sources import fs as _fs
@@ -719,26 +751,28 @@ class BtrTable:
                                 pa.array([path] * bt.num_rows, pa.string()),
                             )
                         yield from decode_batches(
-                            bt.to_batches(), logical, want, with_file=with_file
+                            bt.to_batches(),
+                            logical,
+                            want,
+                            with_file=with_file,
+                            predicate=predicate,
+                            with_pos=with_pos,
                         )
 
             return spec_df.mapInArrow(read_native, out_schema)
 
         sel = [F.col("tuple_count")] + [F.col(f"b_{c}") for c in want]
+        if predicate:
+            sel.append(F.col("zone"))
         if with_file:
             sel.append(F.input_file_name().alias("_file"))
-        from pyspark.sql.types import (
-            BinaryType,
-            IntegerType,
-            LongType,
-            StructField,
-            StructType,
-        )
+        from pyspark.sql.types import BinaryType, IntegerType
 
         block_schema = StructType(
             [
                 StructField("block_id", LongType()),
                 StructField("tuple_count", IntegerType()),
+                StructField("zone", StringType()),
             ]
             + [StructField(f"b_{c}", BinaryType()) for c in want]
         )
@@ -751,7 +785,11 @@ class BtrTable:
 
             logical = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(schema_hex)))
             yield from decode_batches(
-                batch_iter, logical, list(want), with_file=with_file
+                batch_iter,
+                logical,
+                list(want),
+                with_file=with_file,
+                predicate=predicate,
             )
 
         return block_df.mapInArrow(decode, out_schema)
@@ -789,10 +827,68 @@ class BtrTable:
             return self.spark.read.schema(
                 self._manifest_spark_schema()
             ).parquet(*paths)
-        tbl = pa.concat_tables([fs.read_parquet(p) for p in paths])
-        return self.spark.createDataFrame(
-            tbl.to_pandas(), schema=self._manifest_spark_schema()
+        n_files = sum(
+            e["file_count"] or 0
+            for sid in sids
+            for e in self._manifest_list(sid)
         )
+        return self._read_manifests_arrow(paths, n_files)
+
+    def _read_manifests_arrow(self, paths: list[str], n_files: int) -> DataFrame:
+        """Manifest rows as a DataFrame for stores the JVM has no
+        connector for. Below ``DISTRIBUTED_META_MIN`` rows the driver
+        reads them via pyarrow (bounded by the threshold). At or above
+        it the manifest *names* are parallelized and each executor task
+        reads its manifests via ``fs.read_parquet`` — the driver holds
+        O(manifests) names, never 10^5-10^7 manifest rows (mirrors the
+        local ``spark.read.parquet`` branch and keeps the documented
+        O(manifests)-driver-work guarantee on object stores)."""
+        schema = self._manifest_spark_schema()
+        if n_files < self.DISTRIBUTED_META_MIN:
+            tbl = pa.concat_tables(
+                [fs.read_parquet(p) for p in paths], promote_options="default"
+            )
+            cols = {
+                f.name: (
+                    tbl.column(f.name)
+                    if f.name in tbl.schema.names
+                    else pa.nulls(tbl.num_rows, f.type)
+                )
+                for f in MANIFEST_SCHEMA
+            }
+            return self.spark.createDataFrame(
+                pa.table(cols, schema=MANIFEST_SCHEMA).to_pandas(),
+                schema=schema,
+            )
+        names_df = self.spark.createDataFrame(
+            [(p,) for p in paths], "manifest_path string"
+        )
+        try:
+            par = max(self.spark.sparkContext.defaultParallelism, 1)
+        except Exception:
+            par = 8
+        names_df = names_df.repartition(max(1, min(len(paths), par * 4)))
+
+        def read_rows(batch_iter):
+            import pyarrow as _pa
+
+            from btrblocks_spark.sources import fs as _fs
+            from btrblocks_spark.sources.table import MANIFEST_SCHEMA as _MS
+
+            for batch in batch_iter:
+                for p in batch.column("manifest_path").to_pylist():
+                    t = _fs.read_parquet(p)
+                    cols = {
+                        f.name: (
+                            t.column(f.name)
+                            if f.name in t.schema.names
+                            else _pa.nulls(t.num_rows, f.type)
+                        )
+                        for f in _MS
+                    }
+                    yield from _pa.table(cols, schema=_MS).to_batches()
+
+        return names_df.mapInArrow(read_rows, schema)
 
     def _delete_paths_spark(self, paths_df: DataFrame) -> int:
         """Delete the ``file_path`` column's files in a Spark job (the
@@ -1328,33 +1424,6 @@ def _prune_predicate(prune: dict):
 
 
 def _file_may_match(row: dict, prune: dict) -> bool:
-    stats = json.loads(row["stats"])
-    for col, bound in prune.items():
-        st = stats.get(col)
-        if not st or st["min"] is None:
-            continue
-        smin, smax = st["min"], st["max"]
-        if isinstance(bound, (list, set, frozenset)):
-            vals = set(bound)
-            numeric_bound = any(isinstance(v, (int, float)) for v in vals)
-            if numeric_bound:
-                try:
-                    smin, smax = float(smin), float(smax)
-                except (TypeError, ValueError):
-                    continue
-            if not any(smin <= v <= smax for v in vals):
-                return False
-            continue
-        lo, hi = bound
-        # stats are stored stringified; coerce them to the bound's type
-        numeric_bound = isinstance(lo, (int, float)) or isinstance(hi, (int, float))
-        if numeric_bound:
-            try:
-                smin, smax = float(smin), float(smax)
-            except (TypeError, ValueError):
-                continue  # non-numeric stats can't prune a numeric bound
-        if lo is not None and smax < lo:
-            return False
-        if hi is not None and smin > hi:
-            return False
-    return True
+    from btrblocks_spark.sources.pruning import stats_may_match
+
+    return stats_may_match(json.loads(row["stats"]), prune)
