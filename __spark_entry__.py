@@ -343,6 +343,33 @@ def _knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(emb, queries, dim=dim, k=5, n_centroids=8, n_probe=2)
 
 
+def _knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 tier (rows-only): int8 codes persisted into the IVF cell
+    layout; probe = distributed cell assignment + stats-pruned scan of
+    the probed cells' codes. Recall gate lives in pytest
+    (test_similarity_scale)."""
+    import tempfile
+
+    from btrblocks_spark.functions.similarity import (
+        build_ivf_sq8_table,
+        knn_ivf_sq8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    root = tempfile.mkdtemp(prefix="btr_ivfsq8_") + "/t"
+    table, cents = build_ivf_sq8_table(
+        spark, emb, root, dim=dim, n_centroids=8
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return knn_ivf_sq8(table, queries, cents, k=5, n_probe=2)
+
+
 def _knn_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality gate: recall@5 of the *deterministic* banded LSH vs
     brute force — oracle-checkable (DuckDB reproduces the integer LSH
@@ -433,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_quantized": _knn_quantized,  # oracle-checked int8 cosine
         "knn_lsh": _knn_lsh,  # rows-only (numpy hyperplanes)
         "knn_ivf": _knn_ivf,  # rows-only (numpy kmeans centroids)
+        "knn_ivf_sq8": _knn_ivf_sq8,  # rows-only (IVF-SQ8 composition)
         "knn_recall_lsh": _knn_recall_lsh,  # oracle-checked (det LSH)
         "embedding_near_dup": _near_dup_embeddings,  # exact oracle twin
         "embedding_near_dup_lsh": _near_dup_embeddings_lsh,  # rows-only

@@ -329,6 +329,38 @@ def ivf_assign_udf(centroids: np.ndarray):
     return assign
 
 
+def ivf_probe_udf(centroids: np.ndarray, n_probe: int):
+    """Vectorized pandas UDF: embedding -> array of the ``n_probe``
+    nearest centroid ids (ascending distance, ties by centroid index —
+    same order np.argsort gives). The distributed replacement for
+    driver-side probe assignment: a 10^9-query batch computes its probe
+    cells in executors, never on the driver."""
+    cents = centroids.astype(np.float64)
+    n_probe = min(n_probe, len(cents))
+
+    @F.pandas_udf("array<int>")
+    def probe(col: pd.Series) -> pd.Series:
+        mat = np.vstack(col.to_numpy()).astype(np.float64)
+        d = (
+            (mat**2).sum(1)[:, None]
+            - 2 * mat @ cents.T
+            + (cents**2).sum(1)[None, :]
+        )
+        top = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return probe
+
+
+def _probe_cells_df(queries: DataFrame, centroids: np.ndarray, n_probe: int):
+    """(query_id, _cell) rows: each query exploded to its probe cells —
+    computed distributedly via :func:`ivf_probe_udf`."""
+    probe = ivf_probe_udf(centroids, n_probe)
+    return queries.select(
+        "query_id", F.explode(probe(F.col("query_vec"))).alias("_cell")
+    )
+
+
 def knn_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -347,21 +379,15 @@ def knn_ivf(
     probe a stats-pruned file scan). Query side: each query probes
     ``n_probe`` cells — corpus scanned fraction ≈ n_probe/n_centroids.
     """
-    spark = vectors.sparkSession
     if centroids is None:
         centroids = train_ivf_centroids(vectors, dim, n_centroids)
     assign = ivf_assign_udf(centroids)
     v = vectors.withColumn("_cell", assign(F.col(vec_col)))
 
-    # per-query probe cells (tiny, computed driver-side)
-    qrows = queries.collect()
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r.query_vec, np.float64)
-        d = ((centroids - qv) ** 2).sum(1)
-        for cell in np.argsort(d)[:n_probe]:
-            probe_rows.append((r.query_id, int(cell)))
-    probes = spark.createDataFrame(probe_rows, "query_id long, _cell int")
+    # per-query probe cells, computed IN EXECUTORS (a large query batch
+    # never collects to the driver; the probes frame is still tiny
+    # relative to the corpus and broadcasts)
+    probes = _probe_cells_df(queries, centroids, n_probe)
     q = queries.join(F.broadcast(probes), "query_id")
 
     joined = v.join(F.broadcast(q), on="_cell")
@@ -430,16 +456,13 @@ def knn_ivf_scan(
     cells resolve to a manifest-stats-pruned scan (only the probed
     cells' files are opened), then the same broadcast-join scoring as
     :func:`knn_ivf`."""
-    spark = table.spark
-    qrows = queries.collect()
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r.query_vec, np.float64)
-        d = ((centroids - qv) ** 2).sum(1)
-        for cell in np.argsort(d)[:n_probe]:
-            probe_rows.append((r.query_id, int(cell)))
-    probes = spark.createDataFrame(probe_rows, "query_id long, _cell int")
-    cells = sorted({c for _, c in probe_rows})
+    # probe cells computed in executors; only the DISTINCT cell ids (at
+    # most n_centroids values, never the query vectors) reach the driver
+    # to parameterize manifest pruning
+    probes = _probe_cells_df(queries, centroids, n_probe)
+    cells = sorted(
+        r._cell for r in probes.select("_cell").distinct().collect()
+    )
     # one pruned scan with the SET of probed cells; per-file stats drop
     # every file of an unprobed cell — probing {0, 15} of 16 opens only
     # those two cells' files, not the range in between
@@ -468,6 +491,7 @@ def quantize_embeddings(
     vectors: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Int8 scalar quantization (SQ8): per-vector scale = max|x|/127,
     q_i = floor(x_i/scale + 0.5). 4x smaller vectors for the ANN scale
@@ -489,6 +513,7 @@ def quantize_embeddings(
         F.col(id_col),
         scale.alias("q_scale"),
         q.alias("q"),
+        *[F.col(c) for c in (keep or [])],
     )
 
 
@@ -510,6 +535,14 @@ def knn_quantized(
         queries, "query_vec", "query_id"
     ).withColumnRenamed("q", "qq").withColumnRenamed("q_scale", "qq_scale")
     joined = vq.crossJoin(F.broadcast(qq))
+    return _quantized_topk(joined, id_col, k)
+
+
+def _quantized_topk(
+    joined: DataFrame, id_col: str, k: int, distinct: bool = False
+) -> DataFrame:
+    """Shared int8-cosine scoring + per-query top-k over a frame with
+    columns (query_id, <id_col>, q, qq)."""
     dot = F.aggregate(
         F.zip_with(
             F.col("q"), F.col("qq"), lambda a, b: (a * b).cast("long")
@@ -534,12 +567,83 @@ def knn_quantized(
         F.col(id_col),
         F.round(dot / denom, 4).alias("cosine"),
     )
+    if distinct:
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+def build_ivf_sq8_table(
+    spark,
+    vectors: DataFrame,
+    root: str,
+    dim: int,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    job_id: str | None = None,
+):
+    """IVF-SQ8: persist int8-quantized codes INTO the IVF cell layout —
+    the composition a 10^12-vector tier actually runs (FAISS IVF-SQ8
+    analog). The table stores (id, q_scale, q[int8 codes], cell),
+    partitioned by cell: a probe is a manifest-stats-pruned scan that
+    reads 4x fewer bytes than the float layout on 1/n_centroids of the
+    files. Returns (BtrTable, centroids)."""
+    from btrblocks_spark.sources.table import BtrTable
+
+    centroids = train_ivf_centroids(
+        vectors, dim, n_centroids, seed=seed, vec_col=vec_col
+    )
+    assign = ivf_assign_udf(centroids)
+    qdf = quantize_embeddings(
+        vectors.withColumn("cell", assign(F.col(vec_col))),
+        vec_col,
+        id_col,
+        keep=["cell"],
+    )
+    table = BtrTable.create(
+        spark,
+        root,
+        qdf,
+        partition_by=["cell"],
+        job_id=job_id or "ivf-sq8-build",
+    )
+    return table, centroids
+
+
+def knn_ivf_sq8(
+    table,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k over a :func:`build_ivf_sq8_table` table:
+    distributed probe-cell assignment -> stats-pruned scan of the probed
+    cells' int8 codes -> shared quantized cosine scoring. Recall vs the
+    float brute force is pytest-gated."""
+    probes = _probe_cells_df(queries, centroids, n_probe)
+    cells = sorted(
+        r._cell for r in probes.select("_cell").distinct().collect()
+    )
+    v = table.scan(
+        columns=[id_col, "q_scale", "q", "cell"],
+        prune={"cell": cells},
+    ).filter(F.col("cell").isin(cells))
+    qq = (
+        quantize_embeddings(queries, "query_vec", "query_id")
+        .withColumnRenamed("q", "qq")
+        .withColumnRenamed("q_scale", "qq_scale")
+        .join(F.broadcast(probes), "query_id")
+    )
+    joined = v.join(F.broadcast(qq), v.cell == qq._cell)
+    return _quantized_topk(joined, id_col, k, distinct=True)
 
 
 def knn_recall(

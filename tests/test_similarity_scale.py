@@ -1,0 +1,121 @@
+"""Scale-shape guarantees for the ANN paths: distributed probe
+assignment (no driver collect of query batches) and the IVF-SQ8
+composition (int8 codes in the IVF cell layout)."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _queries_df(spark, n, dim=8):
+    """Deterministic synthetic query batch, generated executor-side."""
+    arr = F.array(
+        *[((F.col("id") * 7 + i) % 13 - 6).cast("float") for i in range(dim)]
+    )
+    return spark.range(n).select(
+        F.col("id").alias("query_id"), arr.alias("query_vec")
+    )
+
+
+def test_knn_ivf_large_query_batch_never_collects_queries(spark):
+    """10^4-query batch: probe-cell assignment happens in executors.
+    DataFrame.collect is patched to raise for the whole plan+execute
+    window — the old driver-side probe loop would trip it."""
+    from pyspark.sql import DataFrame
+
+    from btrblocks_spark.functions.similarity import knn_ivf
+
+    dim = 8
+    corpus = _queries_df(spark, 500, dim).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("query_vec").alias("embedding"),
+    )
+    rng = np.random.default_rng(7)
+    cents = rng.standard_normal((8, dim))
+    queries = _queries_df(spark, 10_000, dim)
+
+    real_collect = DataFrame.collect
+
+    def deny(self):
+        raise AssertionError("driver-side collect during knn_ivf")
+
+    DataFrame.collect = deny
+    try:
+        out = knn_ivf(
+            corpus, queries, dim=dim, k=1, n_probe=1, centroids=cents
+        ).toPandas()
+    finally:
+        DataFrame.collect = real_collect
+    assert len(out) == 10_000
+    assert out["rank"].max() == 1
+
+
+def test_knn_ivf_sq8_recall_gate(spark, tmp_path):
+    """IVF-SQ8 with all cells probed isolates the quantization loss:
+    recall@5 vs float brute force must stay >= 0.8 (random embeddings,
+    SQ8 distortion is tiny)."""
+    from btrblocks_spark.functions.similarity import (
+        build_ivf_sq8_table,
+        knn_bruteforce,
+        knn_ivf_sq8,
+        knn_recall,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    table, cents = build_ivf_sq8_table(
+        spark, emb, str(tmp_path / "sq8tab"), dim=dim, n_centroids=8
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ann = knn_ivf_sq8(table, q, cents, k=5, n_probe=8)
+    exact = knn_bruteforce(emb, q, k=5)
+    recalls = [
+        r.recall_at_k for r in knn_recall(ann, exact, k=5).collect()
+    ]
+    assert len(recalls) == 3
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_knn_ivf_sq8_probe_stays_in_probed_cells(spark, tmp_path):
+    from btrblocks_spark.functions.similarity import (
+        build_ivf_sq8_table,
+        knn_ivf_sq8,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    table, cents = build_ivf_sq8_table(
+        spark, emb, str(tmp_path / "sq8p"), dim=dim, n_centroids=8
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = knn_ivf_sq8(table, q, cents, k=5, n_probe=2).toPandas()
+    assert len(got) == 15
+
+    # every returned neighbor must live in one of its query's probe cells
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, np.float64)
+        for r in emb.collect()
+    }
+
+    def cell_of(v):
+        return int(((cents - v) ** 2).sum(1).argmin())
+
+    def probes_of(v, n=2):
+        d = ((cents - v) ** 2).sum(1)
+        return set(np.argsort(d, kind="stable")[:n].tolist())
+
+    for row in got.itertuples():
+        assert cell_of(vecs[row.vec_id]) in probes_of(vecs[row.query_id])
