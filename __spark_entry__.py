@@ -208,6 +208,17 @@ def _ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ngram_jaccard_03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second oracle point on the similarity dial (0.3 vs 0.6): the
+    looser threshold exercises the pair-generation + union-size
+    arithmetic over a much larger surviving set."""
+    from btrblocks_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.3
+    )
+
+
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.dedup import minhash_signatures
 
@@ -447,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "dedup_exact": _dedup_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,
+        "ngram_jaccard_pairs_03": _ngram_jaccard_03,
         "minhash_signatures": _minhash_sig,
         "minhash_lsh_pairs": _minhash_lsh_pairs,  # rows-only (xxhash64 fast path)
         "minhash_lsh_pairs_det": _minhash_lsh_pairs_det,  # oracle-checked
@@ -765,6 +777,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(common * 1.0 /
                      (sa.n_shingles + sb.n_shingles - common), 6) >= 0.6
+        """,
+        "ngram_jaccard_pairs_03": f"""
+            WITH norm AS (
+              SELECT doc_id, {_NORM} AS n FROM documents
+              WHERE length({_NORM}) >= 5
+            ), sh_all AS (
+              SELECT DISTINCT doc_id, substring(n, CAST(i AS INT), 5) AS shingle
+              FROM (SELECT doc_id, n, unnest(range(1, length(n) - 3)) AS i
+                    FROM norm) t
+            ), sh AS (
+              SELECT doc_id, shingle FROM sh_all
+              WHERE shingle IN (
+                SELECT shingle FROM sh_all
+                GROUP BY shingle HAVING count(*) <= 100000
+              )
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(common * 1.0 /
+                     (sa.n_shingles + sb.n_shingles - common), 6) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(common * 1.0 /
+                     (sa.n_shingles + sb.n_shingles - common), 6) >= 0.3
         """,
         "minhash_signatures": f"""
             WITH {_MINHASH_SIG_CTES}

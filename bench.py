@@ -398,6 +398,55 @@ def merge_job(cores: int) -> dict:
         shutil.rmtree(work_root, ignore_errors=True)
         if best is None or out["gbps"] > best["gbps"]:
             best = out
+
+    # merge-on-read on a fresh copy: identical workload, but written
+    # bytes scale with the CHANGE SET (delete rows + new rows), not with
+    # the files the change touches — the 100 TB lever vs copy-on-write
+    mor_best = None
+    for rep in range(2):
+        work_root = os.path.join(
+            CACHE, f"mergemor-{cores}-{os.getpid()}-{rep}"
+        )
+        shutil.rmtree(work_root, ignore_errors=True)
+        shutil.copytree(canon, work_root)
+        _retarget_manifest(work_root)
+        table = BtrTable.load(spark, work_root)
+        cols = table.schema_arrow().names
+        jid = f"bench-mor-{cores}-{rep}"
+        src = (
+            table.scan()
+            .filter(F.pmod(F.xxhash64("image_id"), F.lit(20)) == 0)
+            .withColumn(
+                "caption", F.concat(F.col("caption"), F.lit(" [edited]"))
+            )
+            .select(*cols)
+            .cache()
+        )
+        src.count()
+        t0 = time.time()
+        res = merge_into(
+            table, src, on="image_id", strategy="mor", job_id=jid
+        )
+        elapsed = time.time() - t0
+        src.unpersist()
+        written = res["delete_bytes"] + res["new_bytes"]
+        # bytes CoW would have rewritten for the same change set
+        affected = res.get("touched_bytes", 0)
+        mor = {
+            "elapsed_sec": elapsed,
+            "written_bytes": written,
+            "cow_equivalent_bytes": affected,
+            "delete_files": res["delete_files"],
+            "delete_rows": res["delete_rows"],
+            "touched_files": res["touched_files"],
+            "gbps_written": written / max(elapsed, 1e-9) / 1e9,
+            "gbps_effective": affected / max(elapsed, 1e-9) / 1e9,
+            "timings": res.get("timings", {}),
+        }
+        shutil.rmtree(work_root, ignore_errors=True)
+        if mor_best is None or mor["elapsed_sec"] < mor_best["elapsed_sec"]:
+            mor_best = mor
+    best["mor"] = mor_best
     spark.stop()
     return best
 
@@ -474,16 +523,22 @@ def run_queries(cores: int) -> dict[str, float]:
     # is warm; cold JVM start is not the per-query metric)
     qs[BENCH_QUERIES[0]](spark, SF_DIR).count()
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        best = float("inf")
-        for _ in range(2):
+        samples = []
+        for _ in range(3):
             t0 = time.time()
             fn(spark, SF_DIR).count()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        # best-of AND median: shared-host throttle is one-sided (it only
+        # slows runs), so best estimates capability; the median shows how
+        # noisy the window was, so round-over-round comparisons stop
+        # aliasing host noise
+        times[name] = round(min(samples), 3)
+        medians[name] = round(sorted(samples)[len(samples) // 2], 3)
     spark.stop()
-    return times
+    return times, medians
 
 
 def _child(role: str, cores: int) -> dict:
@@ -568,7 +623,7 @@ def main() -> None:
     )
 
     t0 = time.time()
-    qtimes = run_queries(CPUS)
+    qtimes, qmedians = run_queries(CPUS)
     total = round(time.time() - t0, 3)
 
     print(
@@ -579,6 +634,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": qtimes,
+                "queries_median": qmedians,
+                "query_reps": 3,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "compaction_gbps_n": round(compact_low["gbps"], 4),
                 "compaction_gbps_4n": round(compact_mid["gbps"], 4),
@@ -604,6 +661,19 @@ def main() -> None:
                 "cluster_gbps_4n": round(clus["gbps"], 4),
                 "merge_gbps_4n": round(mrg["gbps"], 4),
                 "merge_touched_files": mrg["touched_files"],
+                "merge_cow_written_bytes": mrg["rewritten_bytes"],
+                "merge_mor_written_bytes": mrg["mor"]["written_bytes"],
+                "merge_mor_elapsed_sec": round(
+                    mrg["mor"]["elapsed_sec"], 3
+                ),
+                "merge_mor_gbps_effective": round(
+                    mrg["mor"]["gbps_effective"], 4
+                ),
+                "merge_write_amplification_cow_over_mor": round(
+                    mrg["rewritten_bytes"]
+                    / max(mrg["mor"]["written_bytes"], 1),
+                    2,
+                ),
                 "compression_ratio_mix": round(ratio["compression_ratio"], 3),
                 "encode_gbps_mix": round(ratio["encode_gbps"], 4),
                 "image_table_rows": IMG_ROWS,

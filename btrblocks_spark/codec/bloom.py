@@ -1,0 +1,74 @@
+"""Per-file key bloom digests for MERGE touched-file discovery.
+
+A small bloom filter over an integer key column, written into the
+manifest ``stats`` JSON at encode time (``blockfile.encode_table``,
+``bloom_cols``). ``merge_into`` consults it during candidate discovery:
+files whose bloom rejects every source key are skipped WITHOUT opening
+them — the keyscan reads key blobs only from files that may actually
+hold a match. The manifest min/max range prune cuts the candidate set
+coarsely; the bloom cuts it per-key (a file whose key range overlaps
+the source range but holds none of its keys is range-kept, bloom-
+dropped).
+
+Vectorized splitmix64 double hashing (Kirsch-Mitzenmacher): probe i of
+key x lands at ``(h1 + i*h2) mod m`` with (h1, h2) the two halves of
+splitmix64(x). ~10 bits/key, k=4 -> ~1.2% false positives; a false
+positive only costs an extra file keyscan, never correctness.
+Integer key columns only (the merge-bench key shape); other types
+simply get no bloom and fall back to the range prune.
+"""
+
+from __future__ import annotations
+
+import base64
+
+import numpy as np
+
+BITS_PER_KEY = 10
+N_HASHES = 4
+MAX_BITS = 1 << 18  # 32 KiB of bits per file per column, manifest-friendly
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants)."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _probes(keys: np.ndarray, m: int) -> np.ndarray:
+    """(len(keys), N_HASHES) bit positions."""
+    h = _splitmix64(keys.astype(np.int64).view(np.uint64))
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.int64)
+    i = np.arange(N_HASHES, dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % m
+
+
+def build_bloom(values: np.ndarray) -> dict | None:
+    """Bloom dict {m, k, b64} for an int64 key array; None when empty."""
+    if len(values) == 0:
+        return None
+    uniq = np.unique(values.astype(np.int64))
+    m = int(min(MAX_BITS, max(1024, len(uniq) * BITS_PER_KEY)))
+    m = (m + 63) // 64 * 64
+    bits = np.zeros(m, np.uint8)
+    bits[_probes(uniq, m).ravel()] = 1
+    return {
+        "m": m,
+        "k": N_HASHES,
+        "b64": base64.b64encode(np.packbits(bits).tobytes()).decode(),
+    }
+
+
+def bloom_may_contain_any(bloom: dict, keys: np.ndarray) -> bool:
+    """True when ANY of ``keys`` may be in the file (all-k-bits-set for
+    at least one key). Vectorized over the whole key batch."""
+    m = int(bloom["m"])
+    bits = np.unpackbits(
+        np.frombuffer(base64.b64decode(bloom["b64"]), np.uint8)
+    )[:m]
+    pos = _probes(np.asarray(keys), m)
+    return bool(bits[pos].all(axis=1).any())

@@ -31,7 +31,45 @@ MAGIC_PNG = b"FPNG"
 MAGIC_JPG = b"FJPG"
 _JPEG_QSTEP = 4
 
-LOSSLESS_FMTS = {"bmp", "png"}
+LOSSLESS_FMTS = {"bmp", "png", "real-png"}
+
+# Optional real-codec seam: when PIL exists (not in this container, but
+# a real deployment), real image bytes decode/encode through it behind
+# the SAME decode_image/encode_image API — no Spark plumbing changes.
+# Real containers are recognized by their actual magic bytes; encode
+# uses the fmt names "real-png"/"real-jpeg". Without PIL, real formats
+# keep raising NotImplementedError (the stub tests never touch them).
+try:  # pragma: no cover - exercised only where PIL is installed
+    import io as _io
+
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+_REAL_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"BM")
+
+
+def _decode_real(data) -> np.ndarray:
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "real image formats need an image library not present here"
+        )
+    img = _PILImage.open(_io.BytesIO(bytes(data))).convert("RGB")
+    return np.asarray(img, np.uint8)
+
+
+def _encode_real(pixels: np.ndarray, fmt: str) -> bytes:
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "real image formats need an image library not present here"
+        )
+    sink = _io.BytesIO()
+    _PILImage.fromarray(pixels, "RGB").save(
+        sink, format=fmt.removeprefix("real-").upper()
+    )
+    return sink.getvalue()
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
@@ -46,24 +84,29 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "jpeg":
         q = (pixels.astype(np.int16) // _JPEG_QSTEP).astype(np.uint8)
         return MAGIC_JPG + head + zlib.compress(q.tobytes(), 1)
+    if fmt in ("real-png", "real-jpeg"):
+        return _encode_real(pixels, fmt)
     raise ValueError(f"unknown fmt {fmt}")
 
 
 def decode_image(data) -> np.ndarray:
     """encoded bytes/memoryview -> (h, w, 3) uint8 pixels."""
-    magic, (w, h) = data[:4], struct.unpack("<II", data[4:12])
+    magic = bytes(data[:4])
+    if magic not in (MAGIC_BMP, MAGIC_PNG, MAGIC_JPG):
+        if any(magic.startswith(m) for m in _REAL_MAGICS):
+            return _decode_real(data)  # PIL seam (or NotImplementedError)
+        raise NotImplementedError(
+            "real image formats need an image library not present here"
+        )
+    w, h = struct.unpack("<II", data[4:12])
     body = data[12:]
     if magic == MAGIC_BMP:
         px = np.frombuffer(body, np.uint8)
     elif magic == MAGIC_PNG:
         px = np.frombuffer(zlib.decompress(body), np.uint8)
-    elif magic == MAGIC_JPG:
+    else:
         q = np.frombuffer(zlib.decompress(body), np.uint8).astype(np.int16)
         px = np.clip(q * _JPEG_QSTEP + _JPEG_QSTEP // 2, 0, 255).astype(np.uint8)
-    else:
-        raise NotImplementedError(
-            "real image formats need an image library not present here"
-        )
     return px.reshape(h, w, 3)
 
 

@@ -35,6 +35,32 @@ from btrblocks_spark.functions.images import _binary_views, encode_image
 MAGIC_WAV = b"FWAV"
 MAGIC_VID = b"FVID"
 
+# Optional real-codec seam (mirrors images.HAVE_PIL): when soundfile
+# exists, real audio containers (RIFF/WAVE, FLAC, OGG) decode through it
+# behind the same decode_audio API. Absent (this container), real
+# formats keep raising NotImplementedError; the stub tests never notice.
+try:  # pragma: no cover - exercised only where soundfile is installed
+    import io as _io
+
+    import soundfile as _soundfile
+
+    HAVE_SOUNDFILE = True
+except ImportError:
+    HAVE_SOUNDFILE = False
+
+_REAL_AUDIO_MAGICS = (b"RIFF", b"fLaC", b"OggS")
+
+
+def _decode_audio_real(data) -> tuple[np.ndarray, int]:
+    if not HAVE_SOUNDFILE:
+        raise NotImplementedError(
+            "real audio formats need a media library not present here"
+        )
+    pcm, rate = _soundfile.read(_io.BytesIO(bytes(data)), dtype="int16")
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    return pcm, int(rate)
+
 
 # ------------------------------------------------------------------ audio
 def encode_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
@@ -50,7 +76,10 @@ def encode_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
 
 def decode_audio(data) -> tuple[np.ndarray, int]:
     """encoded bytes/memoryview -> ((n, channels) int16, sample_rate)."""
-    if bytes(data[:4]) != MAGIC_WAV:
+    magic = bytes(data[:4])
+    if magic != MAGIC_WAV:
+        if magic in _REAL_AUDIO_MAGICS:
+            return _decode_audio_real(data)  # soundfile seam
         raise NotImplementedError(
             "real audio formats need a media library not present here"
         )

@@ -37,11 +37,18 @@ def backfill(
     store it as ``column`` (added via schema evolution if absent)."""
     job_id = job_id or f"backfill-{uuid.uuid4().hex[:8]}"
     spark = table.spark
+    if table.delete_files():
+        raise RuntimeError(
+            "table carries positional delete files; run compact() to "
+            "absorb them before backfill (backfill rewrites files "
+            "physically and would shift delete positions)"
+        )
     if column not in table.schema_arrow().names:
         table.add_column(column, ddl_type)
     schema_hex = table.schema_arrow().serialize().hex().decode()
     parts = table.partition_by()
     files = table.data_files()
+    blooms = table.bloom_cols()
     if not files:
         return {"job_id": job_id, "rewritten_files": 0}
 
@@ -105,7 +112,9 @@ def backfill(
                 ):
                     if sub.num_rows == 0:
                         continue
-                    block_table, stats = encode_table(sub, seed=42)
+                    block_table, stats = encode_table(
+                        sub, seed=42, bloom_cols=blooms
+                    )
                     fname = f"{job_id}-g{gid:05d}-{k}.parquet"
                     fpath = _fs.join(root, "data", fname)
                     fbytes = _write_blockfile_atomic(block_table, fpath)

@@ -158,6 +158,12 @@ def cluster_staged(
     assert curve in ("zorder", "hilbert")
     job_id = job_id or f"cluster-{uuid.uuid4().hex[:8]}"
     spark = table.spark
+    if table.delete_files():
+        raise RuntimeError(
+            "table carries positional delete files; run compact() to "
+            "absorb them before clustering (the staged cluster kernel "
+            "reads files physically)"
+        )
     files = table.data_files()
     if not files:
         return {"job_id": job_id, "rewritten_files": 0}
@@ -358,6 +364,7 @@ def cluster_staged(
     spec_b_df = spark.createDataFrame(specs_b).repartition(len(specs_b))
     sort_key = f"{curve}({','.join(by)})"
     target_rows = max_rows_per_file
+    blooms = table.bloom_cols()
 
     def merge_task(batch_iter):
         from btrblocks_spark.operators.cluster import compute_zkey as _zk
@@ -387,7 +394,9 @@ def cluster_staged(
                     piece = tbl.slice(start, step)
                     if piece.num_rows == 0 and tbl.num_rows > 0:
                         break
-                    block_table, stats = encode_table(piece, seed=42)
+                    block_table, stats = encode_table(
+                        piece, seed=42, bloom_cols=blooms
+                    )
                     fname = f"{job_id}-b{bin_id:05d}-{k}.parquet"
                     fpath = _fs.join(root, "data", fname)
                     fbytes = _write_blockfile_atomic(block_table, fpath)

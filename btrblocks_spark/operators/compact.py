@@ -34,16 +34,28 @@ def plan_bins(
     target_file_bytes: int,
     min_input_files: int = 2,
     small_file_bytes: int | None = None,
+    must_rewrite: set[str] | None = None,
 ) -> list[list[dict]]:
-    """First-fit-decreasing bin packing of compactable files, per partition."""
+    """First-fit-decreasing bin packing of compactable files, per partition.
+
+    ``must_rewrite`` paths (files shadowed by positional delete files)
+    are always included regardless of size, and a bin containing one is
+    kept even as a singleton — rewriting such a file is what lets the
+    commit drop its delete entries (delete absorption)."""
     small_file_bytes = small_file_bytes or int(target_file_bytes * 0.75)
+    must_rewrite = must_rewrite or set()
     by_part: dict[str, list[dict]] = {}
     for r in files:
-        if r["file_bytes"] < small_file_bytes:
+        if (
+            r["file_bytes"] < small_file_bytes
+            or r["file_path"] in must_rewrite
+        ):
             by_part.setdefault(r["partition"], []).append(r)
     bins: list[list[dict]] = []
     for part_files in by_part.values():
-        if len(part_files) < min_input_files:
+        if len(part_files) < min_input_files and not any(
+            r["file_path"] in must_rewrite for r in part_files
+        ):
             continue
         part_files.sort(key=lambda r: -r["file_bytes"])
         part_bins: list[tuple[int, list[dict]]] = []
@@ -56,7 +68,12 @@ def plan_bins(
                     break
             if not placed:
                 part_bins.append((r["file_bytes"], [r]))
-        bins.extend(members for _, members in part_bins if len(members) >= 2)
+        bins.extend(
+            members
+            for _, members in part_bins
+            if len(members) >= 2
+            or any(r["file_path"] in must_rewrite for r in members)
+        )
     return bins
 
 
@@ -66,10 +83,26 @@ def compact(
     min_input_files: int = 2,
     job_id: str | None = None,
 ) -> dict:
-    """Compact small files; returns job metrics. Checkpoint-resumable."""
+    """Compact small files; returns job metrics. Checkpoint-resumable.
+
+    Positional delete files are ABSORBED: files they shadow are always
+    rewritten (deletes applied during the re-encode), and every delete
+    file whose referenced data files were all rewritten is dropped from
+    the new snapshot — compaction returns the table to pure data files.
+    """
     job_id = job_id or f"compact-{uuid.uuid4().hex[:8]}"
     files = table.data_files()
-    bins = plan_bins(files, target_file_bytes, min_input_files)
+    delete_rows = table.delete_files()
+    del_paths = [r["file_path"] for r in delete_rows]
+    shadowed: set[str] = set()
+    for r in delete_rows:
+        shadowed.update(json.loads(r["source_files"] or "[]"))
+    # only shadowed files that still exist in this snapshot matter
+    live = {r["file_path"] for r in files}
+    shadowed &= live
+    bins = plan_bins(
+        files, target_file_bytes, min_input_files, must_rewrite=shadowed
+    )
     if not bins:
         return {"job_id": job_id, "bins": 0, "rewritten_files": 0}
 
@@ -101,9 +134,15 @@ def compact(
     spec_df = spark.createDataFrame(specs).repartition(n_tasks)
     schema_hex = table.schema_arrow().serialize().hex().decode()
 
+    blooms = table.bloom_cols()
+
     def rebuild(batch_iter):
         from btrblocks_spark.sources import fs as _fs
-        from btrblocks_spark.sources.blockfile import decode_batches, encode_table
+        from btrblocks_spark.sources.blockfile import (
+            decode_batches,
+            encode_table,
+            load_delete_index,
+        )
 
         for batch in batch_iter:
             for row in batch.to_pylist():
@@ -120,15 +159,33 @@ def compact(
                 schema = pa.ipc.read_schema(
                     pa.py_buffer(bytes.fromhex(schema_hex))
                 )
+                del_index = (
+                    load_delete_index(del_paths, paths) if del_paths else {}
+                )
                 logical_batches = []
                 for p in paths:
                     bt = _fs.read_parquet(p)
                     logical_batches.extend(
-                        decode_batches(bt.to_batches(), schema, schema.names)
+                        decode_batches(
+                            bt.to_batches(),
+                            schema,
+                            schema.names,
+                            deletes=del_index.get(p),
+                        )
                     )
-                merged = pa.Table.from_batches(logical_batches)
+                merged = pa.Table.from_batches(
+                    logical_batches, schema=schema
+                )
                 _t1 = _time.time()
-                block_table, stats = encode_table(merged, seed=42)
+                if merged.num_rows == 0:
+                    # every row of the bin was deleted — nothing to write
+                    payload = json.dumps([])
+                    _fs.write_bytes_atomic(marker, payload.encode())
+                    yield pa.RecordBatch.from_pydict({"rows": [payload]})
+                    continue
+                block_table, stats = encode_table(
+                    merged, seed=42, bloom_cols=blooms
+                )
                 _t2 = _time.time()
                 fname = f"{job_id}-bin{bin_id:05d}.parquet"
                 fpath = _fs.join(root, "data", fname)
@@ -169,11 +226,26 @@ def compact(
             for k in timing_totals:
                 timing_totals[k] += t.get(k, 0.0)
     replaced = {m["file_path"] for members in bins for m in members}
+    # delete absorption: a delete file whose referenced data files were
+    # all rewritten (or are no longer in the snapshot) carries no live
+    # information — drop it with the rewritten files
+    absorbed = [
+        r["file_path"]
+        for r in delete_rows
+        if all(
+            p in replaced or p not in live
+            for p in json.loads(r["source_files"] or "[]")
+        )
+    ]
+    replaced |= set(absorbed)
     sid = table._commit(
         new_rows,
         operation="compact",
         replaced=replaced,
-        extra_summary={"bins": len(bins)},
+        extra_summary={
+            "bins": len(bins),
+            "absorbed_delete_files": len(absorbed),
+        },
     )
     return {
         "job_id": job_id,
@@ -181,6 +253,7 @@ def compact(
         "bins": len(bins),
         "rewritten_files": len(replaced),
         "new_files": len(new_rows),
+        "absorbed_delete_files": len(absorbed),
         "new_bytes": sum(r["file_bytes"] for r in new_rows),
         "input_bytes": sum(
             m["file_bytes"] for members in bins for m in members

@@ -86,6 +86,61 @@ def _norm(path: str) -> str:
     return path.removeprefix("file://").removeprefix("file:")
 
 
+def _candidate_files(
+    table: BtrTable,
+    source: DataFrame,
+    on: str,
+    prune: dict,
+    source_bytes: int | None,
+    max_collect_mb: int,
+    timings: dict,
+) -> tuple[list[str] | None, int]:
+    """(candidate file paths, bloom_skipped) for the MERGE keyscan.
+
+    Manifest min/max range prune first; then, when the table carries
+    per-file key blooms on ``on`` (``BtrTable.create(bloom_cols=...)``)
+    and the source is small enough to collect its keys, every range-
+    surviving file's bloom is probed with the full source key set —
+    files whose bloom rejects ALL keys are dropped WITHOUT being opened
+    (their key blobs are never read). Returns (None, 0) when blooms
+    don't apply (scan falls back to prune-only discovery)."""
+    import json as _json
+    import time as _time
+
+    from btrblocks_spark.sources.table import _file_may_match
+
+    if on not in table.bloom_cols():
+        return None, 0
+    if source_bytes is not None and source_bytes > max_collect_mb * 2**20:
+        return None, 0  # keys too big to collect; range prune only
+    t0 = _time.time()
+    import numpy as np
+
+    keys = (
+        source.select(on)
+        .distinct()
+        .toPandas()[on]
+        .to_numpy()
+    )
+    if keys.dtype.kind not in "iu":
+        return None, 0
+    from btrblocks_spark.codec.bloom import bloom_may_contain_any
+
+    cand, skipped = [], 0
+    for r in table.data_files():
+        if not _file_may_match(r, prune):
+            continue
+        bl = _json.loads(r["stats"]).get(on, {}).get("bloom")
+        if bl is not None and not bloom_may_contain_any(
+            bl, keys.astype(np.int64)
+        ):
+            skipped += 1
+            continue
+        cand.append(r["file_path"])
+    timings["bloom_filter"] = _time.time() - t0
+    return cand, skipped
+
+
 def merge_into(
     table: BtrTable,
     source: DataFrame,
@@ -107,9 +162,18 @@ def merge_into(
     rows). Falls back to ``"shuffle"`` automatically when the source
     exceeds ``max_staged_source_mb`` (a huge source no longer fits the
     broadcast-to-every-rewrite-task model).
+
+    ``strategy="mor"`` (merge-on-read, Iceberg v2 semantics): instead of
+    rewriting touched files, matched row positions are written to
+    positional delete files and replacement/insert rows are appended —
+    rewritten bytes scale with the CHANGE, not with the files the change
+    touches (copy-on-write amplification: 5% of keys can touch ~all
+    files). Scans merge the deletes; compaction absorbs them back into
+    pure data files.
     """
     assert when_matched in ("update", "delete")
     assert when_not_matched in ("insert", "ignore")
+    assert strategy in ("staged", "shuffle", "mor")
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
     spark = table.spark
     cols = table.schema_arrow().names
@@ -130,15 +194,31 @@ def merge_into(
     #    cross to Python; a multi-GB source must never be materialized
     #    on the driver just to decide to fall back to shuffle.
     t0 = _time.time()
-    aggs = [F.min(on).alias("lo"), F.max(on).alias("hi")]
-    if strategy == "staged":
-        aggs.append(F.sum(_row_bytes_expr(source)).alias("b"))
+    aggs = [
+        F.min(on).alias("lo"),
+        F.max(on).alias("hi"),
+        F.sum(_row_bytes_expr(source)).alias("b"),
+    ]
     srow = source.agg(*aggs).collect()[0]
     prune = {on: (srow.lo, srow.hi)}
     timings["source_stats"] = _time.time() - t0
 
+    # 1b. per-file key blooms cut the candidate set below the range prune
+    cand_paths, bloom_skipped = _candidate_files(
+        table, source, on, prune,
+        int(srow.b or 0), max_staged_source_mb, timings,
+    )
+
     # 2. touched files: key-only scan of candidates x source keys
-    keyscan = table.scan(columns=[on], prune=prune, with_file=True)
+    keyscan = table.scan(
+        columns=[on], prune=prune, files=cand_paths, with_file=True
+    )
+
+    if strategy == "mor":
+        return _merge_mor(
+            table, source, on, when_matched, when_not_matched, job_id,
+            cand_paths, prune, broadcast_source, bloom_skipped, timings,
+        )
 
     if strategy == "staged":
         cap = max_staged_source_mb * 1024 * 1024
@@ -150,6 +230,7 @@ def merge_into(
                 return _merge_staged(
                     table, src_tbl, on, when_matched, when_not_matched,
                     job_id, keyscan, source, prune, timings,
+                    bloom_skipped=bloom_skipped,
                 )
         # source too large for the staged broadcast model
 
@@ -207,6 +288,7 @@ def merge_into(
         "snapshot_id": sid,
         "touched_files": len(touched),
         "new_files": len(written),
+        "bloom_skipped_files": bloom_skipped,
     }
 
 
@@ -226,6 +308,7 @@ def _merge_staged(
     source: DataFrame,
     prune: dict,
     timings: dict | None = None,
+    bloom_skipped: int = 0,
 ) -> dict:
     """File-staged copy-on-write MERGE: one task per touched-file bin."""
     import json as _json
@@ -277,6 +360,10 @@ def _merge_staged(
         {str(k): v for k, v in owner_of_key.items()}
     )
     root = table.root
+    blooms = table.bloom_cols()
+    # positional delete files from earlier merge-on-read merges: the
+    # direct file reads below must not resurrect deleted rows
+    del_paths = [r["file_path"] for r in table.delete_files()]
     ckpt = fs.join(root, "_checkpoints", job_id)
     fs.mkdirs(ckpt)
     specs = [
@@ -336,8 +423,19 @@ def _merge_staged(
                         continue
                     path = row["path"]
                     bt = _fs.read_parquet(path)
+                    dels = None
+                    if del_paths:
+                        from btrblocks_spark.sources.blockfile import (
+                            load_delete_index,
+                        )
+
+                        dels = load_delete_index(del_paths, [path]).get(path)
                     tbl = pa.Table.from_batches(
-                        list(decode_batches(bt.to_batches(), logical))
+                        list(
+                            decode_batches(
+                                bt.to_batches(), logical, deletes=dels
+                            )
+                        )
                     ).combine_chunks()
                     key_col = tbl.column(on).combine_chunks()
                     src_keys_arr = src_local.column(on).combine_chunks()
@@ -382,7 +480,9 @@ def _merge_staged(
                     ):
                         if sub.num_rows == 0:
                             continue
-                        block_table, stats = encode_table(sub, seed=42)
+                        block_table, stats = encode_table(
+                            sub, seed=42, bloom_cols=blooms
+                        )
                         fname = f"{job_id}-rw{bin_id:05d}-{k_sub}.parquet"
                         fpath = _fs.join(root, "data", fname)
                         fbytes = _write_blockfile_atomic(block_table, fpath)
@@ -444,5 +544,174 @@ def _merge_staged(
         "touched_files": len(touched),
         "new_files": len(new_rows),
         "strategy": "staged",
+        "bloom_skipped_files": bloom_skipped,
+        "timings": {k: round(v, 3) for k, v in timings.items()},
+    }
+
+
+def _merge_mor(
+    table: BtrTable,
+    source: DataFrame,
+    on: str,
+    when_matched: str,
+    when_not_matched: str,
+    job_id: str,
+    cand_paths: list[str] | None,
+    prune: dict,
+    broadcast_source: bool,
+    bloom_skipped: int,
+    timings: dict,
+) -> dict:
+    """Merge-on-read MERGE (Iceberg v2 positional deletes).
+
+    1. *Keyscan with positions*: a key+``_file``+``_pos`` scan of the
+       (range+bloom-pruned) candidate files — earlier delete files are
+       merged by the scan, so already-deleted rows never rematch.
+    2. *Delete write*: matched (file, pos) pairs, range-partitioned and
+       sorted on (file_path, pos), one delete parquet per task with
+       small row groups — a later scan task's row-group filter reads
+       only its own files' positions.
+    3. *Appends*: replacement rows (matched source rows, update mode)
+       and inserts (anti-join) become normal new data files.
+    4. *Commit*: delete rows + data rows added, NOTHING replaced —
+       rewritten bytes scale with the change set, not with touched-file
+       bytes (CoW rewrote 199 files for 5% of keys in the r3 bench).
+    """
+    import json as _json
+    import time as _time
+
+    spark = table.spark
+    cols = table.schema_arrow().names
+    root = table.root
+
+    t0 = _time.time()
+    keyscan = table.scan(
+        columns=[on],
+        prune=prune,
+        files=cand_paths,
+        with_file=True,
+        with_pos=True,
+    ).cache()
+    src_keys = source.select(on).distinct()
+    if broadcast_source:
+        src_keys = F.broadcast(src_keys)
+    matched = keyscan.join(src_keys, on=on, how="inner")
+    del_rows = (
+        matched.select(
+            F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
+        )
+        .distinct()
+    )
+
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        cores = 8
+    n_tasks = max(1, cores * 2)
+    sorted_dels = del_rows.repartitionByRange(
+        n_tasks, "file_path", "pos"
+    ).sortWithinPartitions("file_path", "pos")
+
+    def write_deletes(batch_iter):
+        import hashlib as _hl
+
+        import pyarrow as _pa
+
+        from btrblocks_spark.sources import fs as _fs
+
+        batches = list(batch_iter)
+        t = (
+            _pa.Table.from_batches(batches)
+            if batches
+            else None
+        )
+        if t is None or t.num_rows == 0:
+            return
+        paths = t.column("file_path").to_pylist()
+        # deterministic name from the partition's content bounds —
+        # idempotent across task retries
+        tag = _hl.sha256(
+            f"{paths[0]}:{t.column('pos')[0].as_py()}:{paths[-1]}".encode()
+        ).hexdigest()[:12]
+        fpath = _fs.join(root, "data", f"{job_id}-del-{tag}.parquet")
+        fbytes = _fs.write_parquet_atomic(
+            t, fpath, compression="zstd", row_group_size=8192
+        )
+        row = {
+            "file_path": fpath,
+            "partition": "{}",
+            "row_count": t.num_rows,
+            "block_count": 0,
+            "file_bytes": fbytes,
+            "raw_bytes": t.num_rows * 16,
+            "stats": "{}",
+            "job_id": job_id,
+            # referenced data files — compaction absorbs this delete
+            # file once every referenced file has been rewritten
+            "source_files": _json.dumps(sorted(set(paths))),
+            "sort_key": "",
+            "content": 1,
+        }
+        yield _pa.RecordBatch.from_pydict({"rows": [_json.dumps([row])]})
+
+    delete_rows: list[dict] = []
+    for r in sorted_dels.mapInArrow(write_deletes, "rows string").collect():
+        delete_rows.extend(_json.loads(r.rows))
+    timings["delete_write"] = _time.time() - t0
+
+    t0 = _time.time()
+    pieces = []
+    if when_matched == "update":
+        matched_keys = matched.select(on).distinct()
+        if broadcast_source:
+            matched_keys = F.broadcast(matched_keys)
+        pieces.append(source.join(matched_keys, on=on, how="leftsemi"))
+    if when_not_matched == "insert":
+        pieces.append(
+            source.join(keyscan.select(on), on=on, how="left_anti")
+        )
+    data_rows: list[dict] = []
+    if pieces:
+        to_write = pieces[0]
+        for p in pieces[1:]:
+            to_write = to_write.unionByName(p)
+        data_rows = table._write_files(to_write.select(*cols), job_id=job_id)
+    timings["appends"] = _time.time() - t0
+    keyscan.unpersist()
+
+    touched = sorted(
+        {
+            p
+            for r in delete_rows
+            for p in _json.loads(r["source_files"])
+        }
+    )
+    size_of = {r["file_path"]: r["file_bytes"] for r in table.data_files()}
+    touched_bytes = sum(size_of.get(p, 0) for p in touched)
+    t0 = _time.time()
+    sid = table._commit(
+        delete_rows + data_rows,
+        operation="merge",
+        replaced=None,
+        extra_summary={
+            "on": on,
+            "when_matched": when_matched,
+            "strategy": "mor",
+            "delete_rows": sum(r["row_count"] for r in delete_rows),
+        },
+    )
+    timings["commit"] = _time.time() - t0
+    return {
+        "job_id": job_id,
+        "snapshot_id": sid,
+        "strategy": "mor",
+        "touched_files": len(touched),
+        "touched_bytes": touched_bytes,
+        "delete_files": len(delete_rows),
+        "delete_rows": sum(r["row_count"] for r in delete_rows),
+        "delete_bytes": sum(r["file_bytes"] for r in delete_rows),
+        "new_files": len(data_rows),
+        "new_bytes": sum(r["file_bytes"] for r in data_rows),
+        "bloom_skipped_files": bloom_skipped,
         "timings": {k: round(v, 3) for k, v in timings.items()},
     }

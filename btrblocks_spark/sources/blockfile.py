@@ -54,12 +54,15 @@ def encode_table(
     seed: int = 42,
     level: int | None = None,
     block_rows: int | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> tuple[pa.Table, dict]:
     """Encode a logical Arrow table into block rows + file-level stats.
 
     Returns (block_table, stats) where stats =
     {col: {min, max, null_count}} (min/max None for binary cols) plus
-    ``row_count`` / ``raw_bytes``.
+    ``row_count`` / ``raw_bytes``. ``bloom_cols`` adds a per-file key
+    bloom digest (``codec.bloom``) to those integer columns' stats —
+    consulted by MERGE touched-file discovery.
     """
     if level is None:
         from btrblocks_spark.codec.config import get_config
@@ -129,8 +132,56 @@ def encode_table(
                 mm = pc.min_max(col)
                 entry["min"] = str(mm["min"].as_py())
                 entry["max"] = str(mm["max"].as_py())
+        if (
+            name in (bloom_cols or ())
+            and (pa.types.is_integer(typ))
+            and n
+            and col.null_count < n
+        ):
+            from btrblocks_spark.codec.bloom import build_bloom
+
+            vals = col.drop_null().to_numpy(zero_copy_only=False)
+            bloom = build_bloom(vals.astype(np.int64))
+            if bloom is not None:
+                entry["bloom"] = bloom
         stats["columns"][name] = entry
     return pa.table(out), stats
+
+
+def load_delete_index(
+    delete_paths: list[str], data_paths: list[str] | None = None
+) -> dict[str, np.ndarray]:
+    """{data_file_path: sorted unique positions} from positional delete
+    files (parquet, columns ``file_path``/``pos``, sorted on write).
+
+    ``data_paths`` narrows the read to the task's own files via a
+    parquet row-group filter — delete files are written sorted by
+    file_path, so their row-group stats prune the irrelevant ranges and
+    a 1000-task scan does not re-read every delete row 1000 times.
+    """
+    from btrblocks_spark.sources import fs as _fs
+
+    filters = None
+    if data_paths is not None:
+        filters = [("file_path", "in", list(data_paths))]
+    tables = []
+    for dp in delete_paths:
+        t = _fs.read_parquet(dp, columns=["file_path", "pos"], filters=filters)
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        return {}
+    t = pa.concat_tables(tables)
+    fps = np.asarray(t.column("file_path").to_pylist(), dtype=object)
+    poss = t.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(fps, kind="stable")
+    fps, poss = fps[order], poss[order]
+    uniq, starts = np.unique(fps, return_index=True)
+    bounds = np.append(starts, len(fps))
+    return {
+        str(uniq[i]): np.unique(poss[bounds[i] : bounds[i + 1]])
+        for i in range(len(uniq))
+    }
 
 
 def decode_batches(

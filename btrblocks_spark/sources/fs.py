@@ -274,9 +274,13 @@ def write_json_atomic(path: str, obj: dict) -> None:
     write_bytes_atomic(path, json.dumps(obj, indent=1, default=str).encode())
 
 
-def read_parquet(path: str, columns: list[str] | None = None) -> pa.Table:
+def read_parquet(
+    path: str,
+    columns: list[str] | None = None,
+    filters: list | None = None,
+) -> pa.Table:
     f, p = resolve(path)
-    return pq.read_table(p, filesystem=f, columns=columns)
+    return pq.read_table(p, filesystem=f, columns=columns, filters=filters)
 
 
 def write_parquet_atomic(

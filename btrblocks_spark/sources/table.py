@@ -65,8 +65,14 @@ MANIFEST_SCHEMA = pa.schema(
         ("job_id", pa.string()),
         ("source_files", pa.string()),  # JSON [paths] — per-file lineage
         ("sort_key", pa.string()),  # clustering state, e.g. "zorder(phash,w,h)"
+        # 0 = data file, 1 = positional delete file (Iceberg v2 content id);
+        # delete files hold (file_path, pos) rows merged at scan time
+        ("content", pa.int64()),
     ]
 )
+
+#: manifest-row defaults for columns added after v1 tables were written
+_MANIFEST_DEFAULTS = {"content": 0}
 
 
 _atomic_write_json = fs.write_json_atomic
@@ -122,6 +128,9 @@ class BtrTable:
     def partition_by(self) -> list[str]:
         return self.metadata().get("partition_by", [])
 
+    def bloom_cols(self) -> list[str]:
+        return self.metadata().get("bloom_cols", [])
+
     # ------------------------------------------------------------ create
     @classmethod
     def create(
@@ -135,8 +144,14 @@ class BtrTable:
         num_files: int | None = None,
         job_id: str | None = None,
         block_rows: int | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> "BtrTable":
-        """Create a table at ``root`` from ``df`` (initial snapshot)."""
+        """Create a table at ``root`` from ``df`` (initial snapshot).
+
+        ``bloom_cols``: integer columns that get a per-file key bloom
+        digest in their manifest stats on every write (MERGE touched-
+        file discovery skips files whose bloom rejects all source keys).
+        """
         for sub in ("data", "manifests", "_checkpoints"):
             fs.mkdirs(fs.join(root, sub))
         arrow_schema = df.limit(0).toArrow().schema
@@ -146,6 +161,7 @@ class BtrTable:
             "arrow_schema_hex": arrow_schema.serialize().hex().decode(),
             "spark_schema_json": df.schema.json(),
             "partition_by": partition_by or [],
+            "bloom_cols": bloom_cols or [],
             "current_snapshot_id": 0,
             "snapshots": [
                 {
@@ -217,6 +233,7 @@ class BtrTable:
         """Run the distributed encode; returns manifest row dicts."""
         root = self.root
         parts = self.partition_by()
+        blooms = self.bloom_cols()
         arrow_schema = df.limit(0).toArrow().schema
 
         if preserve_partitioning:
@@ -271,7 +288,10 @@ class BtrTable:
                     for start in range(0, sub.num_rows, step):
                         piece = sub.slice(start, step)
                         block_table, stats = encode_table(
-                            piece, seed=42, block_rows=block_rows
+                            piece,
+                            seed=42,
+                            block_rows=block_rows,
+                            bloom_cols=blooms,
                         )
                         fname = f"{job_id}-p{task_id:05d}-{k}.parquet"
                         fpath = _fs.join(root, "data", fname)
@@ -325,7 +345,10 @@ class BtrTable:
     def _write_manifest(self, name: str, rows: list[dict]) -> dict:
         path = fs.join(self.root, "manifests", name)
         cols = {
-            f.name: pa.array([r[f.name] for r in rows], f.type)
+            f.name: pa.array(
+                [r.get(f.name, _MANIFEST_DEFAULTS.get(f.name)) for r in rows],
+                f.type,
+            )
             for f in MANIFEST_SCHEMA
         }
         _write_parquet_atomic(pa.table(cols, schema=MANIFEST_SCHEMA), path)
@@ -588,12 +611,30 @@ class BtrTable:
                 StructField("job_id", StringType()),
                 StructField("source_files", StringType()),
                 StructField("sort_key", StringType()),
+                StructField("content", LongType()),
             ]
         )
 
-    def data_files(self, snapshot_id: int | None = None) -> list[dict]:
+    def all_files(self, snapshot_id: int | None = None) -> list[dict]:
+        """Every manifest row (data AND delete files)."""
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
         return self._manifest_rows(sid)
+
+    def data_files(self, snapshot_id: int | None = None) -> list[dict]:
+        return [
+            r
+            for r in self.all_files(snapshot_id)
+            if (r.get("content") or 0) == 0
+        ]
+
+    def delete_files(self, snapshot_id: int | None = None) -> list[dict]:
+        """Positional delete files (content=1) in the snapshot —
+        written by merge-on-read MERGE, absorbed by compaction."""
+        return [
+            r
+            for r in self.all_files(snapshot_id)
+            if (r.get("content") or 0) == 1
+        ]
 
     def scan(
         self,
@@ -605,6 +646,7 @@ class BtrTable:
         native_io: bool | None = None,
         block_skip: bool = True,
         with_pos: bool = False,
+        apply_deletes: bool = True,
     ) -> DataFrame:
         """Read the table back as a logical DataFrame.
 
@@ -627,12 +669,19 @@ class BtrTable:
         coordinate ``_pos`` (row position within ``_file``); it implies
         the native per-file read path.
 
+        Positional delete files in the snapshot (merge-on-read MERGE)
+        are merged at scan time: each task loads the delete positions
+        for ITS files (parquet row-group filter over the sorted delete
+        files) and the decode kernel drops them. ``apply_deletes=False``
+        reads the raw physical rows (maintenance internals only).
+
         ``native_io``: executors open block files through ``pyarrow.fs``
         directly instead of Spark's JVM parquet reader — the analog of the
         reference's own S3 scan path (``tools/conversion/
         decompression-speed-s3.cpp:37-110``). Auto-enabled for object-store
         roots (no Hadoop connector needed); opt-in for local paths.
         """
+        spec_src = None  # paths-DataFrame when planning is distributed
         if files is not None:
             # explicit file list (maintenance inner scans): driver-side
             # filtering over the already-known subset
@@ -656,25 +705,65 @@ class BtrTable:
                 paths = [
                     r["file_path"]
                     for r in rows
-                    if _file_may_match(r, prune)
+                    if (r.get("content") or 0) == 0
+                    and _file_may_match(r, prune)
                 ]
             else:
                 # Catalyst filter over the manifest DataFrame — stats
-                # never loop through the driver; only surviving paths
-                # collect back
+                # never loop through the driver, and the surviving paths
+                # STAY a DataFrame (spec_src): the driver never holds the
+                # path list at all, only its count
                 mdf = self.manifest_df(snapshot_id)
+                spec_src = (
+                    mdf.filter(
+                        F.coalesce(F.col("content"), F.lit(0)) == 0
+                    )
+                    .filter(_prune_predicate(prune))
+                    .select("file_path")
+                )
+                paths = None
+        else:
+            sid = (
+                self.current_snapshot_id()
+                if snapshot_id is None
+                else snapshot_id
+            )
+            entries = self._manifest_list(sid)
+            n_files = sum(e["file_count"] or 0 for e in entries)
+            if n_files <= 10_000:
                 paths = [
+                    r["file_path"] for r in self.data_files(snapshot_id)
+                ]
+            else:
+                # full scan of a big table: same batched planning — the
+                # manifest rows flow straight into the task spec
+                mdf = self.manifest_df(snapshot_id)
+                spec_src = mdf.filter(
+                    F.coalesce(F.col("content"), F.lit(0)) == 0
+                ).select("file_path")
+                paths = None
+        del_paths: list[str] = []
+        if apply_deletes:
+            if paths is None:
+                # big-table branches: delete-file discovery through the
+                # same manifest DataFrame, no driver row materialization
+                del_paths = [
                     r.file_path
-                    for r in mdf.filter(_prune_predicate(prune))
+                    for r in mdf.filter(
+                        F.coalesce(F.col("content"), F.lit(0)) == 1
+                    )
                     .select("file_path")
                     .collect()
                 ]
-        else:
-            paths = [r["file_path"] for r in self.data_files(snapshot_id)]
+            else:
+                del_paths = [
+                    r["file_path"] for r in self.delete_files(snapshot_id)
+                ]
         arrow_schema = self.schema_arrow()
         want = list(columns or arrow_schema.names)
         spark_schema = self._spark_schema_for(want)
-        if not paths:
+        n_paths = spec_src.count() if paths is None else len(paths)
+        if n_paths == 0:
             return self.spark.createDataFrame([], schema=spark_schema)
         if native_io is None:
             # default EVERYWHERE, not just object stores: the block
@@ -718,49 +807,78 @@ class BtrTable:
                 par = max(self.spark.sparkContext.defaultParallelism, 1)
             except Exception:
                 par = 8
-            n_tasks = max(1, min(len(paths), par * 4))
-            spec_df = self.spark.createDataFrame(
-                [(p,) for p in paths], "file_path string"
-            ).repartition(n_tasks)
+            n_tasks = max(1, min(n_paths, par * 4))
+            if paths is None:
+                spec_df = spec_src.repartition(n_tasks)
+            else:
+                spec_df = self.spark.createDataFrame(
+                    [(p,) for p in paths], "file_path string"
+                ).repartition(n_tasks)
             bcols = ["tuple_count"] + [f"b_{c}" for c in want]
             if predicate:
                 bcols.append("zone")
 
             def read_native(batch_iter):
                 from btrblocks_spark.sources import fs as _fs
-                from btrblocks_spark.sources.blockfile import decode_batches
+                from btrblocks_spark.sources.blockfile import (
+                    decode_batches,
+                    load_delete_index,
+                )
 
                 logical = pa.ipc.read_schema(
                     pa.py_buffer(bytes.fromhex(schema_hex))
                 )
-                for batch in batch_iter:
-                    for path in batch.column("file_path").to_pylist():
-                        try:
-                            # I/O-level column pruning: only the wanted
-                            # b_<col> blobs leave the store
-                            bt = _fs.read_parquet(path, columns=bcols)
-                        except Exception:
-                            # evolved schema: old files lack new columns
-                            bt = _fs.read_parquet(path)
-                            bt = bt.select(
-                                [c for c in bcols if c in bt.schema.names]
-                            )
-                        if with_file:
-                            bt = bt.append_column(
-                                "_file",
-                                pa.array([path] * bt.num_rows, pa.string()),
-                            )
-                        yield from decode_batches(
-                            bt.to_batches(),
-                            logical,
-                            want,
-                            with_file=with_file,
-                            predicate=predicate,
-                            with_pos=with_pos,
+                # task's own file list first, so the delete-file read is
+                # row-group-filtered to exactly these paths
+                task_paths = [
+                    p
+                    for batch in batch_iter
+                    for p in batch.column("file_path").to_pylist()
+                ]
+                if not task_paths:
+                    return
+                del_index = (
+                    load_delete_index(del_paths, task_paths)
+                    if del_paths
+                    else {}
+                )
+                for path in task_paths:
+                    try:
+                        # I/O-level column pruning: only the wanted
+                        # b_<col> blobs leave the store
+                        bt = _fs.read_parquet(path, columns=bcols)
+                    except Exception:
+                        # evolved schema: old files lack new columns
+                        bt = _fs.read_parquet(path)
+                        bt = bt.select(
+                            [c for c in bcols if c in bt.schema.names]
                         )
+                    if with_file:
+                        bt = bt.append_column(
+                            "_file",
+                            pa.array([path] * bt.num_rows, pa.string()),
+                        )
+                    yield from decode_batches(
+                        bt.to_batches(),
+                        logical,
+                        want,
+                        with_file=with_file,
+                        predicate=predicate,
+                        with_pos=with_pos,
+                        deletes=del_index.get(path),
+                    )
 
             return spec_df.mapInArrow(read_native, out_schema)
 
+        if del_paths:
+            raise ValueError(
+                "snapshot has positional delete files: the JVM batch "
+                "path cannot merge them (use native_io=True)"
+            )
+        if paths is None:
+            # explicit JVM path on a 10^4+-file table: materialize the
+            # list (spark.read needs concrete paths)
+            paths = [r.file_path for r in spec_src.collect()]
         sel = [F.col("tuple_count")] + [F.col(f"b_{c}") for c in want]
         if predicate:
             sel.append(F.col("zone"))
@@ -1045,7 +1163,7 @@ class BtrTable:
         history is preserved, nothing is deleted."""
         self._snapshot(snapshot_id)  # raises if unknown
         rows = self._manifest_rows(snapshot_id)
-        current_rows = self.data_files()
+        current_rows = self.all_files()
         sid = self._commit(
             rows,
             operation="rollback",
@@ -1369,6 +1487,181 @@ class BtrTable:
             }
         finally:
             fs.delete_file(lock)
+
+    # ------------------------------------------------------------ changelog
+    def scan_changes(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Incremental (snapshot-diff) changelog between two snapshots —
+        the CDC primitive every downstream training-data pipeline needs
+        so an appended table is not rescanned end-to-end.
+
+        Returns the table columns plus ``_change_type`` ('insert' |
+        'delete') and ``_change_snapshot_id``. Events are emitted per
+        commit in the window ``(from, to]``:
+
+        - ``append`` / ``stream-append``: the commit's added manifest
+          rows are net-new — their files scan as inserts.
+        - ``merge`` (merge-on-read): added data files are inserts
+          (updates appear as delete of the old image + insert of the
+          new — standard CDC delta form); added positional delete files
+          identify the removed rows, whose old images are reconstructed
+          by scanning the referenced (immutable) data files at exactly
+          those positions.
+        - ``compact`` / ``cluster`` / ``rewrite-manifests``: physical
+          rewrites, no logical change — contribute nothing.
+        - copy-on-write ``merge``, ``backfill``, ``rollback``,
+          ``add-column``: not representable as a file-level diff —
+          NotImplementedError (run MOR merges when a changelog consumer
+          is downstream).
+
+        Fast path: each commit's added rows live in its own
+        ``manifest-<sid>-a`` manifest. When manifest bin-packing merged
+        that file away, the commit's additions are recovered by a
+        set-diff of the two adjacent snapshots' file lists.
+        """
+        to_sid = (
+            self.current_snapshot_id()
+            if to_snapshot_id is None
+            else to_snapshot_id
+        )
+        if from_snapshot_id > to_sid:
+            raise ValueError("from_snapshot_id must be <= to_snapshot_id")
+        known = {s["snapshot_id"]: s for s in self.snapshots()}
+        for sid in (from_snapshot_id, to_sid):
+            if sid not in known:
+                raise KeyError(
+                    f"snapshot {sid} not in table history (expired?)"
+                )
+        window = [
+            known[s]
+            for s in sorted(known)
+            if from_snapshot_id < s <= to_sid
+        ]
+        arrow_schema = self.schema_arrow()
+        want = list(columns or arrow_schema.names)
+        out_parts: list[DataFrame] = []
+
+        def added_rows_of(snap: dict) -> list[dict]:
+            sid = snap["snapshot_id"]
+            fast = f"manifest-{sid}-a.parquet"
+            names = {e["name"] for e in self._manifest_list(sid)}
+            if fast in names:
+                return self._read_manifest(fast)
+            # merged away: recover via file-list set diff vs the parent
+            prev = snap["parent"]
+            prev_paths = {
+                r["file_path"] for r in self._manifest_rows(prev)
+            }
+            return [
+                r
+                for r in self._manifest_rows(sid)
+                if r["file_path"] not in prev_paths
+            ]
+
+        for snap in window:
+            op = snap["operation"]
+            sid = snap["snapshot_id"]
+            if op in ("compact", "cluster", "rewrite-manifests",
+                      "create-empty"):
+                continue
+            if op == "merge" and snap["summary"].get("strategy") != "mor":
+                raise NotImplementedError(
+                    f"snapshot {sid}: copy-on-write merge is not "
+                    "file-diffable; use strategy='mor' for changelog "
+                    "consumers"
+                )
+            if op not in ("append", "stream-append", "merge"):
+                raise NotImplementedError(
+                    f"snapshot {sid}: operation {op!r} has no "
+                    "changelog representation"
+                )
+            added = added_rows_of(snap)
+            data_paths = [
+                r["file_path"]
+                for r in added
+                if (r.get("content") or 0) == 0
+            ]
+            del_paths = [
+                r["file_path"]
+                for r in added
+                if (r.get("content") or 0) == 1
+            ]
+            if data_paths:
+                ins = self.scan(
+                    columns=want,
+                    snapshot_id=sid,
+                    files=data_paths,
+                    apply_deletes=False,
+                )
+                out_parts.append(
+                    ins.withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_change_snapshot_id", F.lit(sid))
+                )
+            if del_paths:
+                # old images of the removed rows: scan the referenced
+                # immutable files at exactly the deleted positions
+                del_rows = self._delete_rows_df(del_paths)
+                targets = sorted(
+                    r.file_path
+                    for r in del_rows.select("file_path")
+                    .distinct()
+                    .collect()
+                )
+                old = self.scan(
+                    columns=want,
+                    snapshot_id=snap["parent"],
+                    files=targets,
+                    with_file=True,
+                    with_pos=True,
+                    apply_deletes=False,
+                )
+                removed = (
+                    old.join(
+                        del_rows,
+                        (old._file == del_rows.file_path)
+                        & (old._pos == del_rows.pos),
+                        "leftsemi",
+                    )
+                    .drop("_file", "_pos")
+                )
+                out_parts.append(
+                    removed.withColumn("_change_type", F.lit("delete"))
+                    .withColumn("_change_snapshot_id", F.lit(sid))
+                )
+        if not out_parts:
+            schema = self._spark_schema_for(want)
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            return self.spark.createDataFrame(
+                [],
+                StructType(
+                    schema.fields
+                    + [
+                        StructField("_change_type", StringType()),
+                        StructField("_change_snapshot_id", LongType()),
+                    ]
+                ),
+            )
+        out = out_parts[0]
+        for p in out_parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _delete_rows_df(self, del_paths: list[str]) -> DataFrame:
+        """(file_path, pos) rows of the given positional delete files."""
+        if fs.is_local(del_paths[0]):
+            return self.spark.read.parquet(*del_paths)
+        tbl = pa.concat_tables([fs.read_parquet(p) for p in del_paths])
+        return self.spark.createDataFrame(tbl.to_pandas())
 
     def lineage_df(self) -> DataFrame:
         """Per-file lineage as a DataFrame (job ids + source files)."""

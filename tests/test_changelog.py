@@ -1,0 +1,155 @@
+"""Snapshot-diff changelog (scan_changes) and O(batch) scan planning."""
+
+import json
+import time as _time
+
+import pyarrow as pa
+import pytest
+
+from pyspark.sql import functions as F
+
+from btrblocks_spark.operators.compact import compact
+from btrblocks_spark.operators.merge import merge_into
+from btrblocks_spark.sources import fs
+from btrblocks_spark.sources.table import BtrTable
+
+
+def _df(spark, lo, n, tag="v"):
+    return spark.range(lo, lo + n).select(
+        F.col("id"), F.concat(F.lit(tag), F.col("id")).alias("val")
+    )
+
+
+def test_append_compact_append_diff_is_net_new(spark, tmp_path):
+    root = str(tmp_path / "cdc1")
+    t = BtrTable.create(spark, root, _df(spark, 0, 600), num_files=4,
+                        job_id="c0")
+    s1 = t.current_snapshot_id()
+    t.append(_df(spark, 600, 200), num_files=2, job_id="a1")
+    s2 = t.current_snapshot_id()
+    compact(t, job_id="cp1")
+    s3 = t.current_snapshot_id()
+    assert s3 == s2 + 1  # compaction really committed
+    t.append(_df(spark, 800, 100), num_files=1, job_id="a2")
+    s4 = t.current_snapshot_id()
+
+    ch = t.scan_changes(s1, s4)
+    rows = ch.collect()
+    assert all(r._change_type == "insert" for r in rows)
+    ids = sorted(r.id for r in rows)
+    assert ids == list(range(600, 900))  # compaction contributed nothing
+    by_snap = {r.id: r._change_snapshot_id for r in rows}
+    assert by_snap[600] == s2 and by_snap[850] == s4
+
+    # full-history diff covers the initial create too
+    assert t.scan_changes(0).count() == 900
+
+
+def test_mor_merge_diff_emits_delete_and_insert(spark, tmp_path):
+    root = str(tmp_path / "cdc2")
+    t = BtrTable.create(spark, root, _df(spark, 0, 300), num_files=2,
+                        job_id="c0")
+    s1 = t.current_snapshot_id()
+    src = _df(spark, 0, 0).sparkSession.createDataFrame(
+        [(5, "N5"), (7, "N7"), (400, "N400")], "id long, val string"
+    )
+    merge_into(t, src, on="id", strategy="mor", job_id="m1")
+    s2 = t.current_snapshot_id()
+
+    ch = t.scan_changes(s1, s2).collect()
+    dels = {r.id: r.val for r in ch if r._change_type == "delete"}
+    ins = {r.id: r.val for r in ch if r._change_type == "insert"}
+    # old images of the updated keys, new images + the true insert
+    assert dels == {5: "v5", 7: "v7"}
+    assert ins == {5: "N5", 7: "N7", 400: "N400"}
+
+
+def test_cow_merge_in_window_raises(spark, tmp_path):
+    root = str(tmp_path / "cdc3")
+    t = BtrTable.create(spark, root, _df(spark, 0, 200), num_files=2,
+                        job_id="c0")
+    s1 = t.current_snapshot_id()
+    src = spark.createDataFrame([(3, "X3")], "id long, val string")
+    merge_into(t, src, on="id", job_id="m1")  # staged copy-on-write
+    with pytest.raises(NotImplementedError, match="copy-on-write"):
+        t.scan_changes(s1).collect()
+
+
+def test_diff_fallback_when_manifest_merged_away(spark, tmp_path):
+    root = str(tmp_path / "cdc4")
+    t = BtrTable.create(spark, root, _df(spark, 0, 100), num_files=2,
+                        job_id="c0")
+    s1 = t.current_snapshot_id()
+    old_max = BtrTable.MANIFEST_LIST_MAX
+    BtrTable.MANIFEST_LIST_MAX = 1  # force every commit to bin-pack
+    try:
+        t.append(_df(spark, 100, 50), num_files=2, job_id="a1")
+        s2 = t.current_snapshot_id()
+        names = {e["name"] for e in t._manifest_list(s2)}
+        assert f"manifest-{s2}-a.parquet" not in names  # fast path gone
+        ch = t.scan_changes(s1, s2)
+        ids = sorted(r.id for r in ch.collect())
+        assert ids == list(range(100, 150))
+    finally:
+        BtrTable.MANIFEST_LIST_MAX = old_max
+
+
+def test_scan_planning_never_materializes_big_path_lists(spark, tmp_path):
+    """10^5-file table: scan planning keeps the surviving paths as a
+    DataFrame; the driver never builds a createDataFrame list of them."""
+    root = str(tmp_path / "bigplan")
+    t = BtrTable.create(spark, root, _df(spark, 0, 50), num_files=1,
+                        job_id="b0")
+    n_fake = 100_000
+    rows = [
+        {
+            "file_path": f"{root}/data/fake-{i:07d}.parquet",
+            "partition": "{}",
+            "row_count": 1,
+            "block_count": 1,
+            "file_bytes": 10,
+            "raw_bytes": 10,
+            "stats": json.dumps(
+                {"id": {"min": str(i), "max": str(i)}}
+            ),
+            "job_id": "fake",
+            "source_files": "[]",
+            "sort_key": "",
+        }
+        for i in range(n_fake)
+    ]
+    entry = t._write_manifest("manifest-big.parquet", rows)
+    meta = t.metadata()
+    cur = meta["current_snapshot_id"]
+    meta["snapshots"].append(
+        {
+            "snapshot_id": cur + 1,
+            "parent": cur,
+            "ts": _time.time(),
+            "operation": "append",
+            "manifest": None,
+            "manifests": t._manifest_list(cur) + [entry],
+            "summary": {},
+        }
+    )
+    meta["current_snapshot_id"] = cur + 1
+    fs.write_json_atomic(t._meta_path, meta)
+    t = BtrTable.load(spark, root)
+
+    sizes = []
+    real_create = spark.createDataFrame
+
+    def probe(data, *a, **kw):
+        if isinstance(data, list):
+            sizes.append(len(data))
+        return real_create(data, *a, **kw)
+
+    spark.createDataFrame = probe
+    try:
+        # pruned AND unpruned planning on the 10^5-file snapshot
+        df1 = t.scan(prune={"id": (5, 10)})
+        df2 = t.scan()
+    finally:
+        spark.createDataFrame = real_create
+    assert df1 is not None and df2 is not None
+    assert max(sizes, default=0) < 10_000

@@ -97,5 +97,6 @@ def test_entry_queries_and_oracles_consistent():
         "simhash_near_pairs",
         "knn_lsh",
         "knn_ivf",
+        "knn_ivf_sq8",
         "embedding_near_dup_lsh",
     }
