@@ -194,6 +194,33 @@ def _zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the block-compressed table: manifest range
+    prune + per-file key bloom + per-block zone maps, then the row
+    filter — the lookup() the reference declares but leaves UNREACHABLE."""
+    import tempfile
+
+    from btrblocks_spark.sources.table import BtrTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    key = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="btr_lookup_") + "/t"
+    table = BtrTable.create(
+        spark,
+        root,
+        orders.orderBy("o_orderkey").coalesce(1),
+        num_files=4,
+        block_rows=2048,
+        job_id="lk",
+        bloom_cols=["o_orderkey"],
+    )
+    return table.lookup(
+        "o_orderkey",
+        int(key),
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.dedup import exact_dedup
 
@@ -453,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _docs_fingerprint,
         # block-level zone-map predicate skipping (scan through BtrTable)
         "zonemap_scan": _zonemap_scan,
+        "point_lookup": _point_lookup,
         # composite training-data curation pipeline
         "corpus_filter": _corpus_filter,
         # dedup
@@ -636,6 +664,11 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "point_lookup": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
         """,
         "text_quality": f"""
             WITH toks AS (

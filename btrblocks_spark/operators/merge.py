@@ -1,25 +1,35 @@
-"""MERGE INTO — join-based upsert/delete rewriting only touched files.
+"""MERGE INTO — join-based upsert/delete, copy-on-write or merge-on-read.
 
-Semantics (Iceberg copy-on-write MERGE):
+Semantics (Iceberg MERGE):
 
     MERGE INTO target USING source ON target.<key> = source.<key>
     WHEN MATCHED THEN UPDATE SET * | DELETE
     WHEN NOT MATCHED THEN INSERT *
 
-Plan (all declarative DataFrame ops — Catalyst handles join strategy, and
-the source side is broadcast when small):
+Shared discovery (all declarative DataFrame ops — Catalyst handles join
+strategy, and the source side is broadcast when small):
 
 1. *Prune*: manifest min/max stats on the key column cut the candidate
-   file set before any data I/O.
+   file set before any data I/O; when the table carries per-file key
+   blooms (``create(bloom_cols=...)``), files whose bloom rejects every
+   source key are dropped without being opened.
 2. *Touch discovery*: a column-pruned scan of candidates (key + _file
-   only — parquet skips every other blob column) semi-joined to source
-   keys yields the touched-file list. At 10^12 rows this is the critical
-   step: only key blobs of candidate files are ever read.
-3. *Rewrite*: full scan of only the touched files; matched rows are
-   updated (or deleted) via a left join to the (broadcast) source;
-   inserts are source rows anti-joined against touched keys.
-4. *Commit*: new files replace exactly the touched files — untouched
-   files carry over, snapshot isolation preserved.
+   only — parquet skips every other blob column, and per-block zone
+   maps skip non-matching blocks) semi-joined to source keys. At 10^12
+   rows this is the critical step: only key blobs of bloom-surviving
+   candidate files are ever read.
+
+Then one of two write strategies:
+
+- *copy-on-write* (``staged``/``shuffle``): full scan of only the
+  touched files; matched rows replaced, inserts appended; new files
+  replace exactly the touched files. Best read performance, but
+  rewritten bytes scale with the files the change touches.
+- *merge-on-read* (``mor``, Iceberg v2): matched (file, position) pairs
+  are written to sorted positional delete files and replacement/insert
+  rows are appended; NOTHING is rewritten, so written bytes scale with
+  the change set. Scans merge the deletes per task; compaction absorbs
+  them back into pure data files.
 """
 
 from __future__ import annotations

@@ -682,29 +682,43 @@ class BtrTable:
         roots (no Hadoop connector needed); opt-in for local paths.
         """
         spec_src = None  # paths-DataFrame when planning is distributed
+        sid = (
+            self.current_snapshot_id()
+            if snapshot_id is None
+            else snapshot_id
+        )
+        # ONE driver manifest read per scan, shared by the data-file and
+        # delete-file discovery below (the big-table branches never take
+        # this path — they plan through the manifest DataFrame)
+        all_rows: list[dict] | None = None
+
+        def rows_once() -> list[dict]:
+            nonlocal all_rows
+            if all_rows is None:
+                all_rows = self._manifest_rows(sid)
+            return all_rows
+
         if files is not None:
             # explicit file list (maintenance inner scans): driver-side
             # filtering over the already-known subset
-            rows = self.data_files(snapshot_id)
             wanted = set(files)
-            rows = [r for r in rows if r["file_path"] in wanted]
+            rows = [
+                r
+                for r in rows_once()
+                if (r.get("content") or 0) == 0
+                and r["file_path"] in wanted
+            ]
             if prune:
                 rows = [r for r in rows if _file_may_match(r, prune)]
             paths = [r["file_path"] for r in rows]
         elif prune:
-            sid = (
-                self.current_snapshot_id()
-                if snapshot_id is None
-                else snapshot_id
-            )
             entries = self._manifest_list(sid)
             n_files = sum(e["file_count"] or 0 for e in entries)
             if n_files <= 10_000:
                 # small table: a Spark job costs more than the loop
-                rows = self._manifest_rows(sid)
                 paths = [
                     r["file_path"]
-                    for r in rows
+                    for r in rows_once()
                     if (r.get("content") or 0) == 0
                     and _file_may_match(r, prune)
                 ]
@@ -723,16 +737,13 @@ class BtrTable:
                 )
                 paths = None
         else:
-            sid = (
-                self.current_snapshot_id()
-                if snapshot_id is None
-                else snapshot_id
-            )
             entries = self._manifest_list(sid)
             n_files = sum(e["file_count"] or 0 for e in entries)
             if n_files <= 10_000:
                 paths = [
-                    r["file_path"] for r in self.data_files(snapshot_id)
+                    r["file_path"]
+                    for r in rows_once()
+                    if (r.get("content") or 0) == 0
                 ]
             else:
                 # full scan of a big table: same batched planning — the
@@ -757,7 +768,9 @@ class BtrTable:
                 ]
             else:
                 del_paths = [
-                    r["file_path"] for r in self.delete_files(snapshot_id)
+                    r["file_path"]
+                    for r in rows_once()
+                    if (r.get("content") or 0) == 1
                 ]
         arrow_schema = self.schema_arrow()
         want = list(columns or arrow_schema.names)
@@ -1487,6 +1500,61 @@ class BtrTable:
             }
         finally:
             fs.delete_file(lock)
+
+    # ------------------------------------------------------------ lookup
+    def lookup(
+        self,
+        col: str,
+        value,
+        columns: list[str] | None = None,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Point lookup — the ``lookup()`` the reference declares on
+        every scheme but leaves UNREACHABLE (e.g.
+        ``/root/reference/btrblocks/scheme/integer/PBP.cpp:51-56``).
+
+        Three skip levels before any decode: manifest min/max stats drop
+        files; per-file key blooms (when ``col`` is a bloom column) drop
+        range-overlapping files that provably lack the key; per-block
+        zone maps drop blocks inside surviving files. The final
+        row-level equality filter runs on the decoded survivors.
+        """
+        prune = {col: [value]}
+        rows = [
+            r
+            for r in self.data_files(snapshot_id)
+            if _file_may_match(r, prune)
+        ]
+        if (
+            col in self.bloom_cols()
+            and isinstance(value, int)
+            and not isinstance(value, bool)
+        ):
+            import numpy as np
+
+            from btrblocks_spark.codec.bloom import bloom_may_contain_any
+
+            kept = []
+            for r in rows:
+                bl = json.loads(r["stats"]).get(col, {}).get("bloom")
+                if bl is not None and not bloom_may_contain_any(
+                    bl, np.array([value], np.int64)
+                ):
+                    continue
+                kept.append(r)
+            rows = kept
+        out_cols = columns
+        if out_cols is not None and col not in out_cols:
+            out_cols = [col, *out_cols]
+        df = self.scan(
+            columns=out_cols,
+            snapshot_id=snapshot_id,
+            files=[r["file_path"] for r in rows],
+            prune=prune,
+        ).filter(F.col(col) == F.lit(value))
+        if columns is not None and col not in columns:
+            df = df.select(*columns)
+        return df
 
     # ------------------------------------------------------------ changelog
     def scan_changes(

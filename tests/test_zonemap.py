@@ -197,3 +197,35 @@ def test_table_scan_with_pos_unique_per_file(spark, tmp_path):
     )
     for r in per:
         assert r.lo == 0 and r.hi == r.rows - 1
+
+
+@pytest.mark.usefixtures("spark")
+def test_point_lookup_three_skip_levels(spark, tmp_path):
+    """lookup() = the reference's declared-but-UNREACHABLE point lookup:
+    manifest range prune + key bloom + block zone maps, then row filter."""
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.sources.table import BtrTable
+
+    # overlapping ranges, disjoint key populations -> blooms do real work
+    even = spark.range(2000).select(
+        (F.col("id") * 2).alias("k"), F.lit("e").alias("v")
+    )
+    odd = spark.range(2000).select(
+        (F.col("id") * 2 + 1).alias("k"), F.lit("o").alias("v")
+    )
+    root = str(tmp_path / "lk")
+    t = BtrTable.create(
+        spark, root, even.orderBy("k").coalesce(1), num_files=2,
+        block_rows=256, job_id="ev", bloom_cols=["k"],
+    )
+    t.append(odd.orderBy("k").coalesce(1), num_files=2, job_id="od",
+             block_rows=256)
+
+    got = t.lookup("k", 1234).collect()
+    assert len(got) == 1 and got[0].v == "e" and got[0].k == 1234
+    assert t.lookup("k", 3999).collect()[0].v == "o"
+    assert t.lookup("k", 999_999).count() == 0
+    # column projection with the key column not requested
+    vals = t.lookup("k", 10, columns=["v"]).collect()
+    assert [r.v for r in vals] == ["e"]
