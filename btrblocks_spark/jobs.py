@@ -74,6 +74,12 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--on", required=True)
     m.add_argument("--when-matched", default="update")
     m.add_argument("--when-not-matched", default="insert")
+    m.add_argument(
+        "--strategy",
+        choices=["staged", "shuffle", "mor"],
+        default="staged",
+        help="copy-on-write (staged/shuffle) or merge-on-read deletes",
+    )
 
     e = sub.add_parser("expire")
     e.add_argument("--table", required=True)
@@ -123,6 +129,23 @@ def main(argv: list[str] | None = None) -> int:
     ac.add_argument("--table", required=True)
     ac.add_argument("--name", required=True)
     ac.add_argument("--type", required=True, help="Spark DDL type, e.g. double")
+
+    ch = sub.add_parser(
+        "changes", help="snapshot-diff changelog between two snapshots"
+    )
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-snapshot", type=int, required=True)
+    ch.add_argument("--to-snapshot", type=int, default=None)
+    ch.add_argument("--output", default=None, help="parquet output dir")
+
+    lk = sub.add_parser(
+        "lookup", help="point lookup (stats + bloom + zone-map skips)"
+    )
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--column", required=True)
+    lk.add_argument("--value", required=True)
+    lk.add_argument("--int", dest="as_int", action="store_true",
+                    help="treat value as an integer key")
 
     mt = sub.add_parser(
         "meta", help="dump per-block scheme trees (btrmeta analog)"
@@ -206,7 +229,22 @@ def main(argv: list[str] | None = None) -> int:
             on=args.on,
             when_matched=args.when_matched,
             when_not_matched=args.when_not_matched,
+            strategy=args.strategy,
         )
+    elif args.cmd == "changes":
+        t = BtrTable.load(spark, args.table)
+        df = t.scan_changes(args.from_snapshot, args.to_snapshot)
+        if args.output:
+            df.write.mode("overwrite").parquet(args.output)
+            out = {"output": args.output, "rows": spark.read.parquet(args.output).count()}
+        else:
+            rows = df.limit(50).collect()
+            out = {"rows": df.count(), "preview": [r.asDict() for r in rows[:5]]}
+    elif args.cmd == "lookup":
+        t = BtrTable.load(spark, args.table)
+        value = int(args.value) if args.as_int else args.value
+        rows = t.lookup(args.column, value).collect()
+        out = {"rows": len(rows), "result": [r.asDict() for r in rows[:20]]}
     elif args.cmd == "expire":
         t = BtrTable.load(spark, args.table)
         out = t.expire_snapshots(keep_last=args.keep_last)
