@@ -38,20 +38,41 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def _probes(keys: np.ndarray, m: int) -> np.ndarray:
+def _hash64(keys) -> np.ndarray:
+    """uint64 hash per key. Integer arrays hash via splitmix64 directly;
+    string/bytes keys are folded to 64 bits with two seeded crc32 passes
+    (C-speed via zlib) and then splitmix-finalized. Same function on the
+    write and probe sides — the only requirement."""
+    arr = np.asarray(keys)
+    if arr.dtype.kind in "iu":
+        return _splitmix64(arr.astype(np.int64).view(np.uint64))
+    import zlib
+
+    out = np.empty(len(arr), np.uint64)
+    for i, v in enumerate(arr):
+        b = v.encode() if isinstance(v, str) else bytes(v)
+        out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b, 0x9E3779B9)
+    return _splitmix64(out)
+
+
+def _probes(keys, m: int) -> np.ndarray:
     """(len(keys), N_HASHES) bit positions."""
-    h = _splitmix64(keys.astype(np.int64).view(np.uint64))
+    h = _hash64(keys)
     h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
     h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.int64)
     i = np.arange(N_HASHES, dtype=np.int64)
     return (h1[:, None] + i[None, :] * h2[:, None]) % m
 
 
-def build_bloom(values: np.ndarray) -> dict | None:
-    """Bloom dict {m, k, b64} for an int64 key array; None when empty."""
-    if len(values) == 0:
+def build_bloom(values) -> dict | None:
+    """Bloom dict {m, k, b64} for an int64/string key array; None when
+    empty."""
+    arr = np.asarray(values)
+    if len(arr) == 0:
         return None
-    uniq = np.unique(values.astype(np.int64))
+    uniq = np.unique(
+        arr.astype(np.int64) if arr.dtype.kind in "iu" else arr
+    )
     m = int(min(MAX_BITS, max(1024, len(uniq) * BITS_PER_KEY)))
     m = (m + 63) // 64 * 64
     bits = np.zeros(m, np.uint8)
@@ -63,7 +84,7 @@ def build_bloom(values: np.ndarray) -> dict | None:
     }
 
 
-def bloom_may_contain_any(bloom: dict, keys: np.ndarray) -> bool:
+def bloom_may_contain_any(bloom: dict, keys) -> bool:
     """True when ANY of ``keys`` may be in the file (all-k-bits-set for
     at least one key). Vectorized over the whole key batch."""
     m = int(bloom["m"])

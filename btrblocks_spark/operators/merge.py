@@ -132,7 +132,13 @@ def _candidate_files(
         .toPandas()[on]
         .to_numpy()
     )
-    if keys.dtype.kind not in "iu":
+    if keys.dtype.kind in "iu":
+        keys = keys.astype(np.int64)
+    elif keys.dtype.kind == "O" and all(
+        isinstance(k, (str, bytes)) for k in keys[:8]
+    ):
+        keys = keys.astype(object)
+    else:
         return None, 0
     from btrblocks_spark.codec.bloom import bloom_may_contain_any
 
@@ -141,9 +147,7 @@ def _candidate_files(
         if not _file_may_match(r, prune):
             continue
         bl = _json.loads(r["stats"]).get(on, {}).get("bloom")
-        if bl is not None and not bloom_may_contain_any(
-            bl, keys.astype(np.int64)
-        ):
+        if bl is not None and not bloom_may_contain_any(bl, keys):
             skipped += 1
             continue
         cand.append(r["file_path"])

@@ -62,7 +62,7 @@ def encode_table(
     {col: {min, max, null_count}} (min/max None for binary cols) plus
     ``row_count`` / ``raw_bytes``. ``bloom_cols`` adds a per-file key
     bloom digest (``codec.bloom``) to those integer columns' stats —
-    consulted by MERGE touched-file discovery.
+    consulted by MERGE touched-file discovery (integer and string keys).
     """
     if level is None:
         from btrblocks_spark.codec.config import get_config
@@ -134,14 +134,27 @@ def encode_table(
                 entry["max"] = str(mm["max"].as_py())
         if (
             name in (bloom_cols or ())
-            and (pa.types.is_integer(typ))
+            and (
+                pa.types.is_integer(typ)
+                or pa.types.is_string(typ)
+                or pa.types.is_large_string(typ)
+            )
             and n
             and col.null_count < n
         ):
             from btrblocks_spark.codec.bloom import build_bloom
 
-            vals = col.drop_null().to_numpy(zero_copy_only=False)
-            bloom = build_bloom(vals.astype(np.int64))
+            vals = col.drop_null()
+            if pa.types.is_integer(typ):
+                keys = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                keys = np.asarray(
+                    pc.unique(vals.combine_chunks()
+                              if isinstance(vals, pa.ChunkedArray)
+                              else vals).to_pylist(),
+                    dtype=object,
+                )
+            bloom = build_bloom(keys)
             if bloom is not None:
                 entry["bloom"] = bloom
         stats["columns"][name] = entry

@@ -1525,21 +1525,23 @@ class BtrTable:
             for r in self.data_files(snapshot_id)
             if _file_may_match(r, prune)
         ]
-        if (
-            col in self.bloom_cols()
-            and isinstance(value, int)
-            and not isinstance(value, bool)
-        ):
+        bloomable = (
+            isinstance(value, int) and not isinstance(value, bool)
+        ) or isinstance(value, (str, bytes))
+        if col in self.bloom_cols() and bloomable:
             import numpy as np
 
             from btrblocks_spark.codec.bloom import bloom_may_contain_any
 
+            probe = (
+                np.array([value], np.int64)
+                if isinstance(value, int)
+                else np.asarray([value], dtype=object)
+            )
             kept = []
             for r in rows:
                 bl = json.loads(r["stats"]).get(col, {}).get("bloom")
-                if bl is not None and not bloom_may_contain_any(
-                    bl, np.array([value], np.int64)
-                ):
+                if bl is not None and not bloom_may_contain_any(bl, probe):
                     continue
                 kept.append(r)
             rows = kept

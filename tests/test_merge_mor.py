@@ -176,3 +176,40 @@ def test_cluster_refuses_deletes_until_compacted(spark, tmp_path):
     compact(t, job_id="c8")
     res = cluster(t, by=("id", "grp", "grp2"), job_id="z9", max_rows_per_file=200)
     assert res["rewritten_files"] >= 1
+
+
+def test_string_key_blooms_skip_files(spark, tmp_path):
+    """The north-rule merge key (image_id) is a STRING: string keys get
+    crc-folded blooms and MERGE discovery skips files the same way."""
+    # interleaved zero-padded ids: the two populations' LEXICAL ranges
+    # overlap completely, so only the blooms can separate them
+    a = spark.range(400).select(
+        F.concat(F.lit("img-"), F.lpad(F.col("id") * 2, 6, "0"))
+        .alias("image_id"),
+        F.lit("A").alias("val"), F.lit(0).alias("grp"),
+        F.lit(0).alias("grp2"),
+    )
+    b = spark.range(400).select(
+        F.concat(F.lit("img-"), F.lpad(F.col("id") * 2 + 1, 6, "0"))
+        .alias("image_id"),
+        F.lit("B").alias("val"), F.lit(0).alias("grp"),
+        F.lit(0).alias("grp2"),
+    )
+    root = str(tmp_path / "sb")
+    t = BtrTable.create(
+        spark, root, a, num_files=2, job_id="fa", bloom_cols=["image_id"]
+    )
+    t.append(b, num_files=2, job_id="fb")
+
+    src = spark.createDataFrame(
+        [("img-000014", "N", 0, 0), ("img-000500", "N", 0, 0)],
+        "image_id string, val string, grp long, grp2 long",
+    )  # even keys only -> the odd-population files never open
+    res = merge_into(t, src, on="image_id", job_id="sm1")
+    assert res["bloom_skipped_files"] >= 1
+    got = {r.image_id: r.val for r in t.scan().collect()}
+    assert got["img-000014"] == "N" and got["img-000015"] == "B"
+    assert len(got) == 800
+    # string lookup rides the same blooms
+    row = t.lookup("image_id", "img-000123").collect()
+    assert len(row) == 1 and row[0].val == "B"
