@@ -610,11 +610,10 @@ def _merge_mor(
     if broadcast_source:
         src_keys = F.broadcast(src_keys)
     matched = keyscan.join(src_keys, on=on, how="inner")
-    del_rows = (
-        matched.select(
-            F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
-        )
-        .distinct()
+    # (file, pos) pairs are already unique: keyscan emits one row per
+    # PHYSICAL row and src_keys is distinct — no dedup shuffle needed
+    del_rows = matched.select(
+        F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
     )
 
     try:
