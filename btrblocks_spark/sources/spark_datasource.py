@@ -1,0 +1,297 @@
+"""Spark Python DataSource for BtrTable — ``format("btrtable")``.
+
+The idiomatic integration surface (PySpark 4 ``pyspark.sql.datasource``):
+
+- **Batch**: ``spark.read.format("btrtable").load(root)`` — schema from
+  the table metadata, one input partition per data file, executor-side
+  pyarrow read + block decode (positional delete files merged exactly
+  like ``BtrTable.scan``). No collect, no JVM connector.
+- **Streaming**: ``spark.readStream.format("btrtable").load(root)`` —
+  a CDC tail of the snapshot log. Offsets are snapshot ids; each
+  micro-batch emits the commits in ``(start, end]`` as change rows
+  (table columns + ``_change_type`` 'insert'|'delete' +
+  ``_change_snapshot_id``), with per-file input partitions so decoding
+  runs in executors (a ``DataSourceStreamReader``, not the
+  driver-reading Simple variant). Append/stream-append commits emit
+  inserts; merge-on-read commits emit inserts plus the deleted rows'
+  old images (reconstructed by position from the immutable target
+  files); compaction/clustering/manifest rewrites emit nothing
+  (physical-only); copy-on-write merges raise, as in
+  ``BtrTable.scan_changes``.
+
+Register once per session::
+
+    from btrblocks_spark.sources.spark_datasource import BtrTableDataSource
+    spark.dataSource.register(BtrTableDataSource)
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_CHANGE_FIELDS = [
+    StructField("_change_type", StringType()),
+    StructField("_change_snapshot_id", LongType()),
+]
+
+
+def _table(path: str):
+    from btrblocks_spark.sources.table import BtrTable
+
+    # metadata-only usage: no SparkSession needed (and none exists in
+    # executor processes)
+    return BtrTable(None, path)
+
+
+def _decode_file(
+    path: str,
+    schema_hex: str,
+    del_paths: list[str],
+):
+    """Decode one block file to logical RecordBatches, deletes merged."""
+    from btrblocks_spark.sources import fs
+    from btrblocks_spark.sources.blockfile import (
+        decode_batches,
+        load_delete_index,
+    )
+
+    logical = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(schema_hex)))
+    bt = fs.read_parquet(path)
+    bt = bt.select(
+        [c for c in bt.schema.names if c == "tuple_count" or c.startswith("b_")]
+    )
+    deletes = None
+    if del_paths:
+        deletes = load_delete_index(del_paths, [path]).get(path)
+    yield from decode_batches(bt.to_batches(), logical, deletes=deletes)
+
+
+class BtrTableDataSource(DataSource):
+    """``format("btrtable")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "btrtable"
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError(
+                "btrtable needs a path: .load('/path/to/table')"
+            )
+        return root
+
+    def schema(self):
+        meta = _table(self._root()).metadata()
+        base = StructType.fromJson(json.loads(meta["spark_schema_json"]))
+        if self.options.get("cdc", "").lower() in ("1", "true"):
+            return StructType(base.fields + _CHANGE_FIELDS)
+        return base
+
+    def reader(self, schema: StructType) -> "BtrTableBatchReader":
+        return BtrTableBatchReader(self._root())
+
+    def streamReader(self, schema: StructType) -> "BtrTableStreamReader":
+        cdc = self.options.get("cdc", "").lower() in ("1", "true")
+        return BtrTableStreamReader(self._root(), self.options, cdc)
+
+
+class BtrTableBatchReader(DataSourceReader):
+    def __init__(self, root: str):
+        self.root = root
+        t = _table(root)
+        meta = t.metadata()
+        self.schema_hex = meta["arrow_schema_hex"]
+        self.files = [r["file_path"] for r in t.data_files()]
+        self.del_paths = [r["file_path"] for r in t.delete_files()]
+
+    def partitions(self):
+        return [
+            InputPartition((p, self.schema_hex, self.del_paths))
+            for p in self.files
+        ]
+
+    def read(self, partition: InputPartition):
+        path, schema_hex, del_paths = partition.value
+        yield from _decode_file(path, schema_hex, del_paths)
+
+
+class BtrTableStreamReader(DataSourceStreamReader):
+    """Snapshot-log tail: offset = {"snapshot_id": N}."""
+
+    def __init__(self, root: str, options, cdc: bool = False):
+        self.root = root
+        self.cdc = cdc
+        start = options.get("startingsnapshotid") or options.get(
+            "startingSnapshotId"
+        )
+        self._start = int(start) if start is not None else None
+
+    def initialOffset(self) -> dict:
+        if self._start is not None:
+            return {"snapshot_id": self._start}
+        # default: tail from the CURRENT snapshot (only new commits)
+        return {"snapshot_id": _table(self.root).current_snapshot_id()}
+
+    def latestOffset(self) -> dict:
+        return {"snapshot_id": _table(self.root).current_snapshot_id()}
+
+    def partitions(self, start: dict, end: dict):
+        t = _table(self.root)
+        meta = t.metadata()
+        schema_hex = meta["arrow_schema_hex"]
+        known = {s["snapshot_id"]: s for s in meta["snapshots"]}
+        lo, hi = start["snapshot_id"], end["snapshot_id"]
+        parts: list[InputPartition] = []
+        for sid in sorted(known):
+            if not (lo < sid <= hi):
+                continue
+            snap = known[sid]
+            op = snap["operation"]
+            if op in ("compact", "cluster", "rewrite-manifests",
+                      "create-empty", "add-column"):
+                continue
+            if op == "merge" and snap["summary"].get("strategy") != "mor":
+                raise NotImplementedError(
+                    f"snapshot {sid}: copy-on-write merge has no "
+                    "changelog representation; use strategy='mor' with "
+                    "streaming consumers"
+                )
+            if op not in ("append", "stream-append", "merge"):
+                raise NotImplementedError(
+                    f"snapshot {sid}: operation {op!r} is not streamable"
+                )
+            added = self._added_rows(t, snap)
+            del_paths = [
+                r["file_path"]
+                for r in added
+                if (r.get("content") or 0) == 1
+            ]
+            if del_paths and not self.cdc:
+                raise NotImplementedError(
+                    f"snapshot {sid} carries positional deletes: plain "
+                    "append-tail streaming cannot represent them — set "
+                    ".option('cdc', 'true') for change rows"
+                )
+            for r in added:
+                if (r.get("content") or 0) != 0:
+                    continue
+                parts.append(
+                    InputPartition(
+                        ("insert", r["file_path"], schema_hex, [], sid)
+                    )
+                )
+            if del_paths:
+                targets = sorted(
+                    {
+                        p
+                        for r in added
+                        if (r.get("content") or 0) == 1
+                        for p in json.loads(r["source_files"] or "[]")
+                    }
+                )
+                for p in targets:
+                    parts.append(
+                        InputPartition(
+                            ("delete", p, schema_hex, del_paths, sid)
+                        )
+                    )
+        return parts or [InputPartition(("empty", "", "", [], hi))]
+
+    @staticmethod
+    def _added_rows(t, snap: dict) -> list[dict]:
+        sid = snap["snapshot_id"]
+        fast = f"manifest-{sid}-a.parquet"
+        names = {e["name"] for e in t._manifest_list(sid)}
+        if fast in names:
+            return t._read_manifest(fast)
+        prev = {r["file_path"] for r in t._manifest_rows(snap["parent"])}
+        return [
+            r
+            for r in t._manifest_rows(sid)
+            if r["file_path"] not in prev
+        ]
+
+    def read(self, partition: InputPartition):
+        kind, path, schema_hex, del_paths, sid = partition.value
+        if kind == "empty":
+            return
+        if kind == "insert":
+            for rb in _decode_file(path, schema_hex, []):
+                yield (
+                    _with_change_cols(rb, "insert", sid)
+                    if self.cdc
+                    else rb
+                )
+            return
+        # delete: old images of the rows this commit's delete files
+        # removed from `path` — decode with positions, keep only them
+        from btrblocks_spark.sources import fs
+        from btrblocks_spark.sources.blockfile import (
+            decode_batches,
+            load_delete_index,
+        )
+
+        logical = pa.ipc.read_schema(
+            pa.py_buffer(bytes.fromhex(schema_hex))
+        )
+        positions = load_delete_index(del_paths, [path]).get(path)
+        if positions is None or len(positions) == 0:
+            return
+        bt = fs.read_parquet(path)
+        bt = bt.select(
+            [
+                c
+                for c in bt.schema.names
+                if c == "tuple_count" or c.startswith("b_")
+            ]
+        )
+        for rb in decode_batches(bt.to_batches(), logical, with_pos=True):
+            pos = rb.column(rb.num_columns - 1).to_numpy(
+                zero_copy_only=False
+            )
+            mask = np.zeros(len(pos), bool)
+            i0, i1 = np.searchsorted(positions, [pos[0], pos[-1] + 1])
+            hits = positions[i0:i1] - pos[0]
+            if len(hits) == 0:
+                continue
+            mask[hits.astype(np.int64)] = True
+            kept = rb.filter(pa.array(mask))
+            # drop _pos, append change columns
+            kept = pa.RecordBatch.from_arrays(
+                [kept.column(i) for i in range(kept.num_columns - 1)],
+                names=[
+                    kept.schema.field(i).name
+                    for i in range(kept.num_columns - 1)
+                ],
+            )
+            yield _with_change_cols(kept, "delete", sid)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+def _with_change_cols(rb: pa.RecordBatch, kind: str, sid: int):
+    n = rb.num_rows
+    arrays = [rb.column(i) for i in range(rb.num_columns)]
+    names = [rb.schema.field(i).name for i in range(rb.num_columns)]
+    arrays.append(pa.array([kind] * n, pa.string()))
+    arrays.append(pa.array([sid] * n, pa.int64()))
+    names += ["_change_type", "_change_snapshot_id"]
+    return pa.RecordBatch.from_arrays(arrays, names=names)

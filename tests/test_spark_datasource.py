@@ -1,0 +1,119 @@
+"""format("btrtable") Python DataSource: batch read + streaming CDC tail."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from btrblocks_spark.operators.merge import merge_into
+from btrblocks_spark.sources.spark_datasource import BtrTableDataSource
+from btrblocks_spark.sources.table import BtrTable
+
+
+@pytest.fixture()
+def registered(spark):
+    try:
+        spark.dataSource.register(BtrTableDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return spark
+
+
+def _mk(spark, root, n=300):
+    df = spark.range(n).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    return BtrTable.create(spark, root, df, num_files=3, job_id="c0")
+
+
+def test_batch_read_matches_scan(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "ds1")
+    t = _mk(spark, root)
+    src = spark.createDataFrame(
+        [(5, "N5"), (400, "N400")], "id long, val string"
+    )
+    merge_into(t, src, on="id", strategy="mor", job_id="m1")
+
+    via_ds = spark.read.format("btrtable").load(root)
+    got = {r.id: r.val for r in via_ds.collect()}
+    want = {r.id: r.val for r in t.scan().collect()}
+    assert got == want  # deletes merged identically
+    assert got[5] == "N5" and got[400] == "N400" and len(got) == 301
+
+
+def test_stream_cdc_tail(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "ds2")
+    t = _mk(spark, root, n=200)
+    t.append(
+        spark.range(200, 250).select(
+            F.col("id"), F.concat(F.lit("a"), F.col("id")).alias("val")
+        ),
+        num_files=1,
+        job_id="a1",
+    )
+    src = spark.createDataFrame([(7, "U7")], "id long, val string")
+    merge_into(t, src, on="id", strategy="mor", job_id="m1")
+
+    q = (
+        spark.readStream.format("btrtable")
+        .option("cdc", "true")
+        .option("startingSnapshotId", "0")
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("btr_cdc")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from btr_cdc").collect()
+    ins = [r for r in rows if r._change_type == "insert"]
+    dels = [r for r in rows if r._change_type == "delete"]
+    # 200 create + 50 append + 1 update-new-image inserts, 1 old image
+    assert len(ins) == 251
+    assert sorted(r.val for r in ins if r.id == 7) == ["U7", "v7"]
+    assert len(dels) == 1 and dels[0].id == 7 and dels[0].val == "v7"
+    assert {r._change_snapshot_id for r in rows} == {1, 2, 3}
+
+
+def test_stream_without_cdc_raises_on_deletes(spark, tmp_path):
+    from btrblocks_spark.sources.spark_datasource import (
+        BtrTableStreamReader,
+    )
+
+    root = str(tmp_path / "ds3")
+    t = _mk(spark, root, n=100)
+    src = spark.createDataFrame([(3, "X")], "id long, val string")
+    merge_into(t, src, on="id", strategy="mor", job_id="m1")
+    rd = BtrTableStreamReader(root, {}, cdc=False)
+    with pytest.raises(NotImplementedError, match="cdc"):
+        rd.partitions(
+            {"snapshot_id": 0},
+            {"snapshot_id": t.current_snapshot_id()},
+        )
+
+
+def test_stream_append_only_without_cdc(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "ds4")
+    t = _mk(spark, root, n=120)
+    t.append(
+        spark.range(120, 150).select(
+            F.col("id"), F.concat(F.lit("a"), F.col("id")).alias("val")
+        ),
+        num_files=1,
+        job_id="a1",
+    )
+    q = (
+        spark.readStream.format("btrtable")
+        .option("startingSnapshotId", "0")
+        .load(root)
+        .writeStream.format("memory")
+        .queryName("btr_tail")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from btr_tail").collect()
+    assert len(rows) == 150
+    assert "_change_type" not in rows[0].asDict()
