@@ -111,6 +111,11 @@ class BtrTableDataSource(DataSource):
         cdc = self.options.get("cdc", "").lower() in ("1", "true")
         return BtrTableStreamReader(self._root(), self.options, cdc)
 
+    def writer(self, schema: StructType, overwrite: bool):
+        return BtrTableArrowWriter(
+            self._root(), self.options, schema, overwrite
+        )
+
 
 class BtrTableBatchReader(DataSourceReader):
     def __init__(self, root: str):
@@ -295,3 +300,169 @@ def _with_change_cols(rb: pa.RecordBatch, kind: str, sid: int):
     arrays.append(pa.array([sid] * n, pa.int64()))
     names += ["_change_type", "_change_snapshot_id"]
     return pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+# --------------------------------------------------------------- writer
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _BtrWriteMessage(WriterCommitMessage):
+    rows_json: str  # manifest rows written by this task
+    schema_hex: str  # arrow schema of the task's data ("" if empty)
+
+
+class BtrTableArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("btrtable").save(root)`` — executors encode
+    Arrow batches into block files (same kernels as ``BtrTable.append``)
+    and return manifest rows as commit messages; the driver assembles
+    them into ONE atomic snapshot commit. ``mode("append")`` adds to or
+    creates the table; ``mode("overwrite")`` replaces every current
+    data/delete file in the same commit. Options: ``partitionBy``
+    (comma-separated, create only), ``bloomCols``, ``maxRowsPerFile``.
+    """
+
+    def __init__(self, root: str, options, schema, overwrite: bool):
+        self.root = root
+        self.overwrite = overwrite
+        self.schema_json = schema.json()
+        import uuid as _uuid
+
+        self.job_id = f"dsw-{_uuid.uuid4().hex[:8]}"
+        self.max_rows = int(options.get("maxrowsperfile") or 0) or None
+        t = _table(root)
+        try:
+            meta = t.metadata()
+            self.exists = True
+            self.partition_by = meta.get("partition_by", [])
+            self.bloom_cols = meta.get("bloom_cols", [])
+        except (FileNotFoundError, OSError):
+            self.exists = False
+            self.partition_by = [
+                c for c in (options.get("partitionby") or "").split(",") if c
+            ]
+            self.bloom_cols = [
+                c for c in (options.get("bloomcols") or "").split(",") if c
+            ]
+
+    def write(self, iterator):
+        import pyarrow as _pa
+        from pyspark import TaskContext
+
+        from btrblocks_spark.sources import fs
+        from btrblocks_spark.sources.blockfile import (
+            encode_table,
+            split_by_partition,
+        )
+        from btrblocks_spark.sources.table import _write_blockfile_atomic
+
+        task_id = TaskContext.get().partitionId()
+        batches = list(iterator)
+        if not batches:
+            return _BtrWriteMessage("[]", "")
+        tbl = _pa.Table.from_batches(batches)
+        schema_hex = tbl.schema.serialize().hex().decode()
+        rows_out = []
+        k = 0
+        for pjson, sub in split_by_partition(tbl, self.partition_by):
+            step = self.max_rows or sub.num_rows or 1
+            for start in range(0, sub.num_rows, step):
+                piece = sub.slice(start, step)
+                block_table, stats = encode_table(
+                    piece, seed=42, bloom_cols=self.bloom_cols
+                )
+                fname = f"{self.job_id}-p{task_id:05d}-{k}.parquet"
+                fpath = fs.join(self.root, "data", fname)
+                fs.mkdirs(fs.join(self.root, "data"))
+                fbytes = _write_blockfile_atomic(block_table, fpath)
+                rows_out.append(
+                    {
+                        "file_path": fpath,
+                        "partition": pjson,
+                        "row_count": stats["row_count"],
+                        "block_count": block_table.num_rows,
+                        "file_bytes": fbytes,
+                        "raw_bytes": stats["raw_bytes"],
+                        "stats": json.dumps(stats["columns"]),
+                        "job_id": self.job_id,
+                        "source_files": "[]",
+                        "sort_key": "",
+                    }
+                )
+                k += 1
+        return _BtrWriteMessage(json.dumps(rows_out), schema_hex)
+
+    def commit(self, messages) -> None:
+        import time as _time
+        import uuid as _uuid
+
+        from btrblocks_spark.sources import fs
+
+        rows: list[dict] = []
+        schema_hex = ""
+        for m in messages:
+            if m is None:
+                continue
+            rows.extend(json.loads(m.rows_json))
+            schema_hex = schema_hex or m.schema_hex
+        t = _table(self.root)
+        if not self.exists:
+            if not schema_hex:
+                # empty write into a new table: derive the arrow schema
+                # from the Spark schema
+                from pyspark.sql.pandas.types import to_arrow_schema
+                from pyspark.sql.types import StructType
+
+                schema_hex = (
+                    to_arrow_schema(
+                        StructType.fromJson(json.loads(self.schema_json))
+                    )
+                    .serialize()
+                    .hex()
+                    .decode()
+                )
+            for sub in ("data", "manifests", "_checkpoints"):
+                fs.mkdirs(fs.join(self.root, sub))
+            meta = {
+                "format_version": 1,
+                "table_uuid": _uuid.uuid4().hex,
+                "arrow_schema_hex": schema_hex,
+                "spark_schema_json": self.schema_json,
+                "partition_by": self.partition_by,
+                "bloom_cols": self.bloom_cols,
+                "current_snapshot_id": 0,
+                "snapshots": [
+                    {
+                        "snapshot_id": 0,
+                        "parent": None,
+                        "ts": _time.time(),
+                        "operation": "create-empty",
+                        "manifest": None,
+                        "summary": {},
+                    }
+                ],
+            }
+            fs.write_json_atomic(fs.join(self.root, "metadata.json"), meta)
+        replaced = None
+        if self.exists and self.overwrite:
+            replaced = {r["file_path"] for r in t.all_files()}
+        t._commit(
+            rows,
+            operation="overwrite" if self.overwrite and self.exists
+            else "append",
+            replaced=replaced,
+        )
+
+    def abort(self, messages) -> None:
+        from btrblocks_spark.sources import fs
+
+        for m in messages:
+            if m is None:
+                continue
+            for r in json.loads(m.rows_json):
+                fs.delete_file(r["file_path"])

@@ -117,3 +117,53 @@ def test_stream_append_only_without_cdc(registered, tmp_path):
     rows = spark.sql("select * from btr_tail").collect()
     assert len(rows) == 150
     assert "_change_type" not in rows[0].asDict()
+
+
+def test_batch_writer_create_append_overwrite(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "dsw")
+    df = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("val"),
+        (F.col("id") % 3).alias("grp"),
+    )
+    # create via the writer (partitioned, with a key bloom)
+    (
+        df.write.format("btrtable")
+        .option("partitionBy", "grp")
+        .option("bloomCols", "id")
+        .mode("append")
+        .save(root)
+    )
+    t = BtrTable.load(spark, root)
+    assert t.partition_by() == ["grp"] and t.bloom_cols() == ["id"]
+    got = {r.id: r.val for r in t.scan().collect()}
+    assert len(got) == 100 and got[7] == "v7"
+    # round trip through the reader too
+    assert spark.read.format("btrtable").load(root).count() == 100
+
+    # append
+    df2 = spark.range(100, 130).select(
+        F.col("id"), F.concat(F.lit("a"), F.col("id")).alias("val"),
+        (F.col("id") % 3).alias("grp"),
+    )
+    df2.write.format("btrtable").mode("append").save(root)
+    assert spark.read.format("btrtable").load(root).count() == 130
+    # the writer honors the table's bloom config
+    import json as _json
+
+    assert any(
+        "bloom" in _json.loads(r["stats"]).get("id", {})
+        for r in BtrTable.load(spark, root).data_files()
+        if r["job_id"].startswith("dsw-")
+    )
+
+    # overwrite replaces everything in one atomic commit
+    df3 = spark.range(5).select(
+        F.col("id"), F.lit("o").alias("val"), F.lit(0).alias("grp")
+    )
+    df3.write.format("btrtable").mode("overwrite").save(root)
+    t = BtrTable.load(spark, root)
+    assert t.scan().count() == 5
+    # history preserved: the pre-overwrite snapshot still scans
+    snaps = [s["snapshot_id"] for s in t.snapshots()]
+    assert t.scan(snapshot_id=snaps[-2]).count() == 130
