@@ -116,6 +116,11 @@ class BtrTableDataSource(DataSource):
             self._root(), self.options, schema, overwrite
         )
 
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return BtrTableStreamArrowWriter(
+            self._root(), self.options, schema, overwrite
+        )
+
 
 class BtrTableBatchReader(DataSourceReader):
     def __init__(self, root: str):
@@ -307,6 +312,7 @@ from dataclasses import dataclass  # noqa: E402
 
 from pyspark.sql.datasource import (  # noqa: E402
     DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -352,7 +358,7 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
 
     def write(self, iterator):
         import pyarrow as _pa
-        from pyspark import TaskContext
+        from pyspark import TaskContext  # noqa: F401 (re-imported below)
 
         from btrblocks_spark.sources import fs
         from btrblocks_spark.sources.blockfile import (
@@ -376,7 +382,13 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
                 block_table, stats = encode_table(
                     piece, seed=42, bloom_cols=self.bloom_cols
                 )
-                fname = f"{self.job_id}-p{task_id:05d}-{k}.parquet"
+                import uuid as _uuid
+
+                # stream microbatches reuse one writer instance: a fresh
+                # tag per write() call keeps file names collision-free
+                # across batches and task retries
+                tag = _uuid.uuid4().hex[:8]
+                fname = f"{self.job_id}-{tag}-p{task_id:05d}-{k}.parquet"
                 fpath = fs.join(self.root, "data", fname)
                 fs.mkdirs(fs.join(self.root, "data"))
                 fbytes = _write_blockfile_atomic(block_table, fpath)
@@ -397,12 +409,8 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
                 k += 1
         return _BtrWriteMessage(json.dumps(rows_out), schema_hex)
 
-    def commit(self, messages) -> None:
-        import time as _time
-        import uuid as _uuid
-
-        from btrblocks_spark.sources import fs
-
+    @staticmethod
+    def _gather(messages) -> tuple[list[dict], str]:
         rows: list[dict] = []
         schema_hex = ""
         for m in messages:
@@ -410,6 +418,32 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
                 continue
             rows.extend(json.loads(m.rows_json))
             schema_hex = schema_hex or m.schema_hex
+        return rows, schema_hex
+
+    def commit(self, messages) -> None:
+        rows, schema_hex = self._gather(messages)
+        replaced = None
+        operation = "append"
+        if self.exists and self.overwrite:
+            replaced = {r["file_path"] for r in _table(self.root).all_files()}
+            operation = "overwrite"
+        self._commit_rows(
+            rows, schema_hex, operation=operation, replaced=replaced
+        )
+
+    def _commit_rows(
+        self,
+        rows: list[dict],
+        schema_hex: str,
+        operation: str,
+        replaced: set | None = None,
+        extra_summary: dict | None = None,
+    ) -> None:
+        import time as _time
+        import uuid as _uuid
+
+        from btrblocks_spark.sources import fs
+
         t = _table(self.root)
         if not self.exists:
             if not schema_hex:
@@ -448,14 +482,11 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
                 ],
             }
             fs.write_json_atomic(fs.join(self.root, "metadata.json"), meta)
-        replaced = None
-        if self.exists and self.overwrite:
-            replaced = {r["file_path"] for r in t.all_files()}
         t._commit(
             rows,
-            operation="overwrite" if self.overwrite and self.exists
-            else "append",
+            operation=operation,
             replaced=replaced,
+            extra_summary=extra_summary,
         )
 
     def abort(self, messages) -> None:
@@ -466,3 +497,40 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
                 continue
             for r in json.loads(m.rows_json):
                 fs.delete_file(r["file_path"])
+
+
+class BtrTableStreamArrowWriter(
+    BtrTableArrowWriter, DataSourceStreamArrowWriter
+):
+    """``df.writeStream.format("btrtable")`` — each microbatch becomes
+    one atomic snapshot commit (operation ``stream-append``), carrying
+    the (writer, batchId) pair in its summary so a replayed microbatch
+    after a failure commits exactly once (the engine may re-run a batch
+    whose files were written but whose commit raced the crash — the
+    summary check makes the re-commit a no-op and the stale files are
+    remove_orphan_files' concern, same as every other resumable job)."""
+
+    def commit(self, messages, batchId: int) -> None:  # type: ignore[override]
+        t = _table(self.root)
+        if self.exists:
+            for s in t.snapshots():
+                sm = s.get("summary") or {}
+                if (
+                    sm.get("stream_writer") == self.job_id
+                    and sm.get("stream_batch_id") == batchId
+                ):
+                    return  # replayed microbatch: already committed
+        rows, schema_hex = self._gather(messages)
+        self._commit_rows(
+            rows,
+            schema_hex,
+            operation="stream-append",
+            extra_summary={
+                "stream_writer": self.job_id,
+                "stream_batch_id": batchId,
+            },
+        )
+        self.exists = True
+
+    def abort(self, messages, batchId: int) -> None:  # type: ignore[override]
+        BtrTableArrowWriter.abort(self, messages)

@@ -167,3 +167,55 @@ def test_batch_writer_create_append_overwrite(registered, tmp_path):
     # history preserved: the pre-overwrite snapshot still scans
     snaps = [s["snapshot_id"] for s in t.snapshots()]
     assert t.scan(snapshot_id=snaps[-2]).count() == 130
+
+
+def test_stream_writer_sink(registered, tmp_path):
+    """writeStream.format('btrtable'): each microbatch is one atomic
+    snapshot commit (stream-append), exactly-once via (writer, batchId)
+    in the snapshot summary."""
+    import time
+
+    spark = registered
+    src_dir = str(tmp_path / "stream_src")
+    root = str(tmp_path / "dss")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.range(40).select(
+        F.col("id"), F.concat(F.lit("s"), F.col("id")).alias("val")
+    )
+    df.write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("id long, val string").parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.format("btrtable")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(root)
+    )
+    q.awaitTermination(120)
+    t = BtrTable.load(spark, root)
+    got = {r.id: r.val for r in t.scan().collect()}
+    assert len(got) == 40 and got[3] == "s3"
+    ops = [s["operation"] for s in t.snapshots()]
+    assert "stream-append" in ops
+    # the stream-append snapshots carry the exactly-once marker
+    sm = [
+        s["summary"]
+        for s in t.snapshots()
+        if s["operation"] == "stream-append"
+    ]
+    assert all("stream_batch_id" in m for m in sm)
+
+    # second batch of files -> another microbatch -> appended atomically
+    spark.range(40, 55).select(
+        F.col("id"), F.concat(F.lit("s"), F.col("id")).alias("val")
+    ).write.mode("append").parquet(src_dir)
+    q = (
+        stream.writeStream.format("btrtable")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(root)
+    )
+    q.awaitTermination(120)
+    assert BtrTable.load(spark, root).scan().count() == 55
