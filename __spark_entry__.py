@@ -167,15 +167,21 @@ def _zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.sources.table import BtrTable
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    thresh = int(
-        math.floor(orders.agg(F.max("o_orderkey")).collect()[0][0] * 0.15)
-    )
+    agg = orders.agg(
+        F.max("o_orderkey").alias("mx"), F.count("*").alias("n")
+    ).collect()[0]
+    thresh = int(math.floor(agg.mx * 0.15))
     root = tempfile.mkdtemp(prefix="btr_zonemap_") + "/t"
+    # ONE writer task over sorted input, split into ~4 sequential files:
+    # per-file ranges stay disjoint so the manifest prune drops files
+    # AND the zone maps drop blocks (a round-robin fan-out would smear
+    # the full key range across every file)
     table = BtrTable.create(
         spark,
         root,
         orders.orderBy("o_orderkey").coalesce(1),
-        num_files=4,
+        num_files=1,
+        max_rows_per_file=max(1, -(-int(agg.n) // 4)),
         block_rows=2048,
         job_id="zscan",
     )
@@ -203,13 +209,17 @@ def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.sources.table import BtrTable
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    key = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    agg = orders.agg(
+        F.min("o_orderkey").alias("mn"), F.count("*").alias("n")
+    ).collect()[0]
+    key = agg.mn
     root = tempfile.mkdtemp(prefix="btr_lookup_") + "/t"
     table = BtrTable.create(
         spark,
         root,
         orders.orderBy("o_orderkey").coalesce(1),
-        num_files=4,
+        num_files=1,
+        max_rows_per_file=max(1, -(-int(agg.n) // 4)),
         block_rows=2048,
         job_id="lk",
         bloom_cols=["o_orderkey"],

@@ -63,8 +63,11 @@ def _decode_file(
     path: str,
     schema_hex: str,
     del_paths: list[str],
+    predicate: dict | None = None,
 ):
-    """Decode one block file to logical RecordBatches, deletes merged."""
+    """Decode one block file to logical RecordBatches, deletes merged,
+    blocks failing ``predicate`` (the prune-dict shape) skipped via
+    their zone maps."""
     from btrblocks_spark.sources import fs
     from btrblocks_spark.sources.blockfile import (
         decode_batches,
@@ -73,13 +76,20 @@ def _decode_file(
 
     logical = pa.ipc.read_schema(pa.py_buffer(bytes.fromhex(schema_hex)))
     bt = fs.read_parquet(path)
-    bt = bt.select(
-        [c for c in bt.schema.names if c == "tuple_count" or c.startswith("b_")]
-    )
+    keep = [
+        c
+        for c in bt.schema.names
+        if c == "tuple_count"
+        or c.startswith("b_")
+        or (c == "zone" and predicate)
+    ]
+    bt = bt.select(keep)
     deletes = None
     if del_paths:
         deletes = load_delete_index(del_paths, [path]).get(path)
-    yield from decode_batches(bt.to_batches(), logical, deletes=deletes)
+    yield from decode_batches(
+        bt.to_batches(), logical, deletes=deletes, predicate=predicate
+    )
 
 
 class BtrTableDataSource(DataSource):
@@ -105,6 +115,12 @@ class BtrTableDataSource(DataSource):
         return base
 
     def reader(self, schema: StructType) -> "BtrTableBatchReader":
+        # pushdown is opt-in: Spark REFUSES any reader that implements
+        # pushFilters while spark.sql.python.filterPushdown.enabled is
+        # false, so the capability lives in a subclass selected by
+        # .option("pushdown", "true") (set the conf too)
+        if self.options.get("pushdown", "").lower() in ("1", "true"):
+            return BtrTablePushdownReader(self._root())
         return BtrTableBatchReader(self._root())
 
     def streamReader(self, schema: StructType) -> "BtrTableStreamReader":
@@ -128,18 +144,76 @@ class BtrTableBatchReader(DataSourceReader):
         t = _table(root)
         meta = t.metadata()
         self.schema_hex = meta["arrow_schema_hex"]
-        self.files = [r["file_path"] for r in t.data_files()]
+        self.rows = t.data_files()
         self.del_paths = [r["file_path"] for r in t.delete_files()]
+        self.prune: dict = {}
 
     def partitions(self):
+        rows = self.rows
+        if self.prune:
+            from btrblocks_spark.sources.table import _file_may_match
+
+            rows = [r for r in rows if _file_may_match(r, self.prune)]
         return [
-            InputPartition((p, self.schema_hex, self.del_paths))
-            for p in self.files
+            InputPartition(
+                (r["file_path"], self.schema_hex, self.del_paths, self.prune)
+            )
+            for r in rows
         ]
 
     def read(self, partition: InputPartition):
-        path, schema_hex, del_paths = partition.value
-        yield from _decode_file(path, schema_hex, del_paths)
+        path, schema_hex, del_paths, prune = partition.value
+        yield from _decode_file(
+            path, schema_hex, del_paths, predicate=prune or None
+        )
+
+
+class BtrTablePushdownReader(BtrTableBatchReader):
+    def pushFilters(self, filters):
+        """Catalyst filter pushdown -> manifest + zone-map pruning.
+
+        Supported shapes (top-level column vs literal: =, <, <=, >, >=,
+        IN) become prune-dict bounds that skip FILES via manifest stats
+        and BLOCKS via zone maps. Pruning here is ADVISORY — surviving
+        files/blocks may still hold non-matching rows — so every filter
+        is returned for Spark to re-apply after the scan (the documented
+        partial-pushdown contract); the pushdown only removes I/O and
+        decode work, never rows Spark wouldn't also remove."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        bounds: dict = {}
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if not attr or len(attr) != 1:
+                continue
+            col = attr[0]
+            v = getattr(f, "value", None)
+            lo, hi, vals = bounds.get(col, (None, None, None))
+            if isinstance(f, EqualTo) and not isinstance(v, (list, bool)):
+                vals = {v} if vals is None else (vals & {v})
+            elif isinstance(f, In):
+                s = set(f.value)
+                vals = s if vals is None else (vals & s)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo = v if lo is None else max(lo, v)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                hi = v if hi is None else min(hi, v)
+            else:
+                continue
+            bounds[col] = (lo, hi, vals)
+        for col, (lo, hi, vals) in bounds.items():
+            if vals is not None:
+                self.prune[col] = sorted(vals)
+            elif lo is not None or hi is not None:
+                self.prune[col] = (lo, hi)
+        return filters  # advisory: Spark re-applies everything
 
 
 class BtrTableStreamReader(DataSourceStreamReader):

@@ -219,3 +219,64 @@ def test_stream_writer_sink(registered, tmp_path):
     )
     q.awaitTermination(120)
     assert BtrTable.load(spark, root).scan().count() == 55
+
+
+def test_reader_filter_pushdown_prunes_and_stays_correct(
+    registered, tmp_path
+):
+    """Catalyst filters reach the reader: files drop via manifest stats,
+    blocks via zone maps — and results equal the unpruned filter."""
+    from btrblocks_spark.sources import spark_datasource as sd
+
+    spark = registered
+    root = str(tmp_path / "dspf")
+    df = spark.range(8000).select(
+        F.col("id"), (F.col("id") % 13).alias("v")
+    )
+    # one writer task over sorted input, split into 4 sequential files
+    # -> tight disjoint per-file ranges (round-robin fan-out would give
+    # every file the full range and nothing could prune)
+    BtrTable.create(
+        spark, root, df.orderBy("id").coalesce(1), num_files=1,
+        max_rows_per_file=2000, block_rows=512, job_id="c0",
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ds_df = (
+        spark.read.format("btrtable").option("pushdown", "true").load(root)
+    )
+    got = (
+        ds_df.filter((F.col("id") >= 2100) & (F.col("id") < 2300))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()[0]
+    )
+    exp = (
+        df.filter((F.col("id") >= 2100) & (F.col("id") < 2300))
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()[0]
+    )
+    assert (got.n, got.s) == (exp.n, exp.s) == (200, exp.s)
+
+    # the pushdown actually reduces partitions: drive the reader API
+    # directly with the same filter shapes Catalyst would push
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    rd = sd.BtrTablePushdownReader(root)
+    n_all = len(rd.partitions())
+    leftover = list(
+        rd.pushFilters(
+            [GreaterThanOrEqual(("id",), 2100), LessThan(("id",), 2300)]
+        )
+    )
+    assert len(leftover) == 2  # advisory: Spark re-applies both
+    n_pruned = len(rd.partitions())
+    assert 0 < n_pruned < n_all
+
+    # equality pushdown takes the in-set path
+    rd2 = sd.BtrTablePushdownReader(root)
+    from pyspark.sql.datasource import EqualTo
+
+    list(rd2.pushFilters([EqualTo(("id",), 7)]))
+    assert len(rd2.partitions()) == 1
+    one = {r.id for r in ds_df.filter(F.col("id") == 7).collect()}
+    assert one == {7}
