@@ -449,7 +449,8 @@ def _merge_staged(
                             decode_batches(
                                 bt.to_batches(), logical, deletes=dels
                             )
-                        )
+                        ),
+                        schema=logical,  # robust to an all-deleted file
                     ).combine_chunks()
                     key_col = tbl.column(on).combine_chunks()
                     src_keys_arr = src_local.column(on).combine_chunks()

@@ -432,7 +432,7 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
 
     def write(self, iterator):
         import pyarrow as _pa
-        from pyspark import TaskContext  # noqa: F401 (re-imported below)
+        from pyspark import TaskContext
 
         from btrblocks_spark.sources import fs
         from btrblocks_spark.sources.blockfile import (

@@ -103,3 +103,40 @@ def test_roaring_validity_roundtrip(validity):
         return  # bitmap kinds win; covered by other round-trips
     back = block._roaring_decode(memoryview(blob), n)
     assert np.array_equal(back, validity)
+
+
+@given(
+    st.lists(st.integers(-2**62, 2**62), min_size=1, max_size=300),
+    st.lists(st.integers(-2**62, 2**62), min_size=1, max_size=50),
+)
+@settings(max_examples=40, deadline=None)
+def test_bloom_never_false_negative_ints(keys, probes):
+    import numpy as np
+
+    from btrblocks_spark.codec.bloom import (
+        bloom_may_contain_any,
+        build_bloom,
+    )
+
+    bl = build_bloom(np.asarray(keys, np.int64))
+    # every inserted key must probe positive, alone and in any batch
+    for k in keys[:20]:
+        assert bloom_may_contain_any(bl, np.asarray([k], np.int64))
+    assert bloom_may_contain_any(
+        bl, np.asarray(probes + [keys[0]], np.int64)
+    )
+
+
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=200))
+@settings(max_examples=30, deadline=None)
+def test_bloom_never_false_negative_strings(keys):
+    import numpy as np
+
+    from btrblocks_spark.codec.bloom import (
+        bloom_may_contain_any,
+        build_bloom,
+    )
+
+    bl = build_bloom(np.asarray(keys, dtype=object))
+    for k in keys[:20]:
+        assert bloom_may_contain_any(bl, np.asarray([k], dtype=object))
