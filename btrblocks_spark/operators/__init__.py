@@ -6,6 +6,8 @@
 - :mod:`cluster`  — Z-order / Hilbert clustering over (phash, w, h) with
   explicit salted-repartition skew handling on hot phash ranges.
 - :mod:`merge`    — MERGE INTO (upsert/delete) rewriting only touched files.
+- :mod:`rowops`   — DELETE WHERE / UPDATE WHERE (MOR positional deletes
+  or CoW rewrite; shares the delete-file writer with merge).
 - :mod:`verify`   — post-maintenance scan-equality + PSNR invariants.
 
 Snapshot expiry and manifest rewrite live on :class:`BtrTable` itself.

@@ -564,59 +564,20 @@ def _merge_staged(
     }
 
 
-def _merge_mor(
-    table: BtrTable,
-    source: DataFrame,
-    on: str,
-    when_matched: str,
-    when_not_matched: str,
-    job_id: str,
-    cand_paths: list[str] | None,
-    prune: dict,
-    broadcast_source: bool,
-    bloom_skipped: int,
-    timings: dict,
-) -> dict:
-    """Merge-on-read MERGE (Iceberg v2 positional deletes).
+def write_positional_deletes(
+    table: BtrTable, del_rows: DataFrame, job_id: str
+) -> list[dict]:
+    """Write a ``(file_path string, pos long)`` DataFrame as Iceberg-v2
+    positional delete files; returns their manifest rows (``content=1``).
 
-    1. *Keyscan with positions*: a key+``_file``+``_pos`` scan of the
-       (range+bloom-pruned) candidate files — earlier delete files are
-       merged by the scan, so already-deleted rows never rematch.
-    2. *Delete write*: matched (file, pos) pairs, range-partitioned and
-       sorted on (file_path, pos), one delete parquet per task with
-       small row groups — a later scan task's row-group filter reads
-       only its own files' positions.
-    3. *Appends*: replacement rows (matched source rows, update mode)
-       and inserts (anti-join) become normal new data files.
-    4. *Commit*: delete rows + data rows added, NOTHING replaced —
-       rewritten bytes scale with the change set, not with touched-file
-       bytes (CoW rewrote 199 files for 5% of keys in the r3 bench).
-    """
+    Rows are range-partitioned and sorted on (file_path, pos) with small
+    row groups so a later scan task's row-group filter reads only its own
+    files' positions. Shared by MERGE-on-read, DELETE WHERE and
+    UPDATE WHERE."""
     import json as _json
-    import time as _time
 
     spark = table.spark
-    cols = table.schema_arrow().names
     root = table.root
-
-    t0 = _time.time()
-    keyscan = table.scan(
-        columns=[on],
-        prune=prune,
-        files=cand_paths,
-        with_file=True,
-        with_pos=True,
-    ).cache()
-    src_keys = source.select(on).distinct()
-    if broadcast_source:
-        src_keys = F.broadcast(src_keys)
-    matched = keyscan.join(src_keys, on=on, how="inner")
-    # (file, pos) pairs are already unique: keyscan emits one row per
-    # PHYSICAL row and src_keys is distinct — no dedup shuffle needed
-    del_rows = matched.select(
-        F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
-    )
-
     try:
         cores = spark.sparkContext.defaultParallelism
     except Exception:
@@ -671,6 +632,63 @@ def _merge_mor(
     delete_rows: list[dict] = []
     for r in sorted_dels.mapInArrow(write_deletes, "rows string").collect():
         delete_rows.extend(_json.loads(r.rows))
+    return delete_rows
+
+
+def _merge_mor(
+    table: BtrTable,
+    source: DataFrame,
+    on: str,
+    when_matched: str,
+    when_not_matched: str,
+    job_id: str,
+    cand_paths: list[str] | None,
+    prune: dict,
+    broadcast_source: bool,
+    bloom_skipped: int,
+    timings: dict,
+) -> dict:
+    """Merge-on-read MERGE (Iceberg v2 positional deletes).
+
+    1. *Keyscan with positions*: a key+``_file``+``_pos`` scan of the
+       (range+bloom-pruned) candidate files — earlier delete files are
+       merged by the scan, so already-deleted rows never rematch.
+    2. *Delete write*: matched (file, pos) pairs, range-partitioned and
+       sorted on (file_path, pos), one delete parquet per task with
+       small row groups — a later scan task's row-group filter reads
+       only its own files' positions.
+    3. *Appends*: replacement rows (matched source rows, update mode)
+       and inserts (anti-join) become normal new data files.
+    4. *Commit*: delete rows + data rows added, NOTHING replaced —
+       rewritten bytes scale with the change set, not with touched-file
+       bytes (CoW rewrote 199 files for 5% of keys in the r3 bench).
+    """
+    import json as _json
+    import time as _time
+
+    spark = table.spark
+    cols = table.schema_arrow().names
+    root = table.root
+
+    t0 = _time.time()
+    keyscan = table.scan(
+        columns=[on],
+        prune=prune,
+        files=cand_paths,
+        with_file=True,
+        with_pos=True,
+    ).cache()
+    src_keys = source.select(on).distinct()
+    if broadcast_source:
+        src_keys = F.broadcast(src_keys)
+    matched = keyscan.join(src_keys, on=on, how="inner")
+    # (file, pos) pairs are already unique: keyscan emits one row per
+    # PHYSICAL row and src_keys is distinct — no dedup shuffle needed
+    del_rows = matched.select(
+        F.col("_file").alias("file_path"), F.col("_pos").alias("pos")
+    )
+
+    delete_rows = write_positional_deletes(table, del_rows, job_id)
     timings["delete_write"] = _time.time() - t0
 
     t0 = _time.time()
