@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 import pyarrow as pa
@@ -255,6 +256,22 @@ def create_exclusive(path: str) -> bool:
     with f.open_output_stream(p) as stream:
         stream.write(b"lock")
     return True
+
+
+def file_age(path: str) -> float | None:
+    """Seconds since the file's mtime, or None if it doesn't exist (or
+    the store reports no mtime). Used to break dead writers' commit
+    locks."""
+    import datetime
+
+    f, p = resolve(path)
+    info = f.get_file_info(p)
+    if info.type == pafs.FileType.NotFound or info.mtime is None:
+        return None
+    mt = info.mtime
+    if isinstance(mt, datetime.datetime):
+        mt = mt.timestamp()
+    return max(0.0, time.time() - mt)
 
 
 def delete_file(path: str, missing_ok: bool = True) -> None:

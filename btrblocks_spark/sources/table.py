@@ -326,6 +326,40 @@ class BtrTable:
     #: more manifest files than this, the smallest ones are merged.
     MANIFEST_LIST_MAX = 64
 
+    #: optimistic concurrency: a committer whose lock acquisition finds
+    #: the lock held WAITS (jittered exponential backoff) up to this many
+    #: seconds for the other commit to finish, then raises
+    #: CommitConflict. 0 = fail fast. Commits re-read metadata.json
+    #: under the lock, so serialized concurrent writers compose —
+    #: a genuine conflict (two commits replacing the same file) still
+    #: raises via the files-vanished check.
+    COMMIT_LOCK_WAIT = 30.0
+    COMMIT_LOCK_POLL = 0.05
+    #: a lock older than this is a dead writer (crashed before the
+    #: finally-unlink); waiters break it. A real deployment swaps the
+    #: whole pointer commit for a catalog CAS.
+    COMMIT_LOCK_TTL = 600.0
+
+    def _acquire_commit_lock(self, lock: str) -> None:
+        import random
+
+        deadline = time.time() + self.COMMIT_LOCK_WAIT
+        sleep = self.COMMIT_LOCK_POLL
+        while True:
+            if fs.create_exclusive(lock):
+                return
+            age = fs.file_age(lock)
+            if age is not None and age > self.COMMIT_LOCK_TTL:
+                fs.delete_file(lock)  # dead writer — break its lock
+                continue
+            if time.time() >= deadline:
+                raise CommitConflict(
+                    f"another commit holds {lock} "
+                    f"(waited {self.COMMIT_LOCK_WAIT}s)"
+                )
+            time.sleep(sleep + random.uniform(0.0, sleep))
+            sleep = min(sleep * 2, 1.0)
+
     def _read_manifest(self, name: str) -> list[dict]:
         return fs.read_parquet(
             fs.join(self.root, "manifests", name)
@@ -395,8 +429,7 @@ class BtrTable:
         lock = fs.join(self.root, "_commit.lock")
         locked = False
         try:
-            if not fs.create_exclusive(lock):
-                raise CommitConflict(f"another commit holds {lock}")
+            self._acquire_commit_lock(lock)
             locked = True
             meta = self.metadata()
             current = meta["current_snapshot_id"]
@@ -1136,8 +1169,7 @@ class BtrTable:
         from pyspark.sql.types import StructType, _parse_datatype_string
 
         lock = fs.join(self.root, "_commit.lock")
-        if not fs.create_exclusive(lock):
-            raise CommitConflict(f"another commit holds {lock}")
+        self._acquire_commit_lock(lock)
         try:
             meta = self.metadata()
             spark_schema = StructType.fromJson(
@@ -1417,8 +1449,7 @@ class BtrTable:
         the driver handles only the O(manifests) entry list. Data files
         are untouched."""
         lock = fs.join(self.root, "_commit.lock")
-        if not fs.create_exclusive(lock):
-            raise CommitConflict(f"another commit holds {lock}")
+        self._acquire_commit_lock(lock)
         try:
             meta = self.metadata()
             current = meta["current_snapshot_id"]

@@ -314,6 +314,7 @@ def test_commit_lock_conflict(spark, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("lockconf"))
     df = spark.createDataFrame(image_caption_table(60, seed=57))
     t = BtrTable.create(spark, root, df, num_files=1, job_id="lk0")
+    t.COMMIT_LOCK_WAIT = 0  # fail fast for this test (default: wait 30s)
     lock = fs.join(root, "_commit.lock")
     assert fs.create_exclusive(lock)
     try:
