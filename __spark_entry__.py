@@ -465,6 +465,45 @@ def _near_dup_embeddings_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_distinct_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch of orders.o_custkey (k=256): the
+    distinct-stats primitive for 10^12-row manifests, where exact
+    COUNT(DISTINCT) is a full shuffle. Engine-agnostic two-stream affine
+    hash — fully oracle-checkable (functions/sketch.py)."""
+    from btrblocks_spark.functions.sketch import kmv_distinct
+
+    return kmv_distinct(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"), "o_custkey", k=256
+    )
+
+
+def _asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF join: each click event matched to the user's latest
+    at-or-before purchase (union-window formulation, ONE shuffle, no
+    range-join explosion — functions/asof.py). Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    from btrblocks_spark.functions.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    j = asof_join(left, right, on="ts", by="user_id")
+    return j.select(
+        "click_id",
+        "user_id",
+        "ts",
+        F.col("purchase_id_r").alias("purchase_id"),
+        F.round(F.col("purchase_value_r"), 6).alias("purchase_value"),
+    ).orderBy("click_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from btrblocks_spark.plans import codec_queries as cq
 
@@ -514,6 +553,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_recall_lsh": _knn_recall_lsh,  # oracle-checked (det LSH)
         "embedding_near_dup": _near_dup_embeddings,  # exact oracle twin
         "embedding_near_dup_lsh": _near_dup_embeddings_lsh,  # rows-only
+        # sketches + temporal joins
+        "kmv_distinct": _kmv_distinct_custkey,  # oracle-checked bottom-k
+        "asof_purchase": _asof_purchase,  # oracle-checked vs DuckDB ASOF
     }
 
 
@@ -1071,4 +1113,27 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hits h USING (query_id)
             ORDER BY query_id
         """,
+        "kmv_distinct": _kmv_sql(),
+        "asof_purchase": """
+            WITH r AS (
+              SELECT user_id, ts, MAX(event_id) AS purchase_id,
+                     MAX(value) AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, ts
+            ), l AS (
+              SELECT event_id AS click_id, user_id, ts
+              FROM events WHERE event_type = 'click'
+            )
+            SELECT l.click_id, l.user_id, l.ts, r.purchase_id,
+                   round(r.purchase_value, 6) AS purchase_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+            ORDER BY l.click_id
+        """,
     }
+
+
+def _kmv_sql() -> str:
+    from btrblocks_spark.functions.sketch import kmv_distinct_sql
+
+    return kmv_distinct_sql("orders", "o_custkey", 256)
