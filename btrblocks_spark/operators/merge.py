@@ -165,6 +165,7 @@ def merge_into(
     broadcast_source: bool | None = None,
     strategy: str = "staged",
     max_staged_source_mb: int = 256,
+    extra_summary: dict | None = None,
 ) -> dict:
     """Execute MERGE INTO; returns job metrics.
 
@@ -232,6 +233,7 @@ def merge_into(
         return _merge_mor(
             table, source, on, when_matched, when_not_matched, job_id,
             cand_paths, prune, broadcast_source, bloom_skipped, timings,
+            extra_summary,
         )
 
     if strategy == "staged":
@@ -245,6 +247,7 @@ def merge_into(
                     table, src_tbl, on, when_matched, when_not_matched,
                     job_id, keyscan, source, prune, timings,
                     bloom_skipped=bloom_skipped,
+                    extra_summary=extra_summary,
                 )
         # source too large for the staged broadcast model
 
@@ -295,7 +298,11 @@ def merge_into(
         written,
         operation="merge",
         replaced=set(touched),
-        extra_summary={"on": on, "when_matched": when_matched},
+        extra_summary={
+            "on": on,
+            "when_matched": when_matched,
+            **(extra_summary or {}),
+        },
     )
     return {
         "job_id": job_id,
@@ -323,6 +330,7 @@ def _merge_staged(
     prune: dict,
     timings: dict | None = None,
     bloom_skipped: int = 0,
+    extra_summary: dict | None = None,
 ) -> dict:
     """File-staged copy-on-write MERGE: one task per touched-file bin."""
     import json as _json
@@ -550,6 +558,7 @@ def _merge_staged(
             "on": on,
             "when_matched": when_matched,
             "strategy": "staged",
+            **(extra_summary or {}),
         },
     )
     timings["commit"] = _time.time() - t0
@@ -647,6 +656,7 @@ def _merge_mor(
     broadcast_source: bool,
     bloom_skipped: int,
     timings: dict,
+    extra_summary: dict | None = None,
 ) -> dict:
     """Merge-on-read MERGE (Iceberg v2 positional deletes).
 
@@ -730,6 +740,7 @@ def _merge_mor(
             "when_matched": when_matched,
             "strategy": "mor",
             "delete_rows": sum(r["row_count"] for r in delete_rows),
+            **(extra_summary or {}),
         },
     )
     timings["commit"] = _time.time() - t0

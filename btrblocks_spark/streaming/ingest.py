@@ -117,6 +117,73 @@ def stream_into_table(
     )
 
 
+def stream_upsert_into_table(
+    stream: DataFrame,
+    table_root: str,
+    checkpoint_dir: str,
+    on: str,
+    query_name: str = "btr_upsert",
+    strategy: str = "mor",
+):
+    """Continuously UPSERT a stream into a BtrTable (CDC apply).
+
+    Each micro-batch runs MERGE INTO (default merge-on-read: matched
+    rows -> positional deletes + new data files, written bytes scale
+    with the batch, not the table). Exactly-once: the merge snapshot
+    carries (query_name, batch_id) in its summary; a replayed batch
+    (restart after crash between commit and checkpoint advance) finds
+    the marker and skips — MERGE is not idempotent on its own (re-
+    appending update rows would duplicate), unlike plain appends.
+
+    Batches with duplicate keys are reduced to the LAST row per key
+    first (arbitrary-but-deterministic max over payload at equal keys),
+    since MERGE semantics require a unique source key set.
+    """
+    from pyspark.sql import Window
+
+    from btrblocks_spark.operators.merge import merge_into
+    from btrblocks_spark.sources.table import BtrTable
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table = BtrTable.load(batch_df.sparkSession, table_root)
+        for s in table.snapshots():
+            sm = s.get("summary") or {}
+            if (
+                sm.get("stream_upsert") == query_name
+                and sm.get("stream_batch_id") == batch_id
+            ):
+                return  # replayed batch: already committed
+        w = Window.partitionBy(on).orderBy(
+            *[F.col(c).desc_nulls_last() for c in batch_df.columns]
+        )
+        unique = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        merge_into(
+            table,
+            unique,
+            on=on,
+            strategy=strategy,
+            job_id=f"{query_name}-b{batch_id}",
+            extra_summary={
+                "stream_upsert": query_name,
+                "stream_batch_id": batch_id,
+            },
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 DEDUP_SCHEMA = StructType(
     [
         StructField("content_hash", StringType()),

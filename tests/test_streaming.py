@@ -115,3 +115,52 @@ def test_streaming_dedup_matches_batch(spark, tmp_path):
     assert len(got) == len(want) == 3
     for r in got:
         assert want[r.content_hash] == (r.doc_id, r.dup_count)
+
+
+def test_stream_upsert_into_table(spark, tmp_path):
+    """CDC-apply: a parquet-file stream of keyed updates/inserts merged
+    into a BtrTable per micro-batch (MOR), exactly-once on replay."""
+    from btrblocks_spark.sources.table import BtrTable
+    from btrblocks_spark.streaming.ingest import stream_upsert_into_table
+
+    base = spark.range(100).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("val")
+    )
+    root = str(tmp_path / "t")
+    t = BtrTable.create(spark, root, base, num_files=2, job_id="base")
+
+    # source stream: updates for 0..9 (twice: key 5 duplicated in-batch),
+    # inserts for 200..204
+    src_dir = str(tmp_path / "updates")
+    upd = spark.createDataFrame(
+        [(i, f"U{i}") for i in range(10)]
+        + [(5, "U5b")]
+        + [(i, f"N{i}") for i in range(200, 205)],
+        "id long, val string",
+    )
+    upd.coalesce(1).write.parquet(src_dir)
+
+    stream = spark.readStream.schema("id long, val string").parquet(src_dir)
+    q = stream_upsert_into_table(
+        stream, root, str(tmp_path / "ckpt"), on="id", query_name="up1"
+    )
+    q.awaitTermination(120)
+
+    got = {r.id: r.val for r in t.scan().collect()}
+    assert len(got) == 105
+    assert got[0] == "U0" and got[9] == "U9" and got[200] == "N200"
+    assert got[5] in ("U5", "U5b")  # in-batch dup reduced to one row
+    assert got[10] == "v10"  # untouched
+    # MOR: base data files not rewritten
+    assert any(r["job_id"] == "base" for r in t.data_files())
+    assert t.delete_files()
+
+    # replay safety: calling the same batch again is a no-op
+    sid = t.current_snapshot_id()
+    stream2 = spark.readStream.schema("id long, val string").parquet(src_dir)
+    q2 = stream_upsert_into_table(
+        stream2, root, str(tmp_path / "ckpt"), on="id", query_name="up1"
+    )
+    q2.awaitTermination(120)
+    assert t.current_snapshot_id() == sid
+    assert t.scan().count() == 105
