@@ -504,6 +504,50 @@ def _asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("click_id")
 
 
+def _doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample by doc_id hash — reproducible
+    across runs/engines/cluster sizes, pure narrow filter (no shuffle),
+    unlike rand()-based sampling (functions/sampling.py)."""
+    from btrblocks_spark.functions.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_sample(docs, "doc_id", 0.1).select(
+        "doc_id", "lang", "n_chars"
+    ).orderBy("doc_id")
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced corpus sample: downsample dominant 'en' to 20%,
+    keep 60% of 'de'/'fr', drop the rest — the class-rebalancing
+    primitive of training-data curation. Still a narrow filter."""
+    from btrblocks_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.2, "de": 0.6, "fr": 0.6},
+    ).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def _top_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 longest documents per language (rank window over one
+    shuffle on the group key; doc_id tiebreak for determinism)."""
+    from btrblocks_spark.functions.sampling import top_k_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ranked = top_k_per_group(
+        docs,
+        "lang",
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nd")),
+        k=5,
+    )
+    return ranked.select("lang", "doc_id", "n_chars").orderBy(
+        "lang", "doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from btrblocks_spark.plans import codec_queries as cq
 
@@ -556,6 +600,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketches + temporal joins
         "kmv_distinct": _kmv_distinct_custkey,  # oracle-checked bottom-k
         "asof_purchase": _asof_purchase,  # oracle-checked vs DuckDB ASOF
+        # deterministic sampling (training-data curation)
+        "doc_sample": _doc_sample,  # oracle-checked hash sample
+        "stratified_sample": _stratified_sample,  # oracle-checked
+        "top_docs_per_lang": _top_docs_per_lang,  # oracle-checked top-k
     }
 
 
@@ -1114,6 +1162,28 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY query_id
         """,
         "kmv_distinct": _kmv_sql(),
+        "doc_sample": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE {_bucket_sql("doc_id")} < 1000
+            ORDER BY doc_id
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE {_bucket_sql("doc_id")} <
+              CASE lang WHEN 'en' THEN 2000
+                        WHEN 'de' THEN 6000
+                        WHEN 'fr' THEN 6000
+                        ELSE 0 END
+            ORDER BY doc_id
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id ASC) AS rk
+              FROM documents) t
+            WHERE rk <= 5 ORDER BY lang, doc_id
+        """,
         "asof_purchase": """
             WITH r AS (
               SELECT user_id, ts, MAX(event_id) AS purchase_id,
@@ -1137,3 +1207,9 @@ def _kmv_sql() -> str:
     from btrblocks_spark.functions.sketch import kmv_distinct_sql
 
     return kmv_distinct_sql("orders", "o_custkey", 256)
+
+
+def _bucket_sql(expr: str) -> str:
+    from btrblocks_spark.functions.sampling import sample_bucket_sql
+
+    return sample_bucket_sql(expr, 10000)

@@ -116,3 +116,44 @@ def test_asof_no_by_key(spark):
     )
     vals = got["rv_r"].tolist()
     assert pd.isna(vals[0]) and vals[1] == 1 and vals[2] == 2
+
+
+def test_hash_sample_no_shuffle_and_deterministic(spark):
+    from btrblocks_spark.functions.sampling import hash_sample
+
+    df = spark.range(10000).select(F.col("id").alias("k"))
+    s1 = hash_sample(df, "k", 0.1)
+    # narrow: no Exchange in the plan
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    a = {r.k for r in s1.collect()}
+    b = {r.k for r in hash_sample(df, "k", 0.1).collect()}
+    assert a == b and 700 <= len(a) <= 1300
+    # nested property: a 5% sample is a subset of the 10% sample
+    c = {r.k for r in hash_sample(df, "k", 0.05).collect()}
+    assert c <= a
+
+
+def test_stratified_sample_fractions(spark):
+    from btrblocks_spark.functions.sampling import stratified_sample
+
+    df = spark.range(20000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    got = stratified_sample(df, "k", "s", {"a": 0.5}, default=0.0)
+    rows = got.groupBy("s").count().collect()
+    by = {r.s: r["count"] for r in rows}
+    assert "b" not in by
+    assert abs(by["a"] - 5000) < 600
+
+
+def test_top_k_per_group(spark):
+    from btrblocks_spark.functions.sampling import top_k_per_group
+
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+    )
+    got = top_k_per_group(df, "g", "v", k=3)
+    assert got.count() == 12
+    assert {r.v for r in got.filter(F.col("g") == 0).collect()} == {96, 92, 88}
