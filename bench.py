@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash",
     "knn_bruteforce",
+    # round-4 additions (suite was 14 q through BENCH_r03; the old
+    # 14-q subset remains comparable via the per-query breakdown)
+    "asof_purchase",
+    "doc_sample",
 ]
 
 
