@@ -290,6 +290,8 @@ def encode_block_pieces(
 def decode_block(blob: bytes | memoryview) -> pa.Array:
     """Decode a blob back into an Arrow array (nulls restored)."""
     buf = memoryview(blob)
+    if buf.format != "B":  # pyarrow buffers view as signed 'b'
+        buf = buf.cast("B")
     magic, type_code, null_kind, n, null_len = struct.unpack_from("<HBBII", buf, 0)
     if magic != MAGIC:
         raise ValueError("bad block magic")
@@ -322,6 +324,8 @@ def decode_block(blob: bytes | memoryview) -> pa.Array:
 def block_scheme_tree(blob: bytes | memoryview) -> dict:
     """btrmeta-style description of the scheme tree inside a blob."""
     buf = memoryview(blob)
+    if buf.format != "B":  # pyarrow buffers view as signed 'b'
+        buf = buf.cast("B")
     _, type_code, null_kind, n, null_len = struct.unpack_from("<HBBII", buf, 0)
     pos = 12 + null_len
     if type_code in (T_STRING, T_BINARY):

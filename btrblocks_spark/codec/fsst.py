@@ -86,6 +86,11 @@ class SymbolTable:
 
     @classmethod
     def deserialize(cls, buf, pos: int) -> tuple["SymbolTable", int]:
+        # single-byte indexing: a pyarrow-buffer memoryview is format
+        # 'b' (SIGNED), so a symbol count >= 128 would read negative —
+        # normalize to unsigned before indexing (zero-copy view cast)
+        if isinstance(buf, memoryview) and buf.format != "B":
+            buf = buf.cast("B")
         n = buf[pos]
         pos += 1
         lengths = np.frombuffer(buf, np.uint8, n, pos).astype(np.int64)
@@ -278,6 +283,8 @@ def compress(data) -> bytes:
 
 def decompress(blob) -> bytes:
     buf = memoryview(blob)
+    if buf.format != "B":  # pyarrow buffers view as signed 'b'
+        buf = buf.cast("B")
     table, pos = SymbolTable.deserialize(buf, 0)
     raw_len, comp_len = struct.unpack_from("<QQ", buf, pos)
     pos += 16

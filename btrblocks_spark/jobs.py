@@ -56,6 +56,25 @@ def main(argv: list[str] | None = None) -> int:
     a = sub.add_parser("append")
     a.add_argument("--table", required=True)
     a.add_argument("--input", required=True)
+    a.add_argument(
+        "--stage",
+        action="store_true",
+        help="write-audit-publish: record the snapshot without making "
+        "it current (audit via scan at its id, then `publish`)",
+    )
+
+    tg = sub.add_parser("tag", help="create/drop a named snapshot tag")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("name")
+    tg.add_argument("--snapshot", type=int, default=None)
+    tg.add_argument("--delete", action="store_true")
+
+    pb = sub.add_parser(
+        "publish", help="publish (or abandon) a staged WAP snapshot"
+    )
+    pb.add_argument("--table", required=True)
+    pb.add_argument("snapshot", type=int)
+    pb.add_argument("--abandon", action="store_true")
 
     k = sub.add_parser("compact")
     k.add_argument("--table", required=True)
@@ -202,8 +221,26 @@ def main(argv: list[str] | None = None) -> int:
         out = {"table": args.table, "files": len(t.data_files())}
     elif args.cmd == "append":
         t = BtrTable.load(spark, args.table)
-        n = t.append(spark.read.parquet(args.input))
-        out = {"appended_files": n}
+        n = t.append(spark.read.parquet(args.input), stage=args.stage)
+        out = (
+            {"staged_snapshot_id": n}
+            if args.stage
+            else {"appended_files": n}
+        )
+    elif args.cmd == "tag":
+        t = BtrTable.load(spark, args.table)
+        if args.delete:
+            t.drop_tag(args.name)
+            out = {"dropped": args.name}
+        else:
+            out = {args.name: t.tag(args.name, args.snapshot)}
+    elif args.cmd == "publish":
+        t = BtrTable.load(spark, args.table)
+        out = (
+            t.abandon(args.snapshot)
+            if args.abandon
+            else t.publish(args.snapshot)
+        )
     elif args.cmd == "compact":
         from btrblocks_spark.operators.compact import compact
 

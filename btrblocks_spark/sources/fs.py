@@ -283,6 +283,17 @@ def delete_file(path: str, missing_ok: bool = True) -> None:
             raise
 
 
+def delete_dir(path: str, missing_ok: bool = True) -> None:
+    """Recursively delete a directory (no-op on object stores where the
+    'directory' was only ever a key prefix that is now empty)."""
+    f, p = resolve(path)
+    try:
+        f.delete_dir(p)
+    except (FileNotFoundError, OSError):
+        if not missing_ok:
+            raise
+
+
 def read_json(path: str) -> dict:
     return json.loads(read_bytes(path).decode())
 

@@ -119,6 +119,196 @@ class BtrTable:
     def snapshots(self) -> list[dict]:
         return self.metadata()["snapshots"]
 
+    # ------------------------------------------------------------ refs
+    def refs(self) -> dict:
+        """Named snapshot refs (Iceberg tags): ``{name: {snapshot_id,
+        type, ts}}``. A tagged snapshot is retained by
+        :meth:`expire_snapshots` until the tag is dropped."""
+        return self.metadata().get("refs", {})
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Create an immutable named tag on a snapshot (default: the
+        current one) for audit/time-travel pinning:
+        ``table.scan(snapshot_id="v1")``."""
+        lock = fs.join(self.root, "_commit.lock")
+        self._acquire_commit_lock(lock)
+        try:
+            meta = self.metadata()
+            refs = meta.setdefault("refs", {})
+            if name in refs:
+                raise ValueError(f"ref {name!r} already exists")
+            sid = (
+                meta["current_snapshot_id"]
+                if snapshot_id is None
+                else snapshot_id
+            )
+            if not any(s["snapshot_id"] == sid for s in meta["snapshots"]):
+                raise KeyError(f"no snapshot {sid}")
+            refs[name] = {"snapshot_id": sid, "type": "tag", "ts": time.time()}
+            _atomic_write_json(self._meta_path, meta)
+            return dict(refs[name])
+        finally:
+            fs.delete_file(lock)
+
+    def drop_tag(self, name: str) -> None:
+        lock = fs.join(self.root, "_commit.lock")
+        self._acquire_commit_lock(lock)
+        try:
+            meta = self.metadata()
+            refs = meta.get("refs", {})
+            if name not in refs:
+                raise KeyError(f"no ref {name!r}")
+            del refs[name]
+            _atomic_write_json(self._meta_path, meta)
+        finally:
+            fs.delete_file(lock)
+
+    def _resolve_sid(self, snapshot_id: int | str | None) -> int:
+        """None → current; str → tag name; int → itself."""
+        if snapshot_id is None:
+            return self.current_snapshot_id()
+        if isinstance(snapshot_id, str):
+            refs = self.metadata().get("refs", {})
+            if snapshot_id not in refs:
+                raise KeyError(f"no ref {snapshot_id!r}")
+            return refs[snapshot_id]["snapshot_id"]
+        return snapshot_id
+
+    # ------------------------------------------- write-audit-publish
+    def staged_snapshots(self) -> list[dict]:
+        """Snapshots committed with ``stage=True`` and not yet
+        published/abandoned — invisible to default reads."""
+        return [s for s in self.snapshots() if s.get("staged")]
+
+    def publish(self, snapshot_id: int) -> dict:
+        """Make a staged (write-audit-publish) snapshot the current
+        table state.
+
+        Fast path: if the table has not moved since the snapshot was
+        staged (its parent is still current), publishing is a metadata
+        flip. Otherwise the staged snapshot is REBASED: append-only
+        stages (no replaced files) re-commit their added manifest rows
+        on top of the new current as a fresh snapshot (Iceberg
+        cherry-pick); stages that replaced files conflict with the
+        interleaved commit and raise :class:`CommitConflict` — re-run
+        the job against the new table state."""
+        lock = fs.join(self.root, "_commit.lock")
+        self._acquire_commit_lock(lock)
+        try:
+            meta = self.metadata()
+            snap = None
+            for s in meta["snapshots"]:
+                if s["snapshot_id"] == snapshot_id:
+                    snap = s
+                    break
+            if snap is None:
+                raise KeyError(f"no snapshot {snapshot_id}")
+            if not snap.get("staged"):
+                raise ValueError(f"snapshot {snapshot_id} is not staged")
+            current = meta["current_snapshot_id"]
+            if snap["parent"] == current:
+                del snap["staged"]
+                meta["current_snapshot_id"] = snapshot_id
+                _atomic_write_json(self._meta_path, meta)
+                return {"snapshot_id": snapshot_id, "rebased": False}
+            if snap["summary"].get("removed_files"):
+                raise CommitConflict(
+                    f"staged snapshot {snapshot_id} replaced files but "
+                    f"the table moved on (current={current}); rebase of "
+                    "non-append stages is unsafe — re-run the job"
+                )
+            added = self._staged_added_rows(snap)
+        finally:
+            fs.delete_file(lock)
+        # rebase OUTSIDE the lock: _commit takes it again
+        new_sid = self._commit(
+            added,
+            operation=snap["operation"],
+            replaced=None,
+            extra_summary={"published_from": snapshot_id},
+        )
+        self._drop_snapshot_entry(snapshot_id)
+        return {"snapshot_id": new_sid, "rebased": True,
+                "staged_snapshot_id": snapshot_id}
+
+    def abandon(self, snapshot_id: int) -> dict:
+        """Drop an unpublished staged snapshot. Its data files become
+        unreferenced and are reclaimed by :meth:`remove_orphan_files`;
+        its private manifests are deleted immediately, and its jobs'
+        checkpoint markers are cleared (they would otherwise keep the
+        abandoned files vacuum-protected as an in-flight job)."""
+        snap = self._snapshot(snapshot_id)
+        if not snap.get("staged"):
+            raise ValueError(f"snapshot {snapshot_id} is not staged")
+        jobs = {
+            r.get("job_id")
+            for r in self._staged_added_rows(snap)
+            if r.get("job_id")
+        }
+        res = self._drop_snapshot_entry(snapshot_id)
+        for j in jobs:
+            fs.delete_dir(fs.join(self.root, "_checkpoints", j))
+        return res
+
+    def _staged_added_rows(self, snap: dict) -> list[dict]:
+        """Manifest rows a staged snapshot added over its parent (the
+        ``-a`` manifest it wrote; bin-pack merging never runs between
+        stage and publish because the stage's merge happened at stage
+        time and nothing else references its private manifests)."""
+        fast = f"manifest-{snap['snapshot_id']}-a.parquet"
+        names = {e["name"] for e in snap.get("manifests") or []}
+        if fast in names:
+            return self._read_manifest(fast)
+        parent_paths = {
+            r["file_path"] for r in self._manifest_rows(snap["parent"])
+        }
+        return [
+            r
+            for r in self._manifest_rows(snap["snapshot_id"])
+            if r["file_path"] not in parent_paths
+        ]
+
+    def _drop_snapshot_entry(self, snapshot_id: int) -> dict:
+        """Remove a snapshot from the history and delete the manifest
+        files only it references (under the commit lock)."""
+        lock = fs.join(self.root, "_commit.lock")
+        self._acquire_commit_lock(lock)
+        try:
+            meta = self.metadata()
+            victim = None
+            for s in meta["snapshots"]:
+                if s["snapshot_id"] == snapshot_id:
+                    victim = s
+                    break
+            if victim is None:
+                raise KeyError(f"no snapshot {snapshot_id}")
+            meta["snapshots"] = [
+                s for s in meta["snapshots"]
+                if s["snapshot_id"] != snapshot_id
+            ]
+            still_referenced = {
+                e["name"]
+                for s in meta["snapshots"]
+                for e in (s.get("manifests") or [])
+            } | {
+                s["manifest"]
+                for s in meta["snapshots"]
+                if s.get("manifest")  # v1 single-manifest snapshots
+            }
+            removed = 0
+            for e in victim.get("manifests") or []:
+                if e["name"] in still_referenced:
+                    continue
+                mp = fs.join(self.root, "manifests", e["name"])
+                if fs.exists(mp):
+                    fs.delete_file(mp)
+                    removed += 1
+            _atomic_write_json(self._meta_path, meta)
+            return {"snapshot_id": snapshot_id,
+                    "removed_manifests": removed}
+        finally:
+            fs.delete_file(lock)
+
     def schema_arrow(self) -> pa.Schema:
         meta = self.metadata()
         return pa.ipc.read_schema(
@@ -200,8 +390,13 @@ class BtrTable:
         max_rows_per_file: int | None = None,
         operation: str = "append",
         block_rows: int | None = None,
+        stage: bool = False,
     ) -> int:
         """Encode ``df`` into new block files and commit a snapshot.
+
+        ``stage=True`` = write-audit-publish: the snapshot is recorded
+        but NOT made current; audit it with
+        ``scan(snapshot_id=staged_snapshot_id())`` then :meth:`publish`.
 
         The encode fan-out is one Spark task per output file group:
         ``repartition`` on the partition columns (hash co-location; a
@@ -217,8 +412,10 @@ class BtrTable:
             max_rows_per_file=max_rows_per_file,
             block_rows=block_rows,
         )
-        self._commit(rows, operation=operation, replaced=None)
-        return len(rows)
+        sid = self._commit(
+            rows, operation=operation, replaced=None, stage=stage
+        )
+        return sid if stage else len(rows)
 
     def _write_files(
         self,
@@ -408,12 +605,20 @@ class BtrTable:
             }]
         return []
 
+    @staticmethod
+    def _next_snapshot_id(meta: dict) -> int:
+        """Next unused snapshot id: ids are unique across the whole
+        history (staged WAP snapshots included), NOT current+1 — a
+        staged snapshot holds an id without advancing ``current``."""
+        return max(s["snapshot_id"] for s in meta["snapshots"]) + 1
+
     def _commit(
         self,
         new_rows: list[dict],
         operation: str,
         replaced: set[str] | None,
         extra_summary: dict | None = None,
+        stage: bool = False,
     ) -> int:
         """Atomic snapshot commit, O(added + touched) not O(table files).
 
@@ -423,7 +628,13 @@ class BtrTable:
         job_id, so ranges are tight); every other manifest is referenced
         as-is by name in the new snapshot's manifest list. At 10^6-10^7
         files a compaction commit therefore never rereads or rewrites
-        the untouched bulk of the metadata."""
+        the untouched bulk of the metadata.
+
+        ``stage=True`` records the snapshot WITHOUT advancing
+        ``current_snapshot_id`` (Iceberg write-audit-publish): readers
+        keep seeing the old table, auditors scan the staged id, and
+        :meth:`publish` flips it live (or rebases it if the table moved
+        on in the meantime)."""
         import bisect
 
         lock = fs.join(self.root, "_commit.lock")
@@ -434,7 +645,7 @@ class BtrTable:
             meta = self.metadata()
             current = meta["current_snapshot_id"]
             entries = self._manifest_list(current)
-            snapshot_id = current + 1
+            snapshot_id = self._next_snapshot_id(meta)
             replaced = set(replaced or ())
             rsorted = sorted(replaced)
 
@@ -498,24 +709,26 @@ class BtrTable:
             kept = self._maybe_merge_manifests(kept, snapshot_id)
             total_files = sum(e["file_count"] for e in kept)
             total_rows = sum(e["row_count_sum"] for e in kept)
-            meta["snapshots"].append(
-                {
-                    "snapshot_id": snapshot_id,
-                    "parent": current,
-                    "ts": time.time(),
-                    "operation": operation,
-                    "manifest": None,
-                    "manifests": kept,
-                    "summary": {
-                        "added_files": len(new_rows),
-                        "removed_files": len(replaced),
-                        "total_files": total_files,
-                        "total_rows": total_rows,
-                        **(extra_summary or {}),
-                    },
-                }
-            )
-            meta["current_snapshot_id"] = snapshot_id
+            snap_entry = {
+                "snapshot_id": snapshot_id,
+                "parent": current,
+                "ts": time.time(),
+                "operation": operation,
+                "manifest": None,
+                "manifests": kept,
+                "summary": {
+                    "added_files": len(new_rows),
+                    "removed_files": len(replaced),
+                    "total_files": total_files,
+                    "total_rows": total_rows,
+                    **(extra_summary or {}),
+                },
+            }
+            if stage:
+                snap_entry["staged"] = True
+            meta["snapshots"].append(snap_entry)
+            if not stage:
+                meta["current_snapshot_id"] = snapshot_id
             _atomic_write_json(self._meta_path, meta)
             self._write_job_metrics(snapshot_id, operation, new_rows, replaced)
             return snapshot_id
@@ -613,8 +826,8 @@ class BtrTable:
         raise KeyError(f"no snapshot {snapshot_id}")
 
     # ------------------------------------------------------------ read
-    def manifest_df(self, snapshot_id: int | None = None) -> DataFrame:
-        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+    def manifest_df(self, snapshot_id: int | str | None = None) -> DataFrame:
+        sid = self._resolve_sid(snapshot_id)
         entries = self._manifest_list(sid)
         if not entries:
             return self.spark.createDataFrame([], schema=self._manifest_spark_schema())
@@ -648,19 +861,18 @@ class BtrTable:
             ]
         )
 
-    def all_files(self, snapshot_id: int | None = None) -> list[dict]:
+    def all_files(self, snapshot_id: int | str | None = None) -> list[dict]:
         """Every manifest row (data AND delete files)."""
-        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
-        return self._manifest_rows(sid)
+        return self._manifest_rows(self._resolve_sid(snapshot_id))
 
-    def data_files(self, snapshot_id: int | None = None) -> list[dict]:
+    def data_files(self, snapshot_id: int | str | None = None) -> list[dict]:
         return [
             r
             for r in self.all_files(snapshot_id)
             if (r.get("content") or 0) == 0
         ]
 
-    def delete_files(self, snapshot_id: int | None = None) -> list[dict]:
+    def delete_files(self, snapshot_id: int | str | None = None) -> list[dict]:
         """Positional delete files (content=1) in the snapshot —
         written by merge-on-read MERGE, absorbed by compaction."""
         return [
@@ -672,7 +884,7 @@ class BtrTable:
     def scan(
         self,
         columns: list[str] | None = None,
-        snapshot_id: int | None = None,
+        snapshot_id: int | str | None = None,
         prune: dict | None = None,
         files: list[str] | None = None,
         with_file: bool = False,
@@ -715,11 +927,8 @@ class BtrTable:
         roots (no Hadoop connector needed); opt-in for local paths.
         """
         spec_src = None  # paths-DataFrame when planning is distributed
-        sid = (
-            self.current_snapshot_id()
-            if snapshot_id is None
-            else snapshot_id
-        )
+        sid = self._resolve_sid(snapshot_id)
+        snapshot_id = sid  # tag name resolved once for the whole scan
         # ONE driver manifest read per scan, shared by the data-file and
         # delete-file discovery below (the big-table branches never take
         # this path — they plan through the manifest DataFrame)
@@ -1095,11 +1304,28 @@ class BtrTable:
         is computed as a Spark anti-join of the expired snapshots'
         manifest rows against the retained ones', and deletion runs in
         executor tasks — the driver reads no manifest rows and makes no
-        per-file fs calls (O(manifests) driver work)."""
+        per-file fs calls (O(manifests) driver work).
+
+        Retention is chain-aware: ``keep_last`` counts ancestors of the
+        CURRENT snapshot; snapshots pinned by a tag (:meth:`tag`) and
+        unpublished staged (write-audit-publish) snapshots are always
+        retained regardless of age."""
         meta = self.metadata()
         snaps = meta["snapshots"]
-        retained = snaps[-keep_last:]
-        expired = snaps[:-keep_last]
+        known = {s["snapshot_id"]: s for s in snaps}
+        chain: list[int] = []
+        cur: int | None = meta["current_snapshot_id"]
+        while cur is not None and cur in known:
+            chain.append(cur)
+            cur = known[cur].get("parent")
+        keep_sids = set(chain[:keep_last])
+        keep_sids.add(meta["current_snapshot_id"])
+        keep_sids |= {
+            r["snapshot_id"] for r in meta.get("refs", {}).values()
+        }
+        keep_sids |= {s["snapshot_id"] for s in snaps if s.get("staged")}
+        retained = [s for s in snaps if s["snapshot_id"] in keep_sids]
+        expired = [s for s in snaps if s["snapshot_id"] not in keep_sids]
         retained_sids = [s["snapshot_id"] for s in retained]
         expired_sids = [s["snapshot_id"] for s in expired]
         keep_manifests = {
@@ -1185,9 +1411,10 @@ class BtrTable:
             meta["arrow_schema_hex"] = arrow_schema.serialize().hex().decode()
             current = meta["current_snapshot_id"]
             cur_snap = self._snapshot(current)
+            new_sid = self._next_snapshot_id(meta)
             meta["snapshots"].append(
                 {
-                    "snapshot_id": current + 1,
+                    "snapshot_id": new_sid,
                     "parent": current,
                     "ts": time.time(),
                     "operation": "add-column",
@@ -1196,7 +1423,7 @@ class BtrTable:
                     "summary": {"column": name, "type": spark_ddl_type},
                 }
             )
-            meta["current_snapshot_id"] = current + 1
+            meta["current_snapshot_id"] = new_sid
             _atomic_write_json(self._meta_path, meta)
             return {"column": name, "type": spark_ddl_type}
         finally:
@@ -1456,7 +1683,7 @@ class BtrTable:
             mlist = self._manifest_list(current)
             before = len(mlist)
             n_total = sum(e["file_count"] or 0 for e in mlist)
-            snapshot_id = current + 1
+            snapshot_id = self._next_snapshot_id(meta)
             if n_total >= self.DISTRIBUTED_META_MIN:
                 entries, n_kept = self._rewrite_manifests_spark(
                     current, snapshot_id
@@ -1538,7 +1765,7 @@ class BtrTable:
         col: str,
         value,
         columns: list[str] | None = None,
-        snapshot_id: int | None = None,
+        snapshot_id: int | str | None = None,
     ) -> DataFrame:
         """Point lookup — the ``lookup()`` the reference declares on
         every scheme but leaves UNREACHABLE (e.g.
@@ -1592,8 +1819,8 @@ class BtrTable:
     # ------------------------------------------------------------ changelog
     def scan_changes(
         self,
-        from_snapshot_id: int,
-        to_snapshot_id: int | None = None,
+        from_snapshot_id: int | str,
+        to_snapshot_id: int | str | None = None,
         columns: list[str] | None = None,
     ) -> DataFrame:
         """Incremental (snapshot-diff) changelog between two snapshots —
@@ -1624,11 +1851,8 @@ class BtrTable:
         that file away, the commit's additions are recovered by a
         set-diff of the two adjacent snapshots' file lists.
         """
-        to_sid = (
-            self.current_snapshot_id()
-            if to_snapshot_id is None
-            else to_snapshot_id
-        )
+        to_sid = self._resolve_sid(to_snapshot_id)
+        from_snapshot_id = self._resolve_sid(from_snapshot_id)
         if from_snapshot_id > to_sid:
             raise ValueError("from_snapshot_id must be <= to_snapshot_id")
         known = {s["snapshot_id"]: s for s in self.snapshots()}
@@ -1641,6 +1865,9 @@ class BtrTable:
             known[s]
             for s in sorted(known)
             if from_snapshot_id < s <= to_sid
+            # unpublished WAP stages are not part of the published
+            # history — they enter the changelog only via publish()
+            and not known[s].get("staged")
         ]
         arrow_schema = self.schema_arrow()
         want = list(columns or arrow_schema.names)

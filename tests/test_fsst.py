@@ -99,3 +99,32 @@ def test_picker_considers_fsst_on_unique_text():
     blob = strings.encode(offs, pool, 3, 42)
     o2, p2, _ = strings.decode(memoryview(blob), 0)
     assert bytes(p2) == bytes(pool)
+
+
+def test_decode_from_signed_memoryview_large_symbol_table():
+    """Zero-copy scan slices are pyarrow-buffer memoryviews, which view
+    as SIGNED 'b': a symbol table with >= 128 symbols then read a
+    negative count via single-byte indexing (r4 regression — corrupted
+    whole-file decodes for FSST pools with large tables)."""
+    rng = np.random.default_rng(11)
+    # many distinct frequent pairs -> large trained symbol table
+    vocab = [bytes([a, b]) for a in range(65, 91) for b in range(97, 122)]
+    data = b" ".join(
+        vocab[i] * 4 for i in rng.integers(0, len(vocab), 30000)
+    )
+    table = fsst.train(np.frombuffer(data, np.uint8))
+    assert len(table.values) >= 128, "fixture must exercise count >= 128"
+    blob = fsst.compress(data)
+    # present the blob through a SIGNED memoryview, as pyarrow buffers do
+    buf = pa.py_buffer(blob)
+    signed = memoryview(buf)
+    assert signed.format == "b"
+    assert fsst.decompress(signed) == data
+
+    # and through the block layer, as decode_batches slices blobs
+    arr = pa.array([data[:2000]] * 64, pa.binary())
+    enc = block.encode_block(arr)
+    signed_block = memoryview(pa.py_buffer(enc))
+    assert block.decode_block(signed_block).equals(
+        block.decode_block(enc)
+    )
