@@ -231,6 +231,34 @@ def _point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stats_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX answered purely from manifest stats — zero
+    data-file I/O after the table is written (Iceberg metadata-table
+    trick; the reference stores the same per-column min/max in
+    btrblocks/storage/MetaData.hpp but has no aggregate pushdown)."""
+    import tempfile
+
+    from btrblocks_spark.sources.table import BtrTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    root = tempfile.mkdtemp(prefix="btr_statsagg_") + "/t"
+    table = BtrTable.create(
+        spark, root, orders, num_files=4, job_id="sagg"
+    )
+    return table.stats_agg(
+        [
+            ("count", "*", "cnt"),
+            ("count", "o_orderpriority", "cnt_priority"),
+            ("min", "o_orderkey", "min_key"),
+            ("max", "o_orderkey", "max_key"),
+            ("min", "o_totalprice", "min_price"),
+            ("max", "o_totalprice", "max_price"),
+            ("min", "o_orderdate", "min_date"),
+            ("max", "o_orderdate", "max_date"),
+        ]
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.dedup import exact_dedup
 
@@ -574,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # block-level zone-map predicate skipping (scan through BtrTable)
         "zonemap_scan": _zonemap_scan,
         "point_lookup": _point_lookup,
+        "stats_only_agg": _stats_only_agg,  # zero-data-I/O metadata agg
         # composite training-data curation pipeline
         "corpus_filter": _corpus_filter,
         # dedup
@@ -769,6 +798,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
             FROM orders
             WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        """,
+        "stats_only_agg": """
+            SELECT CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(count(o_orderpriority) AS BIGINT) AS cnt_priority,
+                   min(o_orderkey) AS min_key,
+                   max(o_orderkey) AS max_key,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price,
+                   min(o_orderdate) AS min_date,
+                   max(o_orderdate) AS max_date
+            FROM orders
         """,
         "text_quality": f"""
             WITH toks AS (

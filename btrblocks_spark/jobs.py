@@ -149,6 +149,31 @@ def main(argv: list[str] | None = None) -> int:
     ac.add_argument("--name", required=True)
     ac.add_argument("--type", required=True, help="Spark DDL type, e.g. double")
 
+    rc = sub.add_parser(
+        "rename-column", help="schema evolution: rename a column in place"
+    )
+    rc.add_argument("--table", required=True)
+    rc.add_argument("--from", dest="old", required=True)
+    rc.add_argument("--to", dest="new", required=True)
+
+    dc = sub.add_parser(
+        "drop-column", help="schema evolution: drop a column logically"
+    )
+    dc.add_argument("--table", required=True)
+    dc.add_argument("--name", required=True)
+
+    st = sub.add_parser(
+        "stats",
+        help="metadata-only COUNT/MIN/MAX aggregates (zero data I/O)",
+    )
+    st.add_argument("--table", required=True)
+    st.add_argument(
+        "--agg",
+        action="append",
+        required=True,
+        help="fn:col[:alias], e.g. count:*  min:o_orderkey:mn",
+    )
+
     ch = sub.add_parser(
         "changes", help="snapshot-diff changelog between two snapshots"
     )
@@ -309,6 +334,23 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "add-column":
         t = BtrTable.load(spark, args.table)
         out = t.add_column(args.name, args.type)
+    elif args.cmd == "rename-column":
+        t = BtrTable.load(spark, args.table)
+        out = t.rename_column(args.old, args.new)
+    elif args.cmd == "drop-column":
+        t = BtrTable.load(spark, args.table)
+        out = t.drop_column(args.name)
+    elif args.cmd == "stats":
+        t = BtrTable.load(spark, args.table)
+        specs = []
+        for a in args.agg:
+            parts = a.split(":")
+            fn, col = parts[0], parts[1]
+            alias = parts[2] if len(parts) > 2 else (
+                f"{fn}_{col}".replace("*", "all")
+            )
+            specs.append((fn, col, alias))
+        out = t.stats_agg(specs).collect()[0].asDict()
     elif args.cmd == "export":
         t = BtrTable.load(spark, args.table)
         cols = [c for c in args.columns.split(",") if c] or None

@@ -46,6 +46,7 @@ def backfill(
     if column not in table.schema_arrow().names:
         table.add_column(column, ddl_type)
     schema_hex = table.schema_arrow().serialize().hex().decode()
+    aliases = table.metadata().get("renames", {})
     parts = table.partition_by()
     files = table.data_files()
     blooms = table.bloom_cols()
@@ -96,7 +97,11 @@ def backfill(
                 srcs = json.loads(row["paths"])
                 for p in srcs:
                     bt = _fs.read_parquet(p)
-                    batches.extend(decode_batches(bt.to_batches(), logical))
+                    batches.extend(
+                        decode_batches(
+                            bt.to_batches(), logical, aliases=aliases
+                        )
+                    )
                 tbl = pa.Table.from_batches(batches).combine_chunks()
                 values = kernel(tbl)
                 if isinstance(values, pa.ChunkedArray):

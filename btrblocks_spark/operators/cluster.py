@@ -201,6 +201,7 @@ def cluster_staged(
     fs.mkdirs(staging)
     parts = table.partition_by()
     schema_hex = table.schema_arrow().serialize().hex().decode()
+    aliases = table.metadata().get("renames", {})
     cuts_list = [int(c) for c in cuts]
     hot_list = sorted(hot)
 
@@ -245,7 +246,9 @@ def cluster_staged(
                 for p in _json.loads(row["paths"]):
                     bt = _fs.read_parquet(p)
                     batches.extend(
-                        decode_batches(bt.to_batches(), logical)
+                        decode_batches(
+                            bt.to_batches(), logical, aliases=aliases
+                        )
                     )
                 tbl = pa.Table.from_batches(batches).combine_chunks()
                 z = _zk(tbl, tuple(by), curve)

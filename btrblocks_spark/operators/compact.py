@@ -100,6 +100,17 @@ def compact(
     # only shadowed files that still exist in this snapshot matter
     live = {r["file_path"] for r in files}
     shadowed &= live
+    # schema-evolution convergence: files written before a rename/drop
+    # still carry retired physical blob names (their manifest stats are
+    # keyed by the old names — no file open needed to detect this).
+    # Force-rewrite them so the table converges to the current schema.
+    retired = table._retired_names(table.metadata())
+    if retired:
+        shadowed |= {
+            r["file_path"]
+            for r in files
+            if retired & set(json.loads(r["stats"] or "{}"))
+        }
     bins = plan_bins(
         files, target_file_bytes, min_input_files, must_rewrite=shadowed
     )
@@ -133,6 +144,7 @@ def compact(
         n_tasks = max(1, min(len(specs), max(cores * 4, len(specs) // 4)))
     spec_df = spark.createDataFrame(specs).repartition(n_tasks)
     schema_hex = table.schema_arrow().serialize().hex().decode()
+    aliases = table.metadata().get("renames", {})
 
     blooms = table.bloom_cols()
 
@@ -171,6 +183,7 @@ def compact(
                             schema,
                             schema.names,
                             deletes=del_index.get(p),
+                            aliases=aliases,
                         )
                     )
                 merged = pa.Table.from_batches(

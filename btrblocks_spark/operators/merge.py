@@ -345,6 +345,7 @@ def _merge_staged(
     cols = table.schema_arrow().names
     parts = table.partition_by()
     schema_hex = table.schema_arrow().serialize().hex().decode()
+    aliases = table.metadata().get("renames", {})
     src_tbl = src_tbl.select(cols).combine_chunks()
 
     # ONE key-only pass: (key, file) pairs matched against the source
@@ -455,7 +456,10 @@ def _merge_staged(
                     tbl = pa.Table.from_batches(
                         list(
                             decode_batches(
-                                bt.to_batches(), logical, deletes=dels
+                                bt.to_batches(),
+                                logical,
+                                deletes=dels,
+                                aliases=aliases,
                             )
                         ),
                         schema=logical,  # robust to an all-deleted file

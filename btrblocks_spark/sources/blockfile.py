@@ -205,6 +205,7 @@ def decode_batches(
     predicate: dict | None = None,
     with_pos: bool = False,
     deletes: np.ndarray | None = None,
+    aliases: dict[str, list[str]] | None = None,
 ):
     """mapInArrow kernel: block rows -> logical record batches.
 
@@ -225,9 +226,18 @@ def decode_batches(
     int64 array of file positions to drop at decode time (merge-on-read
     scan merge). Both require the batch stream to come from a single
     file in block order — true for the per-file native read path.
+
+    ``aliases`` ({current_name: [former_names...]}, from the table's
+    rename history) lets files written before a ``rename_column`` keep
+    decoding: when a block's ``b_<name>`` cell is absent or null, the
+    former names are tried in order before the column falls back to
+    nulls. New files carry only the current name, so the fallback costs
+    nothing on converged tables.
     """
     want = columns or logical_schema.names
     fields = [logical_schema.field(name) for name in want]
+    aliases = aliases or {}
+    cands = {f.name: [f.name] + list(aliases.get(f.name, [])) for f in fields}
     extra = []
     if with_file:
         extra.append(pa.field("_file", pa.string()))
@@ -245,25 +255,26 @@ def decode_batches(
             if "tuple_count" in present
             else None
         )
-        for f in fields:
-            if f"b_{f.name}" not in present:
+        for phys in {p for f in fields for p in cands[f.name]}:
+            if f"b_{phys}" not in present:
                 # schema evolution: files written before add_column lack
-                # the blob column — rows decode as nulls
-                views[f.name] = None
+                # the blob column — rows decode as nulls (or through a
+                # rename alias below)
+                views[phys] = None
                 continue
-            col = batch.column(f"b_{f.name}")
+            col = batch.column(f"b_{phys}")
             if pa.types.is_large_binary(col.type):
                 pass
             elif col.null_count == 0:
                 col = col.cast(pa.large_binary())
             else:
-                views[f.name] = ("nullable", col)
+                views[phys] = ("nullable", col)
                 continue
             bufs = col.buffers()
             offs = np.frombuffer(
                 bufs[1], np.int64, len(col) + 1, col.offset * 8
             )
-            views[f.name] = (memoryview(bufs[2]) if bufs[2] else None, offs)
+            views[phys] = (memoryview(bufs[2]) if bufs[2] else None, offs)
         if (with_pos or deletes is not None) and tuple_counts is None:
             raise ValueError(
                 "_pos/deletes decoding needs the tuple_count column"
@@ -292,16 +303,21 @@ def decode_batches(
             arrays = []
             deferred = []
             for f in fields:
-                view = views[f.name]
                 blob = None
-                if view is None:
-                    pass
-                elif view[0] == "nullable":
-                    cell = view[1][i]
-                    blob = cell.as_py() if cell.is_valid else None
-                else:
-                    data, offs = view
-                    blob = data[offs[i] : offs[i + 1]]
+                for phys in cands[f.name]:
+                    view = views[phys]
+                    if view is None:
+                        continue
+                    if view[0] == "nullable":
+                        cell = view[1][i]
+                        if cell.is_valid:
+                            blob = cell.as_py()
+                            break
+                    else:
+                        data, offs = view
+                        if data is not None and offs[i + 1] > offs[i]:
+                            blob = data[offs[i] : offs[i + 1]]
+                            break
                 if blob is None:
                     deferred.append((len(arrays), f.type))
                     arrays.append(None)

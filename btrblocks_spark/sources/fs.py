@@ -311,6 +311,13 @@ def read_parquet(
     return pq.read_table(p, filesystem=f, columns=columns, filters=filters)
 
 
+def read_parquet_schema(path: str) -> pa.Schema:
+    """Footer-only schema read (no data pages) — cheap per-file probe
+    for schema-evolution column selection."""
+    f, p = resolve(path)
+    return pq.read_schema(p, filesystem=f)
+
+
 def write_parquet_atomic(
     table: pa.Table, path: str, compression: str = "zstd", **kwargs
 ) -> int:

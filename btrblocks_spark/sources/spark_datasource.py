@@ -64,6 +64,7 @@ def _decode_file(
     schema_hex: str,
     del_paths: list[str],
     predicate: dict | None = None,
+    aliases: dict | None = None,
 ):
     """Decode one block file to logical RecordBatches, deletes merged,
     blocks failing ``predicate`` (the prune-dict shape) skipped via
@@ -88,7 +89,11 @@ def _decode_file(
     if del_paths:
         deletes = load_delete_index(del_paths, [path]).get(path)
     yield from decode_batches(
-        bt.to_batches(), logical, deletes=deletes, predicate=predicate
+        bt.to_batches(),
+        logical,
+        deletes=deletes,
+        predicate=predicate,
+        aliases=aliases,
     )
 
 
@@ -144,6 +149,7 @@ class BtrTableBatchReader(DataSourceReader):
         t = _table(root)
         meta = t.metadata()
         self.schema_hex = meta["arrow_schema_hex"]
+        self.aliases = meta.get("renames", {})
         self.rows = t.data_files()
         self.del_paths = [r["file_path"] for r in t.delete_files()]
         self.prune: dict = {}
@@ -156,15 +162,25 @@ class BtrTableBatchReader(DataSourceReader):
             rows = [r for r in rows if _file_may_match(r, self.prune)]
         return [
             InputPartition(
-                (r["file_path"], self.schema_hex, self.del_paths, self.prune)
+                (
+                    r["file_path"],
+                    self.schema_hex,
+                    self.del_paths,
+                    self.prune,
+                    self.aliases,
+                )
             )
             for r in rows
         ]
 
     def read(self, partition: InputPartition):
-        path, schema_hex, del_paths, prune = partition.value
+        path, schema_hex, del_paths, prune, aliases = partition.value
         yield from _decode_file(
-            path, schema_hex, del_paths, predicate=prune or None
+            path,
+            schema_hex,
+            del_paths,
+            predicate=prune or None,
+            aliases=aliases or None,
         )
 
 
@@ -240,6 +256,7 @@ class BtrTableStreamReader(DataSourceStreamReader):
         t = _table(self.root)
         meta = t.metadata()
         schema_hex = meta["arrow_schema_hex"]
+        aliases = meta.get("renames", {})
         known = {s["snapshot_id"]: s for s in meta["snapshots"]}
         lo, hi = start["snapshot_id"], end["snapshot_id"]
         parts: list[InputPartition] = []
@@ -247,9 +264,12 @@ class BtrTableStreamReader(DataSourceStreamReader):
             if not (lo < sid <= hi):
                 continue
             snap = known[sid]
+            if snap.get("staged"):
+                continue  # unpublished WAP stages are not history
             op = snap["operation"]
             if op in ("compact", "cluster", "rewrite-manifests",
-                      "create-empty", "add-column"):
+                      "create-empty", "add-column", "rename-column",
+                      "drop-column"):
                 continue
             if op == "merge" and snap["summary"].get("strategy") != "mor":
                 raise NotImplementedError(
@@ -278,7 +298,14 @@ class BtrTableStreamReader(DataSourceStreamReader):
                     continue
                 parts.append(
                     InputPartition(
-                        ("insert", r["file_path"], schema_hex, [], sid)
+                        (
+                            "insert",
+                            r["file_path"],
+                            schema_hex,
+                            [],
+                            sid,
+                            aliases,
+                        )
                     )
                 )
             if del_paths:
@@ -293,10 +320,17 @@ class BtrTableStreamReader(DataSourceStreamReader):
                 for p in targets:
                     parts.append(
                         InputPartition(
-                            ("delete", p, schema_hex, del_paths, sid)
+                            (
+                                "delete",
+                                p,
+                                schema_hex,
+                                del_paths,
+                                sid,
+                                aliases,
+                            )
                         )
                     )
-        return parts or [InputPartition(("empty", "", "", [], hi))]
+        return parts or [InputPartition(("empty", "", "", [], hi, {}))]
 
     @staticmethod
     def _added_rows(t, snap: dict) -> list[dict]:
@@ -313,11 +347,11 @@ class BtrTableStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: InputPartition):
-        kind, path, schema_hex, del_paths, sid = partition.value
+        kind, path, schema_hex, del_paths, sid, aliases = partition.value
         if kind == "empty":
             return
         if kind == "insert":
-            for rb in _decode_file(path, schema_hex, []):
+            for rb in _decode_file(path, schema_hex, [], aliases=aliases):
                 yield (
                     _with_change_cols(rb, "insert", sid)
                     if self.cdc
@@ -346,7 +380,9 @@ class BtrTableStreamReader(DataSourceStreamReader):
                 if c == "tuple_count" or c.startswith("b_")
             ]
         )
-        for rb in decode_batches(bt.to_batches(), logical, with_pos=True):
+        for rb in decode_batches(
+            bt.to_batches(), logical, with_pos=True, aliases=aliases
+        ):
             pos = rb.column(rb.num_columns - 1).to_numpy(
                 zero_copy_only=False
             )

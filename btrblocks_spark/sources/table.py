@@ -1017,6 +1017,10 @@ class BtrTable:
         arrow_schema = self.schema_arrow()
         want = list(columns or arrow_schema.names)
         spark_schema = self._spark_schema_for(want)
+        # rename history: files written before a rename_column carry the
+        # former blob names; the decode kernel falls back per block
+        renames = self.metadata().get("renames", {})
+        aliases = {c: renames[c] for c in want if c in renames}
         n_paths = spec_src.count() if paths is None else len(paths)
         if n_paths == 0:
             return self.spark.createDataFrame([], schema=spark_schema)
@@ -1070,6 +1074,9 @@ class BtrTable:
                     [(p,) for p in paths], "file_path string"
                 ).repartition(n_tasks)
             bcols = ["tuple_count"] + [f"b_{c}" for c in want]
+            alias_bcols = [
+                f"b_{a}" for c in want for a in aliases.get(c, [])
+            ]
             if predicate:
                 bcols.append("zone")
 
@@ -1103,10 +1110,18 @@ class BtrTable:
                         # b_<col> blobs leave the store
                         bt = _fs.read_parquet(path, columns=bcols)
                     except Exception:
-                        # evolved schema: old files lack new columns
-                        bt = _fs.read_parquet(path)
-                        bt = bt.select(
-                            [c for c in bcols if c in bt.schema.names]
+                        # evolved schema: old files lack new columns or
+                        # carry pre-rename names — pick the present
+                        # subset via a footer-only schema read (never a
+                        # full-column fetch)
+                        names = set(_fs.read_parquet_schema(path).names)
+                        bt = _fs.read_parquet(
+                            path,
+                            columns=[
+                                c
+                                for c in bcols + alias_bcols
+                                if c in names
+                            ],
                         )
                     if with_file:
                         bt = bt.append_column(
@@ -1121,6 +1136,7 @@ class BtrTable:
                         predicate=predicate,
                         with_pos=with_pos,
                         deletes=del_index.get(path),
+                        aliases=aliases,
                     )
 
             return spec_df.mapInArrow(read_native, out_schema)
@@ -1134,7 +1150,10 @@ class BtrTable:
             # explicit JVM path on a 10^4+-file table: materialize the
             # list (spark.read needs concrete paths)
             paths = [r.file_path for r in spec_src.collect()]
-        sel = [F.col("tuple_count")] + [F.col(f"b_{c}") for c in want]
+        alias_names = [a for c in want for a in aliases.get(c, [])]
+        sel = [F.col("tuple_count")] + [
+            F.col(f"b_{c}") for c in want + alias_names
+        ]
         if predicate:
             sel.append(F.col("zone"))
         if with_file:
@@ -1147,7 +1166,10 @@ class BtrTable:
                 StructField("tuple_count", IntegerType()),
                 StructField("zone", StringType()),
             ]
-            + [StructField(f"b_{c}", BinaryType()) for c in want]
+            + [
+                StructField(f"b_{c}", BinaryType())
+                for c in want + alias_names
+            ]
         )
         block_df = (
             self.spark.read.schema(block_schema).parquet(*paths).select(*sel)
@@ -1163,6 +1185,7 @@ class BtrTable:
                 list(want),
                 with_file=with_file,
                 predicate=predicate,
+                aliases=aliases,
             )
 
         return block_df.mapInArrow(decode, out_schema)
@@ -1403,6 +1426,13 @@ class BtrTable:
             )
             if name in spark_schema.names:
                 raise ValueError(f"column {name} already exists")
+            if name in self._retired_names(meta):
+                raise ValueError(
+                    f"column name {name!r} was used by a dropped or "
+                    "renamed column; existing files still carry its "
+                    "blobs, so reusing it would resurrect old data — "
+                    "pick a fresh name (or rewrite the table first)"
+                )
             dt = _parse_datatype_string(spark_ddl_type)
             spark_schema = spark_schema.add(name, dt, nullable=True)
             new_df = self.spark.createDataFrame([], schema=spark_schema)
@@ -1426,6 +1456,147 @@ class BtrTable:
             meta["current_snapshot_id"] = new_sid
             _atomic_write_json(self._meta_path, meta)
             return {"column": name, "type": spark_ddl_type}
+        finally:
+            fs.delete_file(lock)
+
+    @staticmethod
+    def _retired_names(meta: dict) -> set[str]:
+        """Column names that still have physical blobs in old files:
+        dropped columns and every former name in the rename history.
+        ``add_column`` refuses these — a new logical column under such
+        a name would decode the old blobs as its data."""
+        retired = set(meta.get("retired_columns", []))
+        for chain in meta.get("renames", {}).values():
+            retired.update(chain)
+        return retired
+
+    def _schema_evolution_commit(
+        self, meta: dict, spark_schema, operation: str, summary: dict
+    ) -> None:
+        """Shared metadata-only commit for add/rename/drop column: same
+        manifests as current, new schema, new snapshot."""
+        import json as _json  # noqa: F401  (parity with add_column)
+
+        new_df = self.spark.createDataFrame([], schema=spark_schema)
+        arrow_schema = new_df.limit(0).toArrow().schema
+        meta["spark_schema_json"] = spark_schema.json()
+        meta["arrow_schema_hex"] = arrow_schema.serialize().hex().decode()
+        current = meta["current_snapshot_id"]
+        cur_snap = next(
+            s for s in meta["snapshots"] if s["snapshot_id"] == current
+        )
+        new_sid = self._next_snapshot_id(meta)
+        meta["snapshots"].append(
+            {
+                "snapshot_id": new_sid,
+                "parent": current,
+                "ts": time.time(),
+                "operation": operation,
+                "manifest": cur_snap.get("manifest"),
+                "manifests": cur_snap.get("manifests"),
+                "summary": summary,
+            }
+        )
+        meta["current_snapshot_id"] = new_sid
+        _atomic_write_json(self._meta_path, meta)
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Schema evolution: rename a column without touching data
+        (Iceberg rename). Old files keep their ``b_<old>`` blobs; scans
+        fall back through the recorded rename chain per block, and every
+        rewrite (compaction, clustering, merge) re-encodes under the new
+        name, converging the table. Stats/zone/bloom pruning on the new
+        name simply stops pruning not-yet-rewritten files (pruning is
+        advisory), never loses rows.
+
+        Partition and bloom-digest columns cannot be renamed in place —
+        their names are baked into manifest partition values and stats
+        digests."""
+        import json as _json
+
+        from pyspark.sql.types import StructField, StructType
+
+        lock = fs.join(self.root, "_commit.lock")
+        self._acquire_commit_lock(lock)
+        try:
+            meta = self.metadata()
+            spark_schema = StructType.fromJson(
+                _json.loads(meta["spark_schema_json"])
+            )
+            if old not in spark_schema.names:
+                raise KeyError(f"no column {old}")
+            if new in spark_schema.names:
+                raise ValueError(f"column {new} already exists")
+            if new in self._retired_names(meta):
+                raise ValueError(
+                    f"column name {new!r} was used by a dropped or "
+                    "renamed column; pick a fresh name"
+                )
+            if old in meta.get("partition_by", []) or old in meta.get(
+                "bloom_cols", []
+            ):
+                raise ValueError(
+                    f"cannot rename partition/bloom column {old!r}"
+                )
+            renames = meta.setdefault("renames", {})
+            chain = [old] + renames.pop(old, [])
+            renames[new] = chain
+            spark_schema = StructType(
+                [
+                    StructField(new, f.dataType, f.nullable)
+                    if f.name == old
+                    else f
+                    for f in spark_schema.fields
+                ]
+            )
+            self._schema_evolution_commit(
+                meta,
+                spark_schema,
+                "rename-column",
+                {"from": old, "to": new},
+            )
+            return {"from": old, "to": new}
+        finally:
+            fs.delete_file(lock)
+
+    def drop_column(self, name: str) -> dict:
+        """Schema evolution: drop a column logically (Iceberg drop).
+        No data is rewritten — column pruning means the blobs are simply
+        never read again; rewrites emit new files without them. The name
+        is retired (``add_column`` refuses to reuse it) because old
+        files keep the physical blobs until fully rewritten."""
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        lock = fs.join(self.root, "_commit.lock")
+        self._acquire_commit_lock(lock)
+        try:
+            meta = self.metadata()
+            spark_schema = StructType.fromJson(
+                _json.loads(meta["spark_schema_json"])
+            )
+            if name not in spark_schema.names:
+                raise KeyError(f"no column {name}")
+            if name in meta.get("partition_by", []) or name in meta.get(
+                "bloom_cols", []
+            ):
+                raise ValueError(
+                    f"cannot drop partition/bloom column {name!r}"
+                )
+            if len(spark_schema.fields) == 1:
+                raise ValueError("cannot drop the last column")
+            retired = meta.setdefault("retired_columns", [])
+            retired.append(name)
+            # former names of the dropped column are retired too
+            retired.extend(meta.get("renames", {}).pop(name, []))
+            spark_schema = StructType(
+                [f for f in spark_schema.fields if f.name != name]
+            )
+            self._schema_evolution_commit(
+                meta, spark_schema, "drop-column", {"column": name}
+            )
+            return {"column": name}
         finally:
             fs.delete_file(lock)
 
@@ -1816,6 +1987,141 @@ class BtrTable:
             df = df.select(*columns)
         return df
 
+    def stats_agg(
+        self,
+        aggs: list[tuple[str, str, str]],
+        snapshot_id: int | str | None = None,
+    ) -> DataFrame:
+        """Answer COUNT/MIN/MAX aggregates from manifest stats alone —
+        zero data-file I/O (Iceberg's metadata-table trick; the
+        reference stores the same per-column min/max in its file
+        metadata, ``btrblocks/storage/MetaData.hpp``, but has no
+        aggregate pushdown over it).
+
+        ``aggs``: list of ``(fn, col, alias)`` with ``fn`` in
+        ``{"count", "min", "max", "null_count"}``; ``col="*"`` with
+        ``count`` is the table row count. Returns a one-row DataFrame.
+
+        The per-file stats are exact (computed over every value at
+        encode time, not sampled), so the folded answers are exact —
+        EXCEPT when the snapshot carries positional delete files
+        (merge-on-read): shadowed rows still count in the file stats,
+        so this method transparently falls back to a real scan then
+        (correctness first; compaction absorbs the deletes and restores
+        the metadata-only path). Files written before an
+        ``add_column`` lack the stats key — their rows contribute as
+        all-null; files written before a ``rename_column`` contribute
+        through the recorded alias chain.
+        """
+        valid = {"count", "min", "max", "null_count"}
+        for fn, col, _ in aggs:
+            if fn not in valid:
+                raise ValueError(f"unsupported aggregate {fn!r}")
+            if col == "*" and fn != "count":
+                raise ValueError(f"{fn}(*) is not a thing")
+        sid = self._resolve_sid(snapshot_id)
+        need = sorted({c for _, c, _ in aggs if c != "*"})
+        missing = [c for c in need if c not in self.schema_arrow().names]
+        if missing:
+            raise KeyError(f"no column(s) {missing}")
+        if self.delete_files(sid):
+            df = self.scan(columns=need or None, snapshot_id=sid)
+            exprs = []
+            for fn, col, alias in aggs:
+                if fn == "count" and col == "*":
+                    exprs.append(F.count(F.lit(1)).alias(alias))
+                elif fn == "count":
+                    exprs.append(F.count(F.col(col)).alias(alias))
+                elif fn == "null_count":
+                    exprs.append(
+                        F.sum(
+                            F.col(col).isNull().cast("long")
+                        ).alias(alias)
+                    )
+                else:
+                    exprs.append(getattr(F, fn)(F.col(col)).alias(alias))
+            return df.agg(*exprs)
+
+        # metadata-only path: ONE Spark aggregation over the manifest
+        # rows (tiny driver DataFrame below DISTRIBUTED_META_MIN files,
+        # the distributed manifest DataFrame above it — stats of 10^6+
+        # files never loop through the driver)
+        entries = self._manifest_list(sid)
+        n_files = sum(e["file_count"] or 0 for e in entries)
+        if n_files >= self.DISTRIBUTED_META_MIN:
+            mdf = self.manifest_df(sid)
+        else:
+            from pyspark.sql.types import (
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            rows = self.data_files(sid)
+            mdf = self.spark.createDataFrame(
+                [
+                    (r["file_path"], r["row_count"], r["stats"], 0)
+                    for r in rows
+                ],
+                StructType(
+                    [
+                        StructField("file_path", StringType()),
+                        StructField("row_count", LongType()),
+                        StructField("stats", StringType()),
+                        StructField("content", LongType()),
+                    ]
+                ),
+            )
+        mdf = mdf.filter(F.coalesce(F.col("content"), F.lit(0)) == 0)
+        renames = self.metadata().get("renames", {})
+        spark_schema = self._spark_schema_for(need) if need else None
+
+        def stat(col: str, key: str):
+            # fold through the rename chain: first present JSON entry
+            names = [col] + list(renames.get(col, []))
+            return F.coalesce(
+                *[
+                    F.get_json_object(
+                        F.col("stats"), f"$.{n}.{key}"
+                    )
+                    for n in names
+                ]
+            )
+
+        def nulls_of(col: str):
+            # a file with no stats entry predates add_column: all rows
+            # null there
+            return F.coalesce(
+                stat(col, "null_count").cast("long"), F.col("row_count")
+            )
+
+        zero = F.lit(0).cast("long")
+        exprs = []
+        for fn, col, alias in aggs:
+            if fn == "count" and col == "*":
+                exprs.append(
+                    F.coalesce(F.sum("row_count"), zero).alias(alias)
+                )
+            elif fn == "count":
+                exprs.append(
+                    F.coalesce(
+                        F.sum(F.col("row_count") - nulls_of(col)), zero
+                    ).alias(alias)
+                )
+            elif fn == "null_count":
+                exprs.append(
+                    F.coalesce(F.sum(nulls_of(col)), zero).alias(alias)
+                )
+            else:
+                dt = spark_schema[col].dataType
+                exprs.append(
+                    getattr(F, fn)(
+                        stat(col, fn).cast(dt)
+                    ).alias(alias)
+                )
+        return mdf.agg(*exprs)
+
     # ------------------------------------------------------------ changelog
     def scan_changes(
         self,
@@ -1839,12 +2145,13 @@ class BtrTable:
           identify the removed rows, whose old images are reconstructed
           by scanning the referenced (immutable) data files at exactly
           those positions.
-        - ``compact`` / ``cluster`` / ``rewrite-manifests``: physical
-          rewrites, no logical change — contribute nothing.
-        - copy-on-write ``merge``, ``backfill``, ``rollback``,
-          ``add-column``: not representable as a file-level diff —
-          NotImplementedError (run MOR merges when a changelog consumer
-          is downstream).
+        - ``compact`` / ``cluster`` / ``rewrite-manifests`` and the
+          metadata-only schema evolutions (``add-column`` /
+          ``rename-column`` / ``drop-column``): no row-level change —
+          contribute nothing (changelog rows use the CURRENT schema).
+        - copy-on-write ``merge``, ``backfill``, ``rollback``: not
+          representable as a file-level diff — NotImplementedError (run
+          MOR merges when a changelog consumer is downstream).
 
         Fast path: each commit's added rows live in its own
         ``manifest-<sid>-a`` manifest. When manifest bin-packing merged
@@ -1894,7 +2201,11 @@ class BtrTable:
             op = snap["operation"]
             sid = snap["snapshot_id"]
             if op in ("compact", "cluster", "rewrite-manifests",
-                      "create-empty"):
+                      "create-empty", "add-column", "rename-column",
+                      "drop-column"):
+                # physical rewrites and metadata-only schema evolution:
+                # no row-level change events (changelog rows always use
+                # the CURRENT schema)
                 continue
             if op == "merge" and snap["summary"].get("strategy") != "mor":
                 raise NotImplementedError(

@@ -1,0 +1,145 @@
+"""Metadata-only aggregates: COUNT/MIN/MAX answered from manifest
+stats with zero data-file I/O (Iceberg metadata-table trick; the
+reference stores per-column min/max in its file metadata,
+``/root/reference/btrblocks/storage/MetaData.hpp``, but has no
+aggregate pushdown over it)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrblocks_spark.fixtures import image_caption_table
+from btrblocks_spark.sources import fs
+from btrblocks_spark.sources.table import BtrTable
+
+N = 300
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = image_caption_table(N, seed=21)
+    df = spark.createDataFrame(t)
+    return BtrTable.create(
+        spark, str(tmp_path / "t"), df, num_files=3, job_id="sa0"
+    )
+
+
+def _no_data_reads(monkeypatch):
+    """Fail the test if any DATA file is opened (manifest parquet
+    reads under manifests/ stay allowed)."""
+    real = fs.read_parquet
+
+    def guard(path, *a, **k):
+        if "/data/" in path:
+            raise AssertionError(f"data file opened: {path}")
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(fs, "read_parquet", guard)
+
+
+def test_exact_and_zero_io(spark, table, monkeypatch):
+    truth = (
+        table.scan(columns=["w", "h"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("w").alias("min_w"),
+            F.max("w").alias("max_w"),
+            F.max("h").alias("max_h"),
+        )
+        .collect()[0]
+    )
+    _no_data_reads(monkeypatch)
+    got = table.stats_agg(
+        [
+            ("count", "*", "cnt"),
+            ("min", "w", "min_w"),
+            ("max", "w", "max_w"),
+            ("max", "h", "max_h"),
+        ]
+    ).collect()[0]
+    assert got.cnt == truth.cnt == N
+    assert got.min_w == truth.min_w
+    assert got.max_w == truth.max_w
+    assert got.max_h == truth.max_h
+
+
+def test_string_minmax_and_count_col(spark, table, monkeypatch):
+    truth = (
+        table.scan(columns=["image_id", "caption"])
+        .agg(
+            F.min("image_id").alias("mn"),
+            F.max("image_id").alias("mx"),
+            F.count("caption").alias("c"),
+        )
+        .collect()[0]
+    )
+    _no_data_reads(monkeypatch)
+    got = table.stats_agg(
+        [
+            ("min", "image_id", "mn"),
+            ("max", "image_id", "mx"),
+            ("count", "caption", "c"),
+        ]
+    ).collect()[0]
+    assert (got.mn, got.mx, got.c) == (truth.mn, truth.mx, truth.c)
+
+
+def test_add_column_nulls(spark, table, monkeypatch):
+    table.add_column("score", "double")
+    more = spark.createDataFrame(image_caption_table(40, seed=5))
+    more = more.withColumn(
+        "image_id", F.concat(F.lit("x-"), F.col("image_id"))
+    ).withColumn("score", F.col("w").cast("double"))
+    table.append(more, job_id="sa1")
+    _no_data_reads(monkeypatch)
+    got = table.stats_agg(
+        [
+            ("count", "*", "cnt"),
+            ("count", "score", "c_score"),
+            ("null_count", "score", "n_score"),
+            ("max", "score", "mx"),
+        ]
+    ).collect()[0]
+    assert got.cnt == N + 40
+    assert got.c_score == 40  # pre-add files contribute all-null
+    assert got.n_score == N
+    assert got.mx == float(
+        more.agg(F.max("score")).collect()[0][0]
+    )
+
+
+def test_rename_folds_alias(spark, table, monkeypatch):
+    truth = table.scan(columns=["caption"]).agg(
+        F.min("caption").alias("mn"), F.count("caption").alias("c")
+    ).collect()[0]
+    table.rename_column("caption", "text")
+    _no_data_reads(monkeypatch)
+    got = table.stats_agg(
+        [("min", "text", "mn"), ("count", "text", "c")]
+    ).collect()[0]
+    assert (got.mn, got.c) == (truth.mn, truth.c)
+
+
+def test_mor_deletes_fall_back_to_scan(spark, table):
+    from btrblocks_spark.operators.rowops import delete_where
+
+    delete_where(table, "w >= 512", strategy="mor", job_id="sa2")
+    truth = (
+        table.scan(columns=["w"])
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("w").alias("mx"))
+        .collect()[0]
+    )
+    got = table.stats_agg(
+        [("count", "*", "cnt"), ("max", "w", "mx")]
+    ).collect()[0]
+    # file stats still carry the shadowed rows; the fallback must not
+    assert got.cnt == truth.cnt < N
+    assert got.mx == truth.mx < 512
+
+
+def test_unknown_column_and_bad_fn(table):
+    with pytest.raises(KeyError):
+        table.stats_agg([("min", "nope", "x")])
+    with pytest.raises(ValueError):
+        table.stats_agg([("avg", "w", "x")])
+    with pytest.raises(ValueError):
+        table.stats_agg([("min", "*", "x")])
