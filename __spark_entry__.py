@@ -259,6 +259,34 @@ def _stats_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate COUNT(DISTINCT) folded from per-file KMV sketches in
+    the manifests — zero data I/O after write. Below the sketch size
+    (k=256) the merged bottom-k is the exact distinct hash set, so this
+    entry is fully oracle-checkable (events has 150 users / 5 types)."""
+    import tempfile
+
+    from btrblocks_spark.sources.table import BtrTable
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    root = tempfile.mkdtemp(prefix="btr_ndv_") + "/t"
+    table = BtrTable.create(
+        spark,
+        root,
+        events,
+        num_files=4,
+        job_id="ndv",
+        ndv_cols=["user_id", "event_type"],
+    )
+    return table.stats_agg(
+        [
+            ("count", "*", "cnt"),
+            ("approx_ndv", "user_id", "ndv_user"),
+            ("approx_ndv", "event_type", "ndv_type"),
+        ]
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.dedup import exact_dedup
 
@@ -603,6 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonemap_scan": _zonemap_scan,
         "point_lookup": _point_lookup,
         "stats_only_agg": _stats_only_agg,  # zero-data-I/O metadata agg
+        "ndv_stats": _ndv_stats,  # KMV distinct sketch fold (exact < k)
         # composite training-data curation pipeline
         "corpus_filter": _corpus_filter,
         # dedup
@@ -798,6 +827,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
             FROM orders
             WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        """,
+        "ndv_stats": """
+            SELECT CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_user,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS ndv_type
+            FROM events
         """,
         "stats_only_agg": """
             SELECT CAST(count(*) AS BIGINT) AS cnt,

@@ -93,3 +93,51 @@ def bloom_may_contain_any(bloom: dict, keys) -> bool:
     )[:m]
     pos = _probes(np.asarray(keys), m)
     return bool(bits[pos].all(axis=1).any())
+
+
+# ---------------------------------------------------------------- KMV
+#: bottom-k size for per-file distinct sketches (stderr ~ 1/sqrt(k-2)
+#: ~ 6%); 256 * 8 B ~ 2.7 KB base64 per column per file in the manifest
+KMV_K = 256
+#: hash domain: splitmix64 >> 1 is uniform in [0, 2^63)
+KMV_DOMAIN = float(1 << 63)
+
+
+def build_kmv(values, k: int = KMV_K) -> dict | None:
+    """Per-file KMV (k-minimum-values) distinct sketch over a key array:
+    the k smallest DISTINCT 63-bit hashes, little-endian int64 base64.
+    Mergeable across files by unioning and re-taking the bottom k —
+    the manifest-level distinct-stats primitive (`stats_agg` folds
+    these into an approx COUNT(DISTINCT) with zero data I/O). Same
+    `_hash64` as the blooms, so int and string keys both work."""
+    arr = np.asarray(values)
+    if len(arr) == 0:
+        return None
+    uniq = np.unique(
+        arr.astype(np.int64) if arr.dtype.kind in "iu" else arr
+    )
+    h = np.unique(
+        (_hash64(uniq) >> np.uint64(1)).astype(np.int64)
+    )  # sorted
+    bottom = h[:k]
+    return {
+        "k": int(k),
+        "b64": base64.b64encode(
+            bottom.astype("<i8").tobytes()
+        ).decode(),
+    }
+
+
+def kmv_hashes(sketch: dict) -> np.ndarray:
+    """Decode a ``build_kmv`` sketch back to its sorted int64 hashes."""
+    return np.frombuffer(base64.b64decode(sketch["b64"]), "<i8")
+
+
+def kmv_estimate(hashes: np.ndarray, k: int = KMV_K) -> int:
+    """NDV estimate from a MERGED (unioned, deduped, sorted) hash set:
+    exact count below k, else (k-1) / U_(k) with U the kth smallest
+    hash normalized to (0, 1] (Bar-Yossef et al. 2002)."""
+    if len(hashes) < k:
+        return int(len(hashes))
+    kth = float(hashes[k - 1])
+    return int((k - 1) * KMV_DOMAIN / max(kth, 1.0))

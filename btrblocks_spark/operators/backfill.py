@@ -50,6 +50,7 @@ def backfill(
     parts = table.partition_by()
     files = table.data_files()
     blooms = table.bloom_cols()
+    ndvs = table.ndv_cols()
     if not files:
         return {"job_id": job_id, "rewritten_files": 0}
 
@@ -118,7 +119,7 @@ def backfill(
                     if sub.num_rows == 0:
                         continue
                     block_table, stats = encode_table(
-                        sub, seed=42, bloom_cols=blooms
+                        sub, seed=42, bloom_cols=blooms, ndv_cols=ndvs
                     )
                     fname = f"{job_id}-g{gid:05d}-{k}.parquet"
                     fpath = _fs.join(root, "data", fname)

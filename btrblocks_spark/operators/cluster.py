@@ -368,6 +368,7 @@ def cluster_staged(
     sort_key = f"{curve}({','.join(by)})"
     target_rows = max_rows_per_file
     blooms = table.bloom_cols()
+    ndvs = table.ndv_cols()
 
     def merge_task(batch_iter):
         from btrblocks_spark.operators.cluster import compute_zkey as _zk
@@ -398,7 +399,7 @@ def cluster_staged(
                     if piece.num_rows == 0 and tbl.num_rows > 0:
                         break
                     block_table, stats = encode_table(
-                        piece, seed=42, bloom_cols=blooms
+                        piece, seed=42, bloom_cols=blooms, ndv_cols=ndvs
                     )
                     fname = f"{job_id}-b{bin_id:05d}-{k}.parquet"
                     fpath = _fs.join(root, "data", fname)

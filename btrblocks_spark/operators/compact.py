@@ -147,6 +147,7 @@ def compact(
     aliases = table.metadata().get("renames", {})
 
     blooms = table.bloom_cols()
+    ndvs = table.ndv_cols()
 
     def rebuild(batch_iter):
         from btrblocks_spark.sources import fs as _fs
@@ -197,7 +198,7 @@ def compact(
                     yield pa.RecordBatch.from_pydict({"rows": [payload]})
                     continue
                 block_table, stats = encode_table(
-                    merged, seed=42, bloom_cols=blooms
+                    merged, seed=42, bloom_cols=blooms, ndv_cols=ndvs
                 )
                 _t2 = _time.time()
                 fname = f"{job_id}-bin{bin_id:05d}.parquet"

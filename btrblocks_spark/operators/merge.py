@@ -384,6 +384,7 @@ def _merge_staged(
     )
     root = table.root
     blooms = table.bloom_cols()
+    ndvs = table.ndv_cols()
     # positional delete files from earlier merge-on-read merges: the
     # direct file reads below must not resurrect deleted rows
     del_paths = [r["file_path"] for r in table.delete_files()]
@@ -508,7 +509,7 @@ def _merge_staged(
                         if sub.num_rows == 0:
                             continue
                         block_table, stats = encode_table(
-                            sub, seed=42, bloom_cols=blooms
+                            sub, seed=42, bloom_cols=blooms, ndv_cols=ndvs
                         )
                         fname = f"{job_id}-rw{bin_id:05d}-{k_sub}.parquet"
                         fpath = _fs.join(root, "data", fname)

@@ -55,6 +55,7 @@ def encode_table(
     level: int | None = None,
     block_rows: int | None = None,
     bloom_cols: list[str] | None = None,
+    ndv_cols: list[str] | None = None,
 ) -> tuple[pa.Table, dict]:
     """Encode a logical Arrow table into block rows + file-level stats.
 
@@ -63,6 +64,9 @@ def encode_table(
     ``row_count`` / ``raw_bytes``. ``bloom_cols`` adds a per-file key
     bloom digest (``codec.bloom``) to those integer columns' stats —
     consulted by MERGE touched-file discovery (integer and string keys).
+    ``ndv_cols`` adds a per-file KMV distinct sketch (``codec.bloom``)
+    folded by ``stats_agg("approx_ndv", ...)`` into a table-level
+    COUNT(DISTINCT) estimate with zero data I/O.
     """
     if level is None:
         from btrblocks_spark.codec.config import get_config
@@ -133,7 +137,7 @@ def encode_table(
                 entry["min"] = str(mm["min"].as_py())
                 entry["max"] = str(mm["max"].as_py())
         if (
-            name in (bloom_cols or ())
+            (name in (bloom_cols or ()) or name in (ndv_cols or ()))
             and (
                 pa.types.is_integer(typ)
                 or pa.types.is_string(typ)
@@ -142,7 +146,7 @@ def encode_table(
             and n
             and col.null_count < n
         ):
-            from btrblocks_spark.codec.bloom import build_bloom
+            from btrblocks_spark.codec.bloom import build_bloom, build_kmv
 
             vals = col.drop_null()
             if pa.types.is_integer(typ):
@@ -154,9 +158,14 @@ def encode_table(
                               else vals).to_pylist(),
                     dtype=object,
                 )
-            bloom = build_bloom(keys)
-            if bloom is not None:
-                entry["bloom"] = bloom
+            if name in (bloom_cols or ()):
+                bloom = build_bloom(keys)
+                if bloom is not None:
+                    entry["bloom"] = bloom
+            if name in (ndv_cols or ()):
+                kmv = build_kmv(keys)
+                if kmv is not None:
+                    entry["kmv"] = kmv
         stats["columns"][name] = entry
     return pa.table(out), stats
 

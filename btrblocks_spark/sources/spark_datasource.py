@@ -457,6 +457,7 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
             self.exists = True
             self.partition_by = meta.get("partition_by", [])
             self.bloom_cols = meta.get("bloom_cols", [])
+            self.ndv_cols = meta.get("ndv_cols", [])
         except (FileNotFoundError, OSError):
             self.exists = False
             self.partition_by = [
@@ -464,6 +465,9 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
             ]
             self.bloom_cols = [
                 c for c in (options.get("bloomcols") or "").split(",") if c
+            ]
+            self.ndv_cols = [
+                c for c in (options.get("ndvcols") or "").split(",") if c
             ]
 
     def write(self, iterator):
@@ -490,7 +494,10 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
             for start in range(0, sub.num_rows, step):
                 piece = sub.slice(start, step)
                 block_table, stats = encode_table(
-                    piece, seed=42, bloom_cols=self.bloom_cols
+                    piece,
+                    seed=42,
+                    bloom_cols=self.bloom_cols,
+                    ndv_cols=self.ndv_cols,
                 )
                 import uuid as _uuid
 
@@ -579,6 +586,7 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
                 "spark_schema_json": self.schema_json,
                 "partition_by": self.partition_by,
                 "bloom_cols": self.bloom_cols,
+                "ndv_cols": self.ndv_cols,
                 "current_snapshot_id": 0,
                 "snapshots": [
                     {

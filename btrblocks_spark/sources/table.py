@@ -321,6 +321,9 @@ class BtrTable:
     def bloom_cols(self) -> list[str]:
         return self.metadata().get("bloom_cols", [])
 
+    def ndv_cols(self) -> list[str]:
+        return self.metadata().get("ndv_cols", [])
+
     # ------------------------------------------------------------ create
     @classmethod
     def create(
@@ -335,12 +338,16 @@ class BtrTable:
         job_id: str | None = None,
         block_rows: int | None = None,
         bloom_cols: list[str] | None = None,
+        ndv_cols: list[str] | None = None,
     ) -> "BtrTable":
         """Create a table at ``root`` from ``df`` (initial snapshot).
 
         ``bloom_cols``: integer columns that get a per-file key bloom
         digest in their manifest stats on every write (MERGE touched-
         file discovery skips files whose bloom rejects all source keys).
+        ``ndv_cols``: int/string columns that get a per-file KMV
+        distinct sketch in their stats — ``stats_agg`` folds them into
+        an approx COUNT(DISTINCT) with zero data I/O.
         """
         for sub in ("data", "manifests", "_checkpoints"):
             fs.mkdirs(fs.join(root, sub))
@@ -352,6 +359,7 @@ class BtrTable:
             "spark_schema_json": df.schema.json(),
             "partition_by": partition_by or [],
             "bloom_cols": bloom_cols or [],
+            "ndv_cols": ndv_cols or [],
             "current_snapshot_id": 0,
             "snapshots": [
                 {
@@ -431,6 +439,7 @@ class BtrTable:
         root = self.root
         parts = self.partition_by()
         blooms = self.bloom_cols()
+        ndvs = self.ndv_cols()
         arrow_schema = df.limit(0).toArrow().schema
 
         if preserve_partitioning:
@@ -489,6 +498,7 @@ class BtrTable:
                             seed=42,
                             block_rows=block_rows,
                             bloom_cols=blooms,
+                            ndv_cols=ndvs,
                         )
                         fname = f"{job_id}-p{task_id:05d}-{k}.parquet"
                         fpath = _fs.join(root, "data", fname)
@@ -1532,11 +1542,13 @@ class BtrTable:
                     f"column name {new!r} was used by a dropped or "
                     "renamed column; pick a fresh name"
                 )
-            if old in meta.get("partition_by", []) or old in meta.get(
-                "bloom_cols", []
+            if (
+                old in meta.get("partition_by", [])
+                or old in meta.get("bloom_cols", [])
+                or old in meta.get("ndv_cols", [])
             ):
                 raise ValueError(
-                    f"cannot rename partition/bloom column {old!r}"
+                    f"cannot rename partition/bloom/ndv column {old!r}"
                 )
             renames = meta.setdefault("renames", {})
             chain = [old] + renames.pop(old, [])
@@ -1578,11 +1590,13 @@ class BtrTable:
             )
             if name not in spark_schema.names:
                 raise KeyError(f"no column {name}")
-            if name in meta.get("partition_by", []) or name in meta.get(
-                "bloom_cols", []
+            if (
+                name in meta.get("partition_by", [])
+                or name in meta.get("bloom_cols", [])
+                or name in meta.get("ndv_cols", [])
             ):
                 raise ValueError(
-                    f"cannot drop partition/bloom column {name!r}"
+                    f"cannot drop partition/bloom/ndv column {name!r}"
                 )
             if len(spark_schema.fields) == 1:
                 raise ValueError("cannot drop the last column")
@@ -2013,12 +2027,18 @@ class BtrTable:
         all-null; files written before a ``rename_column`` contribute
         through the recorded alias chain.
         """
-        valid = {"count", "min", "max", "null_count"}
+        valid = {"count", "min", "max", "null_count", "approx_ndv"}
         for fn, col, _ in aggs:
             if fn not in valid:
                 raise ValueError(f"unsupported aggregate {fn!r}")
             if col == "*" and fn != "count":
                 raise ValueError(f"{fn}(*) is not a thing")
+            if fn == "approx_ndv" and col not in self.ndv_cols():
+                raise ValueError(
+                    f"approx_ndv needs a per-file KMV sketch: column "
+                    f"{col!r} is not in ndv_cols "
+                    f"({self.ndv_cols()}); declare it at create()"
+                )
         sid = self._resolve_sid(snapshot_id)
         need = sorted({c for _, c, _ in aggs if c != "*"})
         missing = [c for c in need if c not in self.schema_arrow().names]
@@ -2038,6 +2058,10 @@ class BtrTable:
                             F.col(col).isNull().cast("long")
                         ).alias(alias)
                     )
+                elif fn == "approx_ndv":
+                    # fallback gives the EXACT distinct count — a legal
+                    # answer for an approximate aggregate
+                    exprs.append(F.countDistinct(F.col(col)).alias(alias))
                 else:
                     exprs.append(getattr(F, fn)(F.col(col)).alias(alias))
             return df.agg(*exprs)
@@ -2098,6 +2122,7 @@ class BtrTable:
 
         zero = F.lit(0).cast("long")
         exprs = []
+        ndv_frames: list[DataFrame] = []
         for fn, col, alias in aggs:
             if fn == "count" and col == "*":
                 exprs.append(
@@ -2113,6 +2138,8 @@ class BtrTable:
                 exprs.append(
                     F.coalesce(F.sum(nulls_of(col)), zero).alias(alias)
                 )
+            elif fn == "approx_ndv":
+                ndv_frames.append(self._ndv_frame(mdf, stat, col, alias))
             else:
                 dt = spark_schema[col].dataType
                 exprs.append(
@@ -2120,7 +2147,67 @@ class BtrTable:
                         stat(col, fn).cast(dt)
                     ).alias(alias)
                 )
-        return mdf.agg(*exprs)
+        if not exprs and ndv_frames:
+            out = ndv_frames[0]
+            rest = ndv_frames[1:]
+        else:
+            out = mdf.agg(*exprs)
+            rest = ndv_frames
+        for nf in rest:
+            out = out.crossJoin(nf)  # one-row frames: no fan-out
+        # restore the requested column order (crossJoin appends)
+        return out.select(*[a for _, _, a in aggs])
+
+    @staticmethod
+    def _ndv_frame(mdf: DataFrame, stat, col: str, alias: str) -> DataFrame:
+        """One-row DataFrame: approx COUNT(DISTINCT col) by merging the
+        per-file KMV sketches (union of the 63-bit hash sets, re-take
+        the bottom k, (k-1)/U_(k) estimator — Bar-Yossef et al. 2002).
+        Fully distributed: one row per FILE explodes into <= k hashes;
+        at 10^6 files that is a ~2.6*10^8-row distinct + top-k, never a
+        data scan."""
+        import base64 as _b64
+
+        import pandas as pd  # noqa: F401
+        from pyspark.sql.functions import pandas_udf
+
+        from btrblocks_spark.codec.bloom import KMV_DOMAIN, KMV_K
+
+        @pandas_udf("array<long>")
+        def _decode(b64s):
+            import base64
+
+            import numpy as np
+
+            return b64s.map(
+                lambda s: np.frombuffer(
+                    base64.b64decode(s), "<i8"
+                ).tolist()
+            )
+
+        b = stat(col, "kmv.b64")
+        hashes = (
+            mdf.filter(b.isNotNull())
+            .select(F.explode(_decode(b)).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+        )
+        k = F.lit(KMV_K)
+        return hashes.agg(
+            F.count("h").alias("_c"), F.max("h").alias("_kth")
+        ).select(
+            F.when(F.col("_c") < k, F.col("_c"))
+            .otherwise(
+                F.floor(
+                    (k - 1)
+                    * F.lit(KMV_DOMAIN)
+                    / F.greatest(F.col("_kth"), F.lit(1)).cast("double")
+                )
+            )
+            .cast("long")
+            .alias(alias)
+        )
 
     # ------------------------------------------------------------ changelog
     def scan_changes(

@@ -143,3 +143,76 @@ def test_unknown_column_and_bad_fn(table):
         table.stats_agg([("avg", "w", "x")])
     with pytest.raises(ValueError):
         table.stats_agg([("min", "*", "x")])
+
+
+@pytest.fixture()
+def ndv_table(spark, tmp_path):
+    t = image_caption_table(N, seed=33)
+    df = spark.createDataFrame(t)
+    return BtrTable.create(
+        spark,
+        str(tmp_path / "n"),
+        df,
+        num_files=3,
+        job_id="nv0",
+        ndv_cols=["w", "image_id"],
+    )
+
+
+def test_approx_ndv_exact_below_k(spark, ndv_table, monkeypatch):
+    # w has 5 distinct values (< k=256): merged sketch is exact
+    _no_data_reads(monkeypatch)
+    got = ndv_table.stats_agg(
+        [("approx_ndv", "w", "ndv_w"), ("count", "*", "cnt")]
+    ).collect()[0]
+    assert got.ndv_w == 5
+    assert got.cnt == N
+
+
+def test_approx_ndv_estimator_above_k(spark, ndv_table, monkeypatch):
+    # image_id has N=300 distinct string keys (> k=256): estimator path,
+    # stderr ~ 1/sqrt(k-2) ~ 6.3%; allow 4 sigma (deterministic seed)
+    _no_data_reads(monkeypatch)
+    got = ndv_table.stats_agg(
+        [("approx_ndv", "image_id", "ndv_id")]
+    ).collect()[0]
+    assert abs(got.ndv_id - N) / N < 0.25
+    assert got.ndv_id > 256  # not clamped at the sketch size
+
+
+def test_approx_ndv_survives_compaction_and_appends(
+    spark, ndv_table, monkeypatch
+):
+    from btrblocks_spark.operators.compact import compact
+
+    # append overlapping + new keys, compact, sketch still folds right
+    more = spark.createDataFrame(image_caption_table(60, seed=34))
+    more = more.withColumn(
+        "image_id", F.concat(F.lit("y-"), F.col("image_id"))
+    )
+    ndv_table.append(more, job_id="nv1")
+    compact(ndv_table, job_id="nv2", min_input_files=2)
+    _no_data_reads(monkeypatch)
+    got = ndv_table.stats_agg(
+        [("approx_ndv", "image_id", "ndv")]
+    ).collect()[0]
+    assert abs(got.ndv - (N + 60)) / (N + 60) < 0.25
+
+
+def test_approx_ndv_requires_declared_col(ndv_table):
+    with pytest.raises(ValueError):
+        ndv_table.stats_agg([("approx_ndv", "h", "x")])
+
+
+def test_approx_ndv_mor_fallback_is_exact(spark, ndv_table):
+    from btrblocks_spark.operators.rowops import delete_where
+
+    delete_where(ndv_table, "w >= 512", strategy="mor", job_id="nv3")
+    truth = (
+        ndv_table.scan(columns=["w"])
+        .agg(F.countDistinct("w").alias("d"))
+        .collect()[0]
+        .d
+    )
+    got = ndv_table.stats_agg([("approx_ndv", "w", "d")]).collect()[0]
+    assert got.d == truth == 4
