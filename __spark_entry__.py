@@ -287,6 +287,33 @@ def _ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-v2 equality-delete upsert (operators/upsert.py): write
+    new versions of every 10th order key + their key list in ONE
+    O(change) commit — nothing is read or rewritten — then scan: rows
+    from older files with matching keys vanish (their seq is below the
+    delete's), the new versions survive their own commit's delete."""
+    import tempfile
+
+    from btrblocks_spark.operators.upsert import upsert_eq
+    from btrblocks_spark.sources.table import BtrTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="btr_upsert_") + "/t"
+    table = BtrTable.create(
+        spark, root, orders, num_files=4, job_id="ups0"
+    )
+    ups = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .withColumn("o_orderpriority", F.lit("0-UPSERTED"))
+    )
+    upsert_eq(table, ups, on="o_orderkey", job_id="ups1")
+    return table.scan()
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.dedup import exact_dedup
 
@@ -632,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup": _point_lookup,
         "stats_only_agg": _stats_only_agg,  # zero-data-I/O metadata agg
         "ndv_stats": _ndv_stats,  # KMV distinct sketch fold (exact < k)
+        "upsert_scan": _upsert_scan,  # equality-delete upsert (O(change))
         # composite training-data curation pipeline
         "corpus_filter": _corpus_filter,
         # dedup
@@ -827,6 +855,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
             FROM orders
             WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        """,
+        "upsert_scan": """
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 <> 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey,
+                   o_totalprice * 2 AS o_totalprice,
+                   '0-UPSERTED' AS o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 0
         """,
         "ndv_stats": """
             SELECT CAST(count(*) AS BIGINT) AS cnt,

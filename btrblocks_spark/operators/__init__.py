@@ -8,6 +8,9 @@
 - :mod:`merge`    — MERGE INTO (upsert/delete) rewriting only touched files.
 - :mod:`rowops`   — DELETE WHERE / UPDATE WHERE (MOR positional deletes
   or CoW rewrite; shares the delete-file writer with merge).
+- :mod:`upsert`   — upsert_eq: Iceberg-v2 EQUALITY deletes + data
+  sequence numbers; O(change) writes with zero reads, absorbed by
+  compact().
 - :mod:`verify`   — post-maintenance scan-equality + PSNR invariants.
 
 Snapshot expiry and manifest rewrite live on :class:`BtrTable` itself.

@@ -37,11 +37,11 @@ def backfill(
     store it as ``column`` (added via schema evolution if absent)."""
     job_id = job_id or f"backfill-{uuid.uuid4().hex[:8]}"
     spark = table.spark
-    if table.delete_files():
+    if table.delete_files() or table.eq_delete_files():
         raise RuntimeError(
-            "table carries positional delete files; run compact() to "
-            "absorb them before backfill (backfill rewrites files "
-            "physically and would shift delete positions)"
+            "table carries delete files; run compact() to absorb them "
+            "before backfill (backfill rewrites files physically and "
+            "would shift delete positions / reset sequence numbers)"
         )
     if column not in table.schema_arrow().names:
         table.add_column(column, ddl_type)

@@ -158,11 +158,11 @@ def cluster_staged(
     assert curve in ("zorder", "hilbert")
     job_id = job_id or f"cluster-{uuid.uuid4().hex[:8]}"
     spark = table.spark
-    if table.delete_files():
+    if table.delete_files() or table.eq_delete_files():
         raise RuntimeError(
-            "table carries positional delete files; run compact() to "
-            "absorb them before clustering (the staged cluster kernel "
-            "reads files physically)"
+            "table carries delete files; run compact() to absorb them "
+            "before clustering (the staged cluster kernel reads files "
+            "physically)"
         )
     files = table.data_files()
     if not files:

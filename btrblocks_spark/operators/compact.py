@@ -53,10 +53,16 @@ def plan_bins(
             by_part.setdefault(r["partition"], []).append(r)
     bins: list[list[dict]] = []
     for part_files in by_part.values():
-        if len(part_files) < min_input_files and not any(
-            r["file_path"] in must_rewrite for r in part_files
-        ):
-            continue
+        if len(part_files) < min_input_files:
+            # too few smalls for a worthwhile merge: only the forced
+            # (delete-shadowed) files are rewritten — an absorb-only
+            # compaction must not drag provably-unaffected neighbors
+            # into the rewrite
+            part_files = [
+                r for r in part_files if r["file_path"] in must_rewrite
+            ]
+            if not part_files:
+                continue
         part_files.sort(key=lambda r: -r["file_bytes"])
         part_bins: list[tuple[int, list[dict]]] = []
         for r in part_files:
@@ -75,6 +81,68 @@ def plan_bins(
             or any(r["file_path"] in must_rewrite for r in members)
         )
     return bins
+
+
+#: above this many pending equality-delete keys the driver stops probing
+#: per-file blooms (it would have to load the keys) and falls back to
+#: range-overlap pruning only — affected-file discovery stays
+#: O(manifest), never O(data)
+EQ_KEYS_DRIVER_MAX = 2_000_000
+
+
+def _eq_affected_files(
+    table: BtrTable, files: list[dict], eq_rows: list[dict]
+) -> set[str]:
+    """Data files an equality delete MIGHT touch: seq below the
+    delete's seq AND key range overlap (manifest stats), refined by the
+    per-file key bloom when the pending key set is small enough to load
+    on the driver. Everything here is metadata + the (small) delete
+    files — no data file is opened."""
+    import numpy as np
+
+    from btrblocks_spark.codec.bloom import bloom_may_contain_any
+    from btrblocks_spark.sources.table import _file_may_match
+
+    if not eq_rows:
+        return set()
+    blooms = set(table.bloom_cols())
+    total_keys = sum(r["row_count"] or 0 for r in eq_rows)
+    affected: set[str] = set()
+    for d in eq_rows:
+        d_seq = d.get("seq") or 0
+        d_stats = json.loads(d["stats"] or "{}")
+        cols = sorted(d_stats)
+        prune = {
+            c: (d_stats[c].get("min"), d_stats[c].get("max"))
+            for c in cols
+            if d_stats[c].get("min") is not None
+        }
+        keys = None
+        if (
+            len(cols) == 1
+            and cols[0] in blooms
+            and total_keys <= EQ_KEYS_DRIVER_MAX
+        ):
+            kt = fs.read_parquet(d["file_path"], columns=cols)
+            arr = kt.column(cols[0]).to_numpy(zero_copy_only=False)
+            keys = (
+                arr.astype(np.int64)
+                if arr.dtype.kind in "iu"
+                else np.asarray(arr, dtype=object)
+            )
+        for r in files:
+            if (r.get("seq") or 0) >= d_seq:
+                continue
+            if r["file_path"] in affected:
+                continue
+            if prune and not _file_may_match(r, prune):
+                continue
+            if keys is not None:
+                bl = json.loads(r["stats"]).get(cols[0], {}).get("bloom")
+                if bl is not None and not bloom_may_contain_any(bl, keys):
+                    continue
+            affected.add(r["file_path"])
+    return affected
 
 
 def compact(
@@ -100,6 +168,17 @@ def compact(
     # only shadowed files that still exist in this snapshot matter
     live = {r["file_path"] for r in files}
     shadowed &= live
+    # equality deletes (upsert_eq) are absorbed too: every data file
+    # that could hold a matching key (range + bloom probe, no file
+    # opens) with seq below a delete's seq is force-rewritten with the
+    # keys filtered out; provably-unaffected files let the delete files
+    # retire without being touched
+    eq_rows = table.eq_delete_files()
+    eq_specs = [
+        (r["file_path"], r.get("seq") or 0) for r in eq_rows
+    ]
+    eq_affected = _eq_affected_files(table, files, eq_rows)
+    shadowed |= eq_affected
     # schema-evolution convergence: files written before a rename/drop
     # still carry retired physical blob names (their manifest stats are
     # keyed by the old names — no file open needed to detect this).
@@ -115,6 +194,26 @@ def compact(
         files, target_file_bytes, min_input_files, must_rewrite=shadowed
     )
     if not bins:
+        if eq_specs:
+            # no data file can hold a pending delete key (range/bloom
+            # rejected everywhere): the equality delete files carry no
+            # live information — retire them in a metadata-only commit
+            sid = table._commit(
+                [],
+                operation="compact",
+                replaced={p for p, _ in eq_specs},
+                extra_summary={
+                    "bins": 0,
+                    "absorbed_eq_delete_files": len(eq_specs),
+                },
+            )
+            return {
+                "job_id": job_id,
+                "snapshot_id": sid,
+                "bins": 0,
+                "rewritten_files": 0,
+                "absorbed_eq_delete_files": len(eq_specs),
+            }
         return {"job_id": job_id, "bins": 0, "rewritten_files": 0}
 
     root = table.root
@@ -127,6 +226,7 @@ def compact(
             "bin_id": i,
             "partition": members[0]["partition"],
             "paths": json.dumps([m["file_path"] for m in members]),
+            "seqs": json.dumps([m.get("seq") or 0 for m in members]),
         }
         for i, members in enumerate(bins)
     ]
@@ -154,9 +254,12 @@ def compact(
         from btrblocks_spark.sources.blockfile import (
             decode_batches,
             encode_table,
+            eq_delete_mask,
             load_delete_index,
+            load_eq_deletes,
         )
 
+        eq_dels = load_eq_deletes(eq_specs) if eq_specs else []
         for batch in batch_iter:
             for row in batch.to_pylist():
                 bin_id = row["bin_id"]
@@ -169,6 +272,7 @@ def compact(
 
                 _t0 = _time.time()
                 paths = json.loads(row["paths"])
+                seqs = json.loads(row["seqs"])
                 schema = pa.ipc.read_schema(
                     pa.py_buffer(bytes.fromhex(schema_hex))
                 )
@@ -176,17 +280,20 @@ def compact(
                     load_delete_index(del_paths, paths) if del_paths else {}
                 )
                 logical_batches = []
-                for p in paths:
+                for p, fseq in zip(paths, seqs):
                     bt = _fs.read_parquet(p)
-                    logical_batches.extend(
-                        decode_batches(
-                            bt.to_batches(),
-                            schema,
-                            schema.names,
-                            deletes=del_index.get(p),
-                            aliases=aliases,
-                        )
-                    )
+                    for rb in decode_batches(
+                        bt.to_batches(),
+                        schema,
+                        schema.names,
+                        deletes=del_index.get(p),
+                        aliases=aliases,
+                    ):
+                        if eq_dels:
+                            mask = eq_delete_mask(rb, fseq, eq_dels)
+                            if mask is not None:
+                                rb = rb.filter(pa.array(mask))
+                        logical_batches.append(rb)
                 merged = pa.Table.from_batches(
                     logical_batches, schema=schema
                 )
@@ -251,7 +358,11 @@ def compact(
             for p in json.loads(r["source_files"] or "[]")
         )
     ]
-    replaced |= set(absorbed)
+    # every possibly-affected file was force-rewritten with the keys
+    # filtered (eq_affected ⊆ must_rewrite), so ALL equality delete
+    # files retire with this commit
+    absorbed_eq = [p for p, _ in eq_specs]
+    replaced |= set(absorbed) | set(absorbed_eq)
     sid = table._commit(
         new_rows,
         operation="compact",
@@ -259,6 +370,7 @@ def compact(
         extra_summary={
             "bins": len(bins),
             "absorbed_delete_files": len(absorbed),
+            "absorbed_eq_delete_files": len(absorbed_eq),
         },
     )
     return {

@@ -189,6 +189,13 @@ def merge_into(
     assert when_matched in ("update", "delete")
     assert when_not_matched in ("insert", "ignore")
     assert strategy in ("staged", "shuffle", "mor")
+    if table.eq_delete_files():
+        raise RuntimeError(
+            "table carries equality delete files (upsert_eq); run "
+            "compact() to absorb them before MERGE INTO (merge copies "
+            "rows into new files, whose fresh sequence numbers would "
+            "escape the pending deletes)"
+        )
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
     spark = table.spark
     cols = table.schema_arrow().names

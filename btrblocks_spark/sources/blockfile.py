@@ -170,6 +170,69 @@ def encode_table(
     return pa.table(out), stats
 
 
+def load_eq_deletes(
+    eq_specs: list[tuple[str, int]],
+) -> list[tuple[int, dict[str, pa.ChunkedArray]]]:
+    """Load equality delete files (Iceberg v2 content=2): each spec is
+    ``(path, seq)``; the parquet file holds the delete KEY column(s).
+    Returns ``[(seq, {key_col: values})...]`` sorted by seq — a delete
+    applies to data files whose seq is strictly lower (rows appended in
+    the same commit as the delete survive it)."""
+    from btrblocks_spark.sources import fs as _fs
+
+    out = []
+    for path, seq in sorted(eq_specs, key=lambda s: s[1]):
+        t = _fs.read_parquet(path)
+        cols = [c for c in t.schema.names if not c.startswith("_")]
+        out.append((int(seq), {c: t.column(c) for c in cols}))
+    return out
+
+
+def eq_delete_mask(
+    batch: pa.RecordBatch,
+    file_seq: int,
+    eq_dels: list[tuple[int, dict[str, pa.ChunkedArray]]],
+) -> np.ndarray | None:
+    """Boolean KEEP mask for ``batch`` under the equality deletes, or
+    None when nothing applies. Single-key deletes are a vectorized
+    ``pc.is_in``; multi-key falls back to a pandas tuple-set probe
+    (delete sets are the since-last-compaction upsert keys — small)."""
+    import pyarrow.compute as pc
+
+    drop = None
+    for seq, keys in eq_dels:
+        if seq <= file_seq:
+            continue
+        cols = list(keys)
+        if len(cols) == 1:
+            c = cols[0]
+            hit = pc.fill_null(  # null keys never match a delete
+                pc.is_in(
+                    batch.column(c), value_set=keys[c].combine_chunks()
+                ),
+                False,
+            )
+            hit_np = hit.to_numpy(zero_copy_only=False).astype(bool)
+        else:
+            import pandas as pd
+
+            bdf = pd.DataFrame(
+                {c: batch.column(c).to_pandas() for c in cols}
+            )
+            kset = set(
+                zip(*[keys[c].to_pandas().tolist() for c in cols])
+            )
+            hit_np = np.fromiter(
+                (t in kset for t in zip(*[bdf[c] for c in cols])),
+                dtype=bool,
+                count=len(bdf),
+            )
+        drop = hit_np if drop is None else (drop | hit_np)
+    if drop is None or not drop.any():
+        return None
+    return ~drop
+
+
 def load_delete_index(
     delete_paths: list[str], data_paths: list[str] | None = None
 ) -> dict[str, np.ndarray]:

@@ -152,6 +152,12 @@ class BtrTableBatchReader(DataSourceReader):
         self.aliases = meta.get("renames", {})
         self.rows = t.data_files()
         self.del_paths = [r["file_path"] for r in t.delete_files()]
+        if t.eq_delete_files():
+            raise RuntimeError(
+                "table carries equality delete files (upsert_eq); the "
+                "Python DataSource reader merges positional deletes "
+                "only — run compact() first or read via BtrTable.scan()"
+            )
         self.prune: dict = {}
 
     def partitions(self):

@@ -65,14 +65,23 @@ MANIFEST_SCHEMA = pa.schema(
         ("job_id", pa.string()),
         ("source_files", pa.string()),  # JSON [paths] — per-file lineage
         ("sort_key", pa.string()),  # clustering state, e.g. "zorder(phash,w,h)"
-        # 0 = data file, 1 = positional delete file (Iceberg v2 content id);
-        # delete files hold (file_path, pos) rows merged at scan time
+        # 0 = data file, 1 = positional delete file, 2 = equality delete
+        # file (Iceberg v2 content ids); positional deletes hold
+        # (file_path, pos) rows, equality deletes hold key-column values
+        # applied to data files with a strictly lower ``seq``
         ("content", pa.int64()),
+        # data sequence number (Iceberg v2): the snapshot id of the
+        # commit that ADDED the file. Orders equality deletes against
+        # data files — a delete kills matching rows only in files with
+        # seq < the delete's seq, so rows appended in the same upsert
+        # commit survive their own delete file. Pre-seq manifests read
+        # as 0 (every equality delete applies).
+        ("seq", pa.int64()),
     ]
 )
 
 #: manifest-row defaults for columns added after v1 tables were written
-_MANIFEST_DEFAULTS = {"content": 0}
+_MANIFEST_DEFAULTS = {"content": 0, "seq": 0}
 
 
 _atomic_write_json = fs.write_json_atomic
@@ -656,6 +665,12 @@ class BtrTable:
             current = meta["current_snapshot_id"]
             entries = self._manifest_list(current)
             snapshot_id = self._next_snapshot_id(meta)
+            # data sequence number (Iceberg v2): files added by this
+            # commit get seq = snapshot_id (ids are monotone), unless
+            # the caller pre-stamped one; rows rewritten verbatim in
+            # process() keep their original seq
+            for r in new_rows:
+                r.setdefault("seq", snapshot_id)
             replaced = set(replaced or ())
             rsorted = sorted(replaced)
 
@@ -868,6 +883,7 @@ class BtrTable:
                 StructField("source_files", StringType()),
                 StructField("sort_key", StringType()),
                 StructField("content", LongType()),
+                StructField("seq", LongType()),
             ]
         )
 
@@ -889,6 +905,19 @@ class BtrTable:
             r
             for r in self.all_files(snapshot_id)
             if (r.get("content") or 0) == 1
+        ]
+
+    def eq_delete_files(
+        self, snapshot_id: int | str | None = None
+    ) -> list[dict]:
+        """Equality delete files (content=2) — written by
+        :func:`operators.upsert.upsert_eq`, absorbed by compaction.
+        Each holds key-column values that kill matching rows in data
+        files with ``seq`` strictly below the delete's ``seq``."""
+        return [
+            r
+            for r in self.all_files(snapshot_id)
+            if (r.get("content") or 0) == 2
         ]
 
     def scan(
@@ -962,14 +991,16 @@ class BtrTable:
             ]
             if prune:
                 rows = [r for r in rows if _file_may_match(r, prune)]
-            paths = [r["file_path"] for r in rows]
+            paths = [
+                (r["file_path"], r.get("seq") or 0) for r in rows
+            ]
         elif prune:
             entries = self._manifest_list(sid)
             n_files = sum(e["file_count"] or 0 for e in entries)
             if n_files <= 10_000:
                 # small table: a Spark job costs more than the loop
                 paths = [
-                    r["file_path"]
+                    (r["file_path"], r.get("seq") or 0)
                     for r in rows_once()
                     if (r.get("content") or 0) == 0
                     and _file_may_match(r, prune)
@@ -985,7 +1016,10 @@ class BtrTable:
                         F.coalesce(F.col("content"), F.lit(0)) == 0
                     )
                     .filter(_prune_predicate(prune))
-                    .select("file_path")
+                    .select(
+                        "file_path",
+                        F.coalesce(F.col("seq"), F.lit(0)).alias("seq"),
+                    )
                 )
                 paths = None
         else:
@@ -993,7 +1027,7 @@ class BtrTable:
             n_files = sum(e["file_count"] or 0 for e in entries)
             if n_files <= 10_000:
                 paths = [
-                    r["file_path"]
+                    (r["file_path"], r.get("seq") or 0)
                     for r in rows_once()
                     if (r.get("content") or 0) == 0
                 ]
@@ -1003,20 +1037,36 @@ class BtrTable:
                 mdf = self.manifest_df(snapshot_id)
                 spec_src = mdf.filter(
                     F.coalesce(F.col("content"), F.lit(0)) == 0
-                ).select("file_path")
+                ).select(
+                    "file_path",
+                    F.coalesce(F.col("seq"), F.lit(0)).alias("seq"),
+                )
                 paths = None
         del_paths: list[str] = []
+        eq_specs: list[tuple[str, int]] = []  # (path, seq) content=2
+        eq_key_cols: list[str] = []
         if apply_deletes:
             if paths is None:
                 # big-table branches: delete-file discovery through the
                 # same manifest DataFrame, no driver row materialization
-                del_paths = [
-                    r.file_path
-                    for r in mdf.filter(
-                        F.coalesce(F.col("content"), F.lit(0)) == 1
+                del_rows = (
+                    mdf.filter(
+                        F.coalesce(F.col("content"), F.lit(0)).isin(1, 2)
                     )
-                    .select("file_path")
+                    .select("file_path", "content", "seq", "stats")
                     .collect()
+                )
+                del_paths = [
+                    r.file_path for r in del_rows if r.content == 1
+                ]
+                eq_rows = [
+                    {
+                        "file_path": r.file_path,
+                        "seq": r.seq,
+                        "stats": r.stats,
+                    }
+                    for r in del_rows
+                    if r.content == 2
                 ]
             else:
                 del_paths = [
@@ -1024,8 +1074,31 @@ class BtrTable:
                     for r in rows_once()
                     if (r.get("content") or 0) == 1
                 ]
+                eq_rows = [
+                    r
+                    for r in rows_once()
+                    if (r.get("content") or 0) == 2
+                ]
+            eq_specs = [
+                (r["file_path"], r.get("seq") or 0) for r in eq_rows
+            ]
+            # the delete key columns are the stats keys of the delete
+            # files — known from the manifest, no file open needed
+            eq_key_cols = sorted(
+                {
+                    c
+                    for r in eq_rows
+                    for c in json.loads(r["stats"] or "{}")
+                }
+            )
         arrow_schema = self.schema_arrow()
         want = list(columns or arrow_schema.names)
+        # equality deletes filter on their key columns, so those must be
+        # decoded even when the caller didn't ask for them; trimmed from
+        # every output batch after the mask
+        eq_extra = (
+            [c for c in eq_key_cols if c not in want] if eq_specs else []
+        )
         spark_schema = self._spark_schema_for(want)
         # rename history: files written before a rename_column carry the
         # former blob names; the decode kernel falls back per block
@@ -1081,20 +1154,28 @@ class BtrTable:
                 spec_df = spec_src.repartition(n_tasks)
             else:
                 spec_df = self.spark.createDataFrame(
-                    [(p,) for p in paths], "file_path string"
+                    paths, "file_path string, seq long"
                 ).repartition(n_tasks)
-            bcols = ["tuple_count"] + [f"b_{c}" for c in want]
+            want_read = want + eq_extra
+            bcols = ["tuple_count"] + [f"b_{c}" for c in want_read]
             alias_bcols = [
-                f"b_{a}" for c in want for a in aliases.get(c, [])
+                f"b_{a}" for c in want_read for a in aliases.get(c, [])
             ]
             if predicate:
                 bcols.append("zone")
+            out_names = (
+                want
+                + (["_file"] if with_file else [])
+                + (["_pos"] if with_pos else [])
+            )
 
             def read_native(batch_iter):
                 from btrblocks_spark.sources import fs as _fs
                 from btrblocks_spark.sources.blockfile import (
                     decode_batches,
+                    eq_delete_mask,
                     load_delete_index,
+                    load_eq_deletes,
                 )
 
                 logical = pa.ipc.read_schema(
@@ -1103,18 +1184,24 @@ class BtrTable:
                 # task's own file list first, so the delete-file read is
                 # row-group-filtered to exactly these paths
                 task_paths = [
-                    p
+                    (p, s)
                     for batch in batch_iter
-                    for p in batch.column("file_path").to_pylist()
+                    for p, s in zip(
+                        batch.column("file_path").to_pylist(),
+                        batch.column("seq").to_pylist(),
+                    )
                 ]
                 if not task_paths:
                     return
                 del_index = (
-                    load_delete_index(del_paths, task_paths)
+                    load_delete_index(
+                        del_paths, [p for p, _ in task_paths]
+                    )
                     if del_paths
                     else {}
                 )
-                for path in task_paths:
+                eq_dels = load_eq_deletes(eq_specs) if eq_specs else []
+                for path, fseq in task_paths:
                     try:
                         # I/O-level column pruning: only the wanted
                         # b_<col> blobs leave the store
@@ -1138,28 +1225,49 @@ class BtrTable:
                             "_file",
                             pa.array([path] * bt.num_rows, pa.string()),
                         )
-                    yield from decode_batches(
+                    stream = decode_batches(
                         bt.to_batches(),
                         logical,
-                        want,
+                        want_read,
                         with_file=with_file,
                         predicate=predicate,
                         with_pos=with_pos,
                         deletes=del_index.get(path),
                         aliases=aliases,
                     )
+                    applicable = [
+                        d for d in eq_dels if d[0] > (fseq or 0)
+                    ]
+                    if not applicable:
+                        if eq_extra:
+                            for rb in stream:
+                                yield rb.select(out_names)
+                        else:
+                            yield from stream
+                        continue
+                    for rb in stream:
+                        mask = eq_delete_mask(
+                            rb, fseq or 0, applicable
+                        )
+                        if mask is not None:
+                            rb = rb.filter(pa.array(mask))
+                        yield (
+                            rb.select(out_names) if eq_extra else rb
+                        )
 
             return spec_df.mapInArrow(read_native, out_schema)
 
-        if del_paths:
+        if del_paths or eq_specs:
             raise ValueError(
-                "snapshot has positional delete files: the JVM batch "
+                "snapshot has delete files: the JVM batch "
                 "path cannot merge them (use native_io=True)"
             )
         if paths is None:
             # explicit JVM path on a 10^4+-file table: materialize the
             # list (spark.read needs concrete paths)
             paths = [r.file_path for r in spec_src.collect()]
+        else:
+            paths = [p for p, _ in paths]
         alias_names = [a for c in want for a in aliases.get(c, [])]
         sel = [F.col("tuple_count")] + [
             F.col(f"b_{c}") for c in want + alias_names
@@ -2044,7 +2152,7 @@ class BtrTable:
         missing = [c for c in need if c not in self.schema_arrow().names]
         if missing:
             raise KeyError(f"no column(s) {missing}")
-        if self.delete_files(sid):
+        if self.delete_files(sid) or self.eq_delete_files(sid):
             df = self.scan(columns=need or None, snapshot_id=sid)
             exprs = []
             for fn, col, alias in aggs:
@@ -2300,12 +2408,18 @@ class BtrTable:
                     "file-diffable; use strategy='mor' for changelog "
                     "consumers"
                 )
-            if op not in ("append", "stream-append", "merge"):
+            if op not in ("append", "stream-append", "merge",
+                          "upsert_eq"):
                 raise NotImplementedError(
                     f"snapshot {sid}: operation {op!r} has no "
                     "changelog representation"
                 )
             added = added_rows_of(snap)
+            if op == "upsert_eq":
+                out_parts.extend(
+                    self._upsert_changelog_parts(snap, added, want)
+                )
+                continue
             data_paths = [
                 r["file_path"]
                 for r in added
@@ -2381,6 +2495,72 @@ class BtrTable:
         for p in out_parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _upsert_changelog_parts(
+        self, snap: dict, added: list[dict], want: list[str]
+    ) -> list[DataFrame]:
+        """Changelog rows of an ``upsert_eq`` commit: its added data
+        files scan as inserts; the old images of overwritten keys are
+        the PARENT snapshot's rows semijoined with the commit's
+        equality-delete key files (stats-range-pruned scan, one
+        broadcastable join — never a full-history diff)."""
+        sid = snap["snapshot_id"]
+        parts: list[DataFrame] = []
+        data_paths = [
+            r["file_path"]
+            for r in added
+            if (r.get("content") or 0) == 0
+        ]
+        eq_rows = [
+            r for r in added if (r.get("content") or 0) == 2
+        ]
+        if data_paths:
+            ins = self.scan(
+                columns=want,
+                snapshot_id=sid,
+                files=data_paths,
+                apply_deletes=False,
+            )
+            parts.append(
+                ins.withColumn("_change_type", F.lit("insert"))
+                .withColumn("_change_snapshot_id", F.lit(sid))
+            )
+        if eq_rows:
+            key_cols = sorted(
+                {c for r in eq_rows for c in json.loads(r["stats"] or "{}")}
+            )
+            # range prune for the parent scan from the delete files'
+            # own stats (advisory — the semijoin is the real filter)
+            prune: dict = {}
+            for c in key_cols:
+                bounds = [
+                    json.loads(r["stats"])[c]
+                    for r in eq_rows
+                    if c in json.loads(r["stats"] or "{}")
+                ]
+                los = [b["min"] for b in bounds if b.get("min") is not None]
+                his = [b["max"] for b in bounds if b.get("max") is not None]
+                if los and his:
+                    prune[c] = (min(los), max(his))
+            keys_df = self._delete_rows_df(
+                [r["file_path"] for r in eq_rows]
+            )
+            scan_cols = list(
+                dict.fromkeys(want + key_cols)
+            )  # want order first, keys appended if missing
+            old = self.scan(
+                columns=scan_cols,
+                snapshot_id=snap["parent"],
+                prune=prune or None,
+            )
+            removed = old.join(
+                F.broadcast(keys_df), on=key_cols, how="leftsemi"
+            ).select(*want)
+            parts.append(
+                removed.withColumn("_change_type", F.lit("delete"))
+                .withColumn("_change_snapshot_id", F.lit(sid))
+            )
+        return parts
 
     def _delete_rows_df(self, del_paths: list[str]) -> DataFrame:
         """(file_path, pos) rows of the given positional delete files."""
