@@ -283,7 +283,8 @@ class BtrTableStreamReader(DataSourceStreamReader):
                     "changelog representation; use strategy='mor' with "
                     "streaming consumers"
                 )
-            if op not in ("append", "stream-append", "merge"):
+            if op not in ("append", "stream-append", "merge",
+                          "upsert_eq"):
                 raise NotImplementedError(
                     f"snapshot {sid}: operation {op!r} is not streamable"
                 )
@@ -293,11 +294,20 @@ class BtrTableStreamReader(DataSourceStreamReader):
                 for r in added
                 if (r.get("content") or 0) == 1
             ]
-            if del_paths and not self.cdc:
+            eq_rows = [
+                r for r in added if (r.get("content") or 0) == 2
+            ]
+            if (del_paths or eq_rows) and not self.cdc:
                 raise NotImplementedError(
-                    f"snapshot {sid} carries positional deletes: plain "
+                    f"snapshot {sid} carries delete files: plain "
                     "append-tail streaming cannot represent them — set "
                     ".option('cdc', 'true') for change rows"
+                )
+            if eq_rows:
+                parts.extend(
+                    self._eq_delete_partitions(
+                        t, snap, eq_rows, schema_hex, aliases
+                    )
                 )
             for r in added:
                 if (r.get("content") or 0) != 0:
@@ -339,6 +349,64 @@ class BtrTableStreamReader(DataSourceStreamReader):
         return parts or [InputPartition(("empty", "", "", [], hi, {}))]
 
     @staticmethod
+    def _eq_delete_partitions(
+        t, snap: dict, eq_rows: list[dict], schema_hex: str, aliases
+    ) -> list:
+        """One partition per PARENT data file an upsert_eq commit's
+        equality deletes might touch (seq below the commit, key range
+        overlap): the task re-derives the old images by decoding its
+        file with the parent's own delete state applied, then keeping
+        rows matching the new keys."""
+        from btrblocks_spark.sources.table import _file_may_match
+
+        sid = snap["snapshot_id"]
+        parent_rows = t._manifest_rows(snap["parent"])
+        parent_del = [
+            r["file_path"]
+            for r in parent_rows
+            if (r.get("content") or 0) == 1
+        ]
+        parent_eq = [
+            [r["file_path"], r.get("seq") or 0]
+            for r in parent_rows
+            if (r.get("content") or 0) == 2
+        ]
+        eq_paths = [r["file_path"] for r in eq_rows]
+        prune: dict = {}
+        for r in eq_rows:
+            for c, st in json.loads(r["stats"] or "{}").items():
+                if st.get("min") is None:
+                    continue
+                lo, hi = prune.get(c, (st["min"], st["max"]))
+                prune[c] = (min(lo, st["min"]), max(hi, st["max"]))
+        parts = []
+        for r in parent_rows:
+            if (r.get("content") or 0) != 0:
+                continue
+            if (r.get("seq") or 0) >= sid:
+                continue
+            if prune and not _file_may_match(r, prune):
+                continue
+            parts.append(
+                InputPartition(
+                    (
+                        "eqdelete",
+                        r["file_path"],
+                        schema_hex,
+                        {
+                            "eq_paths": eq_paths,
+                            "file_seq": r.get("seq") or 0,
+                            "parent_del_paths": parent_del,
+                            "parent_eq_specs": parent_eq,
+                        },
+                        sid,
+                        aliases,
+                    )
+                )
+            )
+        return parts
+
+    @staticmethod
     def _added_rows(t, snap: dict) -> list[dict]:
         sid = snap["snapshot_id"]
         fast = f"manifest-{sid}-a.parquet"
@@ -363,6 +431,60 @@ class BtrTableStreamReader(DataSourceStreamReader):
                     if self.cdc
                     else rb
                 )
+            return
+        if kind == "eqdelete":
+            # old images of an upsert_eq commit: decode this parent data
+            # file with the parent's delete state applied, keep rows
+            # matching the commit's new keys
+            from btrblocks_spark.sources import fs
+            from btrblocks_spark.sources.blockfile import (
+                decode_batches,
+                eq_delete_mask,
+                load_delete_index,
+                load_eq_deletes,
+            )
+
+            aux = del_paths  # dict payload for this partition kind
+            logical = pa.ipc.read_schema(
+                pa.py_buffer(bytes.fromhex(schema_hex))
+            )
+            fseq = aux["file_seq"]
+            pos = (
+                load_delete_index(aux["parent_del_paths"], [path]).get(path)
+                if aux["parent_del_paths"]
+                else None
+            )
+            parent_eq = (
+                load_eq_deletes(
+                    [tuple(s) for s in aux["parent_eq_specs"]]
+                )
+                if aux["parent_eq_specs"]
+                else []
+            )
+            new_keys = load_eq_deletes(
+                [(p, sid) for p in aux["eq_paths"]]
+            )
+            bt = fs.read_parquet(path)
+            bt = bt.select(
+                [
+                    c
+                    for c in bt.schema.names
+                    if c == "tuple_count" or c.startswith("b_")
+                ]
+            )
+            for rb in decode_batches(
+                bt.to_batches(), logical, deletes=pos, aliases=aliases
+            ):
+                if parent_eq:
+                    m = eq_delete_mask(rb, fseq, parent_eq)
+                    if m is not None:
+                        rb = rb.filter(pa.array(m))
+                keep = eq_delete_mask(rb, fseq, new_keys)
+                if keep is None:  # no row of this batch was overwritten
+                    continue
+                old = rb.filter(pa.array(~keep))
+                if old.num_rows:
+                    yield _with_change_cols(old, "delete", sid)
             return
         # delete: old images of the rows this commit's delete files
         # removed from `path` — decode with positions, keep only them
@@ -457,6 +579,18 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
 
         self.job_id = f"dsw-{_uuid.uuid4().hex[:8]}"
         self.max_rows = int(options.get("maxrowsperfile") or 0) or None
+        # ``.option("upsertKey", "image_id")``: every write() batch also
+        # emits its distinct keys as equality delete files and the
+        # commit becomes an Iceberg-v2 upsert — older versions of the
+        # keys vanish at scan time, nothing is read or rewritten. The
+        # streaming-sink form of operators/upsert.upsert_eq.
+        self.upsert_on = [
+            c for c in (options.get("upsertkey") or "").split(",") if c
+        ]
+        if self.upsert_on and overwrite:
+            raise ValueError(
+                "upsertKey cannot be combined with mode('overwrite')"
+            )
         t = _table(root)
         try:
             meta = t.metadata()
@@ -530,6 +664,46 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
                     }
                 )
                 k += 1
+        if self.upsert_on:
+            missing = [c for c in self.upsert_on if c not in tbl.schema.names]
+            if missing:
+                raise ValueError(f"upsertKey column(s) {missing} not in data")
+            from btrblocks_spark.operators.upsert import _key_stats_entry
+            from btrblocks_spark.sources.table import _write_parquet_atomic
+
+            kt = tbl.select(self.upsert_on).group_by(
+                self.upsert_on
+            ).aggregate([])
+            if kt.num_rows:
+                import uuid as _uuid
+
+                tag = _uuid.uuid4().hex[:8]
+                fname = (
+                    f"{self.job_id}-{tag}-eqdel-{task_id:05d}.parquet"
+                )
+                fpath = fs.join(self.root, "data", fname)
+                fbytes = _write_parquet_atomic(kt, fpath)
+                stats = {
+                    c: _key_stats_entry(
+                        kt.column(c), kt.schema.field(c).type
+                    )
+                    for c in self.upsert_on
+                }
+                rows_out.append(
+                    {
+                        "file_path": fpath,
+                        "partition": "{}",
+                        "row_count": kt.num_rows,
+                        "block_count": 0,
+                        "file_bytes": fbytes,
+                        "raw_bytes": fbytes,
+                        "stats": json.dumps(stats),
+                        "job_id": self.job_id,
+                        "source_files": "[]",
+                        "sort_key": "",
+                        "content": 2,
+                    }
+                )
         return _BtrWriteMessage(json.dumps(rows_out), schema_hex)
 
     @staticmethod
@@ -547,11 +721,19 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
         rows, schema_hex = self._gather(messages)
         replaced = None
         operation = "append"
+        extra = None
         if self.exists and self.overwrite:
             replaced = {r["file_path"] for r in _table(self.root).all_files()}
             operation = "overwrite"
+        if self.upsert_on:
+            operation = "upsert_eq"
+            extra = {"strategy": "eq", "on": self.upsert_on}
         self._commit_rows(
-            rows, schema_hex, operation=operation, replaced=replaced
+            rows,
+            schema_hex,
+            operation=operation,
+            replaced=replaced,
+            extra_summary=extra,
         )
 
     def _commit_rows(
@@ -645,14 +827,19 @@ class BtrTableStreamArrowWriter(
                 ):
                     return  # replayed microbatch: already committed
         rows, schema_hex = self._gather(messages)
+        extra = {
+            "stream_writer": self.job_id,
+            "stream_batch_id": batchId,
+        }
+        operation = "stream-append"
+        if self.upsert_on:
+            operation = "upsert_eq"
+            extra.update({"strategy": "eq", "on": self.upsert_on})
         self._commit_rows(
             rows,
             schema_hex,
-            operation="stream-append",
-            extra_summary={
-                "stream_writer": self.job_id,
-                "stream_batch_id": batchId,
-            },
+            operation=operation,
+            extra_summary=extra,
         )
         self.exists = True
 
