@@ -133,6 +133,18 @@ def main(argv: list[str] | None = None) -> int:
     rb.add_argument("--table", required=True)
     rb.add_argument("--snapshot", type=int, required=True)
 
+    mn = sub.add_parser(
+        "maintain",
+        help="plan (and run) auto-maintenance from metadata signals",
+    )
+    mn.add_argument("--table", required=True)
+    mn.add_argument(
+        "--plan-only", action="store_true", help="print the plan, run nothing"
+    )
+    mn.add_argument("--keep-snapshots", type=int, default=20)
+    mn.add_argument("--min-small-files", type=int, default=8)
+    mn.add_argument("--orphans", action="store_true")
+
     vc = sub.add_parser("vacuum", help="remove orphan data/staging files")
     vc.add_argument("--table", required=True)
     vc.add_argument("--dry-run", action="store_true")
@@ -326,6 +338,17 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "rewrite-manifests":
         t = BtrTable.load(spark, args.table)
         out = t.rewrite_manifests()
+    elif args.cmd == "maintain":
+        from btrblocks_spark.operators.maintain import maintain
+
+        t = BtrTable.load(spark, args.table)
+        out = maintain(
+            t,
+            apply=not args.plan_only,
+            keep_snapshots=args.keep_snapshots,
+            min_small_files=args.min_small_files,
+            orphans=args.orphans,
+        )
     elif args.cmd == "vacuum":
         t = BtrTable.load(spark, args.table)
         out = t.remove_orphan_files(
