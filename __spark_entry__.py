@@ -314,6 +314,41 @@ def _upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.scan()
 
 
+def _token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring/word search through the block table with per-file TOKEN
+    BLOOMS (codec/bloom.py build_token_bloom): files whose bloom rejects
+    any query token are never opened — the LIKE-'%word%' analog of key
+    blooms. The row filter uses the same tokenizer split on both
+    engines, so pruning stays advisory and results hash-match."""
+    import tempfile
+
+    from btrblocks_spark.sources.table import BtrTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    root = tempfile.mkdtemp(prefix="btr_toksearch_") + "/t"
+    table = BtrTable.create(
+        spark,
+        root,
+        docs.coalesce(1),
+        num_files=1,
+        max_rows_per_file=max(1, docs.count() // 8),
+        job_id="tok0",
+        token_bloom_cols=["text"],
+    )
+    toks = F.split(F.lower("text"), "[^a-z0-9]+")
+    return (
+        table.scan(
+            columns=["doc_id", "text", "lang", "n_chars"],
+            prune={"text": {"tokens_all": ["hash", "window"]}},
+        )
+        .filter(
+            F.array_contains(toks, "hash")
+            & F.array_contains(toks, "window")
+        )
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.dedup import exact_dedup
 
@@ -660,6 +695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_only_agg": _stats_only_agg,  # zero-data-I/O metadata agg
         "ndv_stats": _ndv_stats,  # KMV distinct sketch fold (exact < k)
         "upsert_scan": _upsert_scan,  # equality-delete upsert (O(change))
+        "token_search": _token_search,  # token-bloom file skipping
         # composite training-data curation pipeline
         "corpus_filter": _corpus_filter,
         # dedup
@@ -855,6 +891,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
             FROM orders
             WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+        """,
+        "token_search": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE list_contains(
+                      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      'hash')
+              AND list_contains(
+                      regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                      'window')
         """,
         "upsert_scan": """
             SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority

@@ -451,6 +451,51 @@ def merge_job(cores: int) -> dict:
         if mor_best is None or mor["elapsed_sec"] < mor_best["elapsed_sec"]:
             mor_best = mor
     best["mor"] = mor_best
+
+    # equality-delete upsert on a fresh copy: the same 5%-key change
+    # with ZERO reads (no keyscan, no touched-file discovery) — written
+    # bytes are exactly new rows + the key list
+    ups_best = None
+    for rep in range(2):
+        work_root = os.path.join(
+            CACHE, f"mergeups-{cores}-{os.getpid()}-{rep}"
+        )
+        shutil.rmtree(work_root, ignore_errors=True)
+        shutil.copytree(canon, work_root)
+        _retarget_manifest(work_root)
+        table = BtrTable.load(spark, work_root)
+        cols = table.schema_arrow().names
+        from btrblocks_spark.operators.upsert import upsert_eq
+
+        src = (
+            table.scan()
+            .filter(F.pmod(F.xxhash64("image_id"), F.lit(20)) == 0)
+            .withColumn(
+                "caption", F.concat(F.col("caption"), F.lit(" [edited]"))
+            )
+            .select(*cols)
+            .cache()
+        )
+        src.count()
+        t0 = time.time()
+        res = upsert_eq(
+            table, src, on="image_id", job_id=f"bench-ups-{cores}-{rep}"
+        )
+        elapsed = time.time() - t0
+        src.unpersist()
+        written = res["new_bytes"] + res["eq_delete_bytes"]
+        ups = {
+            "elapsed_sec": elapsed,
+            "written_bytes": written,
+            "new_files": res["new_files"],
+            "eq_delete_files": res["eq_delete_files"],
+            "eq_delete_keys": res["eq_delete_keys"],
+            "gbps_written": written / max(elapsed, 1e-9) / 1e9,
+        }
+        shutil.rmtree(work_root, ignore_errors=True)
+        if ups_best is None or ups["elapsed_sec"] < ups_best["elapsed_sec"]:
+            ups_best = ups
+    best["upsert_eq"] = ups_best
     spark.stop()
     return best
 
@@ -676,6 +721,18 @@ def main() -> None:
                 "merge_write_amplification_cow_over_mor": round(
                     mrg["rewritten_bytes"]
                     / max(mrg["mor"]["written_bytes"], 1),
+                    2,
+                ),
+                "upsert_eq_written_bytes": mrg["upsert_eq"][
+                    "written_bytes"
+                ],
+                "upsert_eq_elapsed_sec": round(
+                    mrg["upsert_eq"]["elapsed_sec"], 3
+                ),
+                "upsert_eq_keys": mrg["upsert_eq"]["eq_delete_keys"],
+                "merge_write_amplification_cow_over_upsert": round(
+                    mrg["rewritten_bytes"]
+                    / max(mrg["upsert_eq"]["written_bytes"], 1),
                     2,
                 ),
                 "compression_ratio_mix": round(ratio["compression_ratio"], 3),

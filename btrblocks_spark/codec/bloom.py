@@ -95,6 +95,33 @@ def bloom_may_contain_any(bloom: dict, keys) -> bool:
     return bool(bits[pos].all(axis=1).any())
 
 
+# ------------------------------------------------------------- tokens
+import re as _re
+
+_TOKEN_RE = _re.compile(r"[a-z0-9]+")
+
+
+def tokenize(s: str) -> list[str]:
+    """Write-side AND query-side tokenizer for caption/text token blooms
+    (must be identical on both sides): lowercase alnum runs."""
+    return _TOKEN_RE.findall(s.lower())
+
+
+def build_token_bloom(strings) -> dict | None:
+    """Per-file token bloom over a text column: the bloom of the UNION
+    of every value's tokens. ``scan(prune={col: {"tokens_all":
+    [...]}})`` skips files whose bloom rejects any query token — the
+    substring-search analog of the key blooms (a LIKE '%word%' scan
+    opens only files that may contain the word)."""
+    toks: set[str] = set()
+    for s in strings:
+        if s is not None:
+            toks.update(tokenize(s))
+    if not toks:
+        return None
+    return build_bloom(np.array(sorted(toks), dtype=object))
+
+
 # ---------------------------------------------------------------- KMV
 #: bottom-k size for per-file distinct sketches (stderr ~ 1/sqrt(k-2)
 #: ~ 6%); 256 * 8 B ~ 2.7 KB base64 per column per file in the manifest

@@ -51,6 +51,7 @@ def backfill(
     files = table.data_files()
     blooms = table.bloom_cols()
     ndvs = table.ndv_cols()
+    tbcs = table.token_bloom_cols()
     if not files:
         return {"job_id": job_id, "rewritten_files": 0}
 
@@ -119,7 +120,11 @@ def backfill(
                     if sub.num_rows == 0:
                         continue
                     block_table, stats = encode_table(
-                        sub, seed=42, bloom_cols=blooms, ndv_cols=ndvs
+                        sub,
+                        seed=42,
+                        bloom_cols=blooms,
+                        ndv_cols=ndvs,
+                        token_bloom_cols=tbcs,
                     )
                     fname = f"{job_id}-g{gid:05d}-{k}.parquet"
                     fpath = _fs.join(root, "data", fname)

@@ -369,6 +369,7 @@ def cluster_staged(
     target_rows = max_rows_per_file
     blooms = table.bloom_cols()
     ndvs = table.ndv_cols()
+    tbcs = table.token_bloom_cols()
 
     def merge_task(batch_iter):
         from btrblocks_spark.operators.cluster import compute_zkey as _zk
@@ -399,7 +400,11 @@ def cluster_staged(
                     if piece.num_rows == 0 and tbl.num_rows > 0:
                         break
                     block_table, stats = encode_table(
-                        piece, seed=42, bloom_cols=blooms, ndv_cols=ndvs
+                        piece,
+                        seed=42,
+                        bloom_cols=blooms,
+                        ndv_cols=ndvs,
+                        token_bloom_cols=tbcs,
                     )
                     fname = f"{job_id}-b{bin_id:05d}-{k}.parquet"
                     fpath = _fs.join(root, "data", fname)

@@ -248,6 +248,7 @@ def compact(
 
     blooms = table.bloom_cols()
     ndvs = table.ndv_cols()
+    tbcs = table.token_bloom_cols()
 
     def rebuild(batch_iter):
         from btrblocks_spark.sources import fs as _fs
@@ -305,7 +306,11 @@ def compact(
                     yield pa.RecordBatch.from_pydict({"rows": [payload]})
                     continue
                 block_table, stats = encode_table(
-                    merged, seed=42, bloom_cols=blooms, ndv_cols=ndvs
+                    merged,
+                    seed=42,
+                    bloom_cols=blooms,
+                    ndv_cols=ndvs,
+                    token_bloom_cols=tbcs,
                 )
                 _t2 = _time.time()
                 fname = f"{job_id}-bin{bin_id:05d}.parquet"

@@ -392,6 +392,7 @@ def _merge_staged(
     root = table.root
     blooms = table.bloom_cols()
     ndvs = table.ndv_cols()
+    tbcs = table.token_bloom_cols()
     # positional delete files from earlier merge-on-read merges: the
     # direct file reads below must not resurrect deleted rows
     del_paths = [r["file_path"] for r in table.delete_files()]
@@ -516,7 +517,11 @@ def _merge_staged(
                         if sub.num_rows == 0:
                             continue
                         block_table, stats = encode_table(
-                            sub, seed=42, bloom_cols=blooms, ndv_cols=ndvs
+                            sub,
+                            seed=42,
+                            bloom_cols=blooms,
+                            ndv_cols=ndvs,
+                            token_bloom_cols=tbcs,
                         )
                         fname = f"{job_id}-rw{bin_id:05d}-{k_sub}.parquet"
                         fpath = _fs.join(root, "data", fname)

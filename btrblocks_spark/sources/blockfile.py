@@ -56,6 +56,7 @@ def encode_table(
     block_rows: int | None = None,
     bloom_cols: list[str] | None = None,
     ndv_cols: list[str] | None = None,
+    token_bloom_cols: list[str] | None = None,
 ) -> tuple[pa.Table, dict]:
     """Encode a logical Arrow table into block rows + file-level stats.
 
@@ -67,6 +68,9 @@ def encode_table(
     ``ndv_cols`` adds a per-file KMV distinct sketch (``codec.bloom``)
     folded by ``stats_agg("approx_ndv", ...)`` into a table-level
     COUNT(DISTINCT) estimate with zero data I/O.
+    ``token_bloom_cols`` adds a per-file bloom of a text column's token
+    set — ``scan(prune={col: {"tokens_all": [...]}})`` skips files whose
+    bloom rejects a query token (substring-search file skipping).
     """
     if level is None:
         from btrblocks_spark.codec.config import get_config
@@ -166,6 +170,12 @@ def encode_table(
                 kmv = build_kmv(keys)
                 if kmv is not None:
                     entry["kmv"] = kmv
+        if name in (token_bloom_cols or ()) and pa.types.is_string(typ):
+            from btrblocks_spark.codec.bloom import build_token_bloom
+
+            tb = build_token_bloom(col.to_pylist())
+            if tb is not None:
+                entry["token_bloom"] = tb
         stats["columns"][name] = entry
     return pa.table(out), stats
 

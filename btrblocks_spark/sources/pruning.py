@@ -21,6 +21,25 @@ def stats_may_match(stats: dict, prune: dict) -> bool:
     str|None, "max": str|None, ...}} may contain rows matching ``prune``."""
     for col, bound in prune.items():
         st = stats.get(col)
+        if isinstance(bound, dict):
+            # token form: {"tokens_all": [...]} — the unit survives iff
+            # its token bloom may contain EVERY token (substring/search
+            # semantics); units without a bloom are kept. Blooms exist
+            # only at file level, so block zone maps pass through here.
+            toks = bound.get("tokens_all") or ()
+            bl = (st or {}).get("token_bloom")
+            if bl is None:
+                continue
+            import numpy as np
+
+            from btrblocks_spark.codec.bloom import bloom_may_contain_any
+
+            for t in toks:
+                if not bloom_may_contain_any(
+                    bl, np.array([str(t)], dtype=object)
+                ):
+                    return False
+            continue
         if not st or st.get("min") is None:
             continue
         smin, smax = st["min"], st["max"]

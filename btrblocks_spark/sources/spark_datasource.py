@@ -598,6 +598,7 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
             self.partition_by = meta.get("partition_by", [])
             self.bloom_cols = meta.get("bloom_cols", [])
             self.ndv_cols = meta.get("ndv_cols", [])
+            self.token_bloom_cols = meta.get("token_bloom_cols", [])
         except (FileNotFoundError, OSError):
             self.exists = False
             self.partition_by = [
@@ -608,6 +609,11 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
             ]
             self.ndv_cols = [
                 c for c in (options.get("ndvcols") or "").split(",") if c
+            ]
+            self.token_bloom_cols = [
+                c
+                for c in (options.get("tokenbloomcols") or "").split(",")
+                if c
             ]
 
     def write(self, iterator):
@@ -638,6 +644,7 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
                     seed=42,
                     bloom_cols=self.bloom_cols,
                     ndv_cols=self.ndv_cols,
+                    token_bloom_cols=self.token_bloom_cols,
                 )
                 import uuid as _uuid
 
@@ -775,6 +782,7 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
                 "partition_by": self.partition_by,
                 "bloom_cols": self.bloom_cols,
                 "ndv_cols": self.ndv_cols,
+                "token_bloom_cols": self.token_bloom_cols,
                 "current_snapshot_id": 0,
                 "snapshots": [
                     {

@@ -333,6 +333,9 @@ class BtrTable:
     def ndv_cols(self) -> list[str]:
         return self.metadata().get("ndv_cols", [])
 
+    def token_bloom_cols(self) -> list[str]:
+        return self.metadata().get("token_bloom_cols", [])
+
     # ------------------------------------------------------------ create
     @classmethod
     def create(
@@ -348,6 +351,7 @@ class BtrTable:
         block_rows: int | None = None,
         bloom_cols: list[str] | None = None,
         ndv_cols: list[str] | None = None,
+        token_bloom_cols: list[str] | None = None,
     ) -> "BtrTable":
         """Create a table at ``root`` from ``df`` (initial snapshot).
 
@@ -357,6 +361,9 @@ class BtrTable:
         ``ndv_cols``: int/string columns that get a per-file KMV
         distinct sketch in their stats — ``stats_agg`` folds them into
         an approx COUNT(DISTINCT) with zero data I/O.
+        ``token_bloom_cols``: text columns that get a per-file bloom of
+        their token set — ``scan(prune={col: {"tokens_all": [...]}})``
+        opens only files that may contain every query token.
         """
         for sub in ("data", "manifests", "_checkpoints"):
             fs.mkdirs(fs.join(root, sub))
@@ -369,6 +376,7 @@ class BtrTable:
             "partition_by": partition_by or [],
             "bloom_cols": bloom_cols or [],
             "ndv_cols": ndv_cols or [],
+            "token_bloom_cols": token_bloom_cols or [],
             "current_snapshot_id": 0,
             "snapshots": [
                 {
@@ -449,6 +457,7 @@ class BtrTable:
         parts = self.partition_by()
         blooms = self.bloom_cols()
         ndvs = self.ndv_cols()
+        tbcs = self.token_bloom_cols()
         arrow_schema = df.limit(0).toArrow().schema
 
         if preserve_partitioning:
@@ -508,6 +517,7 @@ class BtrTable:
                             block_rows=block_rows,
                             bloom_cols=blooms,
                             ndv_cols=ndvs,
+                            token_bloom_cols=tbcs,
                         )
                         fname = f"{job_id}-p{task_id:05d}-{k}.parquet"
                         fpath = _fs.join(root, "data", fname)
@@ -1654,6 +1664,7 @@ class BtrTable:
                 old in meta.get("partition_by", [])
                 or old in meta.get("bloom_cols", [])
                 or old in meta.get("ndv_cols", [])
+                or old in meta.get("token_bloom_cols", [])
             ):
                 raise ValueError(
                     f"cannot rename partition/bloom/ndv column {old!r}"
@@ -1702,6 +1713,7 @@ class BtrTable:
                 name in meta.get("partition_by", [])
                 or name in meta.get("bloom_cols", [])
                 or name in meta.get("ndv_cols", [])
+                or name in meta.get("token_bloom_cols", [])
             ):
                 raise ValueError(
                     f"cannot drop partition/bloom/ndv column {name!r}"
@@ -2595,6 +2607,11 @@ def _prune_predicate(prune: dict):
     read the 14 files in between."""
     pred = F.lit(True)
     for col, bound in prune.items():
+        if isinstance(bound, dict):
+            # token-bloom form: probing a bloom needs Python — the
+            # big-table Catalyst plan keeps every file (advisory;
+            # the driver loop and the row filter stay correct)
+            continue
         smin = F.get_json_object(F.col("stats"), f"$.{col}.min")
         smax = F.get_json_object(F.col("stats"), f"$.{col}.max")
         if isinstance(bound, (list, set, frozenset)):
