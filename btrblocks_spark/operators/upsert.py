@@ -62,6 +62,7 @@ def upsert_eq(
     on: str | list[str],
     job_id: str | None = None,
     num_files: int | None = None,
+    branch: str | None = None,
 ) -> dict:
     """Upsert ``source`` into ``table`` on key column(s) ``on``.
 
@@ -180,6 +181,7 @@ def upsert_eq(
         data_rows + del_rows,
         operation="upsert_eq",
         replaced=None,
+        branch=branch,
         extra_summary={
             "strategy": "eq",
             "on": on_cols,

@@ -270,8 +270,9 @@ class BtrTableStreamReader(DataSourceStreamReader):
             if not (lo < sid <= hi):
                 continue
             snap = known[sid]
-            if snap.get("staged"):
-                continue  # unpublished WAP stages are not history
+            if snap.get("staged") or snap.get("branch"):
+                continue  # unpublished stages / unadopted branch
+                # commits are not (yet) main history
             op = snap["operation"]
             if op in ("compact", "cluster", "rewrite-manifests",
                       "create-empty", "add-column", "rename-column",

@@ -159,6 +159,93 @@ class BtrTable:
         finally:
             fs.delete_file(lock)
 
+    def create_branch(
+        self, name: str, snapshot_id: int | None = None
+    ) -> dict:
+        """Create a MUTABLE named ref (Iceberg branch) pointing at a
+        snapshot (default: current). Writers target it with
+        ``append(..., branch=name)`` / ``upsert_eq(..., branch=name)``;
+        readers with ``scan(snapshot_id=name)``; main adopts it with
+        :meth:`fast_forward`. Branch commits never move
+        ``current_snapshot_id`` and never appear in main's changelog
+        until adopted."""
+        lock = fs.join(self.root, "_commit.lock")
+        self._acquire_commit_lock(lock)
+        try:
+            meta = self.metadata()
+            refs = meta.setdefault("refs", {})
+            if name in refs:
+                raise ValueError(f"ref {name!r} already exists")
+            sid = (
+                meta["current_snapshot_id"]
+                if snapshot_id is None
+                else snapshot_id
+            )
+            if not any(s["snapshot_id"] == sid for s in meta["snapshots"]):
+                raise KeyError(f"no snapshot {sid}")
+            refs[name] = {
+                "snapshot_id": sid,
+                "type": "branch",
+                "ts": time.time(),
+            }
+            _atomic_write_json(self._meta_path, meta)
+            return dict(refs[name])
+        finally:
+            fs.delete_file(lock)
+
+    def fast_forward(self, name: str) -> dict:
+        """Adopt a branch: move ``current_snapshot_id`` to the branch
+        head, provided current is an ancestor of it (pure fast-forward;
+        anything else raises CommitConflict — rebase by re-running the
+        branch's jobs on main). The adopted snapshots shed their branch
+        marker and become main history (visible to changelog readers);
+        the ref then points AT the adopted head and may keep receiving
+        commits."""
+        lock = fs.join(self.root, "_commit.lock")
+        self._acquire_commit_lock(lock)
+        try:
+            meta = self.metadata()
+            ref = meta.get("refs", {}).get(name)
+            if ref is None or ref.get("type") != "branch":
+                raise KeyError(f"no branch {name!r}")
+            head = ref["snapshot_id"]
+            current = meta["current_snapshot_id"]
+            known = {s["snapshot_id"]: s for s in meta["snapshots"]}
+            adopted = []
+            cur = head
+            while cur is not None and cur != current:
+                snap = known.get(cur)
+                if snap is None:
+                    raise CommitConflict(
+                        f"branch ancestry broken at snapshot {cur}"
+                    )
+                adopted.append(snap)
+                cur = snap.get("parent")
+            if cur != current:
+                raise CommitConflict(
+                    f"cannot fast-forward: current snapshot {current} "
+                    f"is not an ancestor of branch {name!r} head {head}"
+                )
+            for snap in adopted:
+                snap.pop("branch", None)
+            meta["current_snapshot_id"] = head
+            _atomic_write_json(self._meta_path, meta)
+            return {
+                "branch": name,
+                "snapshot_id": head,
+                "adopted_snapshots": len(adopted),
+            }
+        finally:
+            fs.delete_file(lock)
+
+    def drop_branch(self, name: str) -> None:
+        """Drop a branch ref; its unreferenced commits' files become
+        orphan-collectable once expired."""
+        ref = self.refs().get(name)
+        if ref is None or ref.get("type") != "branch":
+            raise KeyError(f"no branch {name!r}")
+        self.drop_tag(name)  # same ref-map removal, under the lock
+
     def drop_tag(self, name: str) -> None:
         lock = fs.join(self.root, "_commit.lock")
         self._acquire_commit_lock(lock)
@@ -416,6 +503,7 @@ class BtrTable:
         operation: str = "append",
         block_rows: int | None = None,
         stage: bool = False,
+        branch: str | None = None,
     ) -> int:
         """Encode ``df`` into new block files and commit a snapshot.
 
@@ -438,9 +526,13 @@ class BtrTable:
             block_rows=block_rows,
         )
         sid = self._commit(
-            rows, operation=operation, replaced=None, stage=stage
+            rows,
+            operation=operation,
+            replaced=None,
+            stage=stage,
+            branch=branch,
         )
-        return sid if stage else len(rows)
+        return sid if stage or branch else len(rows)
 
     def _write_files(
         self,
@@ -648,6 +740,7 @@ class BtrTable:
         replaced: set[str] | None,
         extra_summary: dict | None = None,
         stage: bool = False,
+        branch: str | None = None,
     ) -> int:
         """Atomic snapshot commit, O(added + touched) not O(table files).
 
@@ -663,7 +756,11 @@ class BtrTable:
         ``current_snapshot_id`` (Iceberg write-audit-publish): readers
         keep seeing the old table, auditors scan the staged id, and
         :meth:`publish` flips it live (or rebases it if the table moved
-        on in the meantime)."""
+        on in the meantime).
+
+        ``branch="name"`` commits on top of that branch ref's head and
+        advances the REF, never ``current_snapshot_id`` — main readers
+        are untouched until :meth:`fast_forward` adopts the branch."""
         import bisect
 
         lock = fs.join(self.root, "_commit.lock")
@@ -672,7 +769,13 @@ class BtrTable:
             self._acquire_commit_lock(lock)
             locked = True
             meta = self.metadata()
-            current = meta["current_snapshot_id"]
+            if branch is not None:
+                ref = meta.get("refs", {}).get(branch)
+                if ref is None or ref.get("type") != "branch":
+                    raise KeyError(f"no branch {branch!r}")
+                current = ref["snapshot_id"]
+            else:
+                current = meta["current_snapshot_id"]
             entries = self._manifest_list(current)
             snapshot_id = self._next_snapshot_id(meta)
             # data sequence number (Iceberg v2): files added by this
@@ -761,8 +864,12 @@ class BtrTable:
             }
             if stage:
                 snap_entry["staged"] = True
+            if branch is not None:
+                snap_entry["branch"] = branch
             meta["snapshots"].append(snap_entry)
-            if not stage:
+            if branch is not None:
+                meta["refs"][branch]["snapshot_id"] = snapshot_id
+            elif not stage:
                 meta["current_snapshot_id"] = snapshot_id
             _atomic_write_json(self._meta_path, meta)
             self._write_job_metrics(snapshot_id, operation, new_rows, replaced)
@@ -1475,6 +1582,10 @@ class BtrTable:
             r["snapshot_id"] for r in meta.get("refs", {}).values()
         }
         keep_sids |= {s["snapshot_id"] for s in snaps if s.get("staged")}
+        # unadopted branch commits: their chain must stay walkable for
+        # fast_forward (the head alone is in refs; ancestors carry the
+        # branch marker until adoption sheds it)
+        keep_sids |= {s["snapshot_id"] for s in snaps if s.get("branch")}
         retained = [s for s in snaps if s["snapshot_id"] in keep_sids]
         expired = [s for s in snaps if s["snapshot_id"] not in keep_sids]
         retained_sids = [s["snapshot_id"] for s in retained]
@@ -2379,9 +2490,11 @@ class BtrTable:
             known[s]
             for s in sorted(known)
             if from_snapshot_id < s <= to_sid
-            # unpublished WAP stages are not part of the published
-            # history — they enter the changelog only via publish()
+            # unpublished WAP stages and unadopted branch commits are
+            # not part of the published history — they enter the
+            # changelog via publish() / fast_forward()
             and not known[s].get("staged")
+            and not known[s].get("branch")
         ]
         arrow_schema = self.schema_arrow()
         want = list(columns or arrow_schema.names)
