@@ -32,6 +32,54 @@ _STOP_ES = "'el','la','los','y','es','en','por','que','una','con'"
 
 _NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 
+# char-5-gram Jaccard>=0.3 pairs -> symmetric edges -> transitive
+# reachability (recursive CTE) -> min-reachable-id component label.
+# DuckDB twin of functions/graph.py's alternating-star components over
+# functions/dedup.py's inverted-index pairs. Must open WITH RECURSIVE.
+_CLUSTER_CTES = f"""norm AS (
+              SELECT doc_id, {_NORM} AS n FROM documents
+              WHERE length({_NORM}) >= 5
+            ), sh_all AS (
+              SELECT DISTINCT doc_id, substring(n, CAST(i AS INT), 5) AS shingle
+              FROM (SELECT doc_id, n, unnest(range(1, length(n) - 3)) AS i
+                    FROM norm) t
+            ), sh AS (
+              SELECT doc_id, shingle FROM sh_all
+              WHERE shingle IN (
+                SELECT shingle FROM sh_all
+                GROUP BY shingle HAVING count(*) <= 100000
+              )
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+            ), pairs0 AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), dup_pairs AS (
+              SELECT doc_a, doc_b FROM pairs0
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE round(common * 1.0 /
+                     (sa.n_shingles + sb.n_shingles - common), 6) >= 0.3
+            ), edges AS (
+              SELECT doc_a AS u, doc_b AS v FROM dup_pairs
+              UNION
+              SELECT doc_b AS u, doc_a AS v FROM dup_pairs
+            ), reach(src, dst) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+            ), cc AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+              FROM reach GROUP BY src
+            ), labeled AS (
+              SELECT d.doc_id,
+                     coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+                     d.n_chars
+              FROM documents d LEFT JOIN cc USING (doc_id)
+            )"""
+
 # shared CTE chain producing the deterministic MinHash signatures
 # (doc_id, hash_idx, minhash) — reused by minhash_signatures and the
 # deterministic LSH banding
@@ -374,6 +422,33 @@ def _ngram_jaccard_03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: near-dup pairs (char-5-gram
+    Jaccard >= 0.3) -> alternating-star connected components -> every
+    document labeled with its cluster's minimum doc_id (singletons map
+    to themselves)."""
+    from btrblocks_spark.functions.dedup import ngram_jaccard_pairs
+    from btrblocks_spark.functions.graph import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    return dedup_clusters(pairs, all_ids=docs.select("doc_id"))
+
+
+def _canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped corpus: one canonical doc per duplicate cluster (longest
+    n_chars, ties to smallest doc_id)."""
+    from btrblocks_spark.functions.dedup import ngram_jaccard_pairs
+    from btrblocks_spark.functions.graph import canonical_docs, dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3)
+    clusters = dedup_clusters(pairs, all_ids=docs.select("doc_id"))
+    return canonical_docs(docs, clusters).select(
+        "doc_id", "cluster_id", F.col("cluster_size").cast("long").alias("cluster_size")
+    )
+
+
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.dedup import minhash_signatures
 
@@ -702,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "ngram_jaccard_pairs": _ngram_jaccard,
         "ngram_jaccard_pairs_03": _ngram_jaccard_03,
+        "dedup_clusters": _dedup_clusters,  # connected components (oracle: recursive CTE)
+        "canonical_docs": _canonical_docs,  # one survivor per dup cluster
         "minhash_signatures": _minhash_sig,
         "minhash_lsh_pairs": _minhash_lsh_pairs,  # rows-only (xxhash64 fast path)
         "minhash_lsh_pairs_det": _minhash_lsh_pairs_det,  # oracle-checked
@@ -1099,6 +1176,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(common * 1.0 /
                      (sa.n_shingles + sb.n_shingles - common), 6) >= 0.3
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_CLUSTER_CTES}
+            SELECT doc_id, cluster_id FROM labeled
+        """,
+        "canonical_docs": f"""
+            WITH RECURSIVE {_CLUSTER_CTES}, ranked AS (
+              SELECT doc_id, cluster_id,
+                     row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id ASC) AS rk,
+                     CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                       AS cluster_size
+              FROM labeled
+            )
+            SELECT doc_id, cluster_id, cluster_size
+            FROM ranked WHERE rk = 1
         """,
         "minhash_signatures": f"""
             WITH {_MINHASH_SIG_CTES}
