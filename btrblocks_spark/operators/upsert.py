@@ -63,6 +63,8 @@ def upsert_eq(
     job_id: str | None = None,
     num_files: int | None = None,
     branch: str | None = None,
+    extra_delete_keys: DataFrame | None = None,
+    extra_summary: dict | None = None,
 ) -> dict:
     """Upsert ``source`` into ``table`` on key column(s) ``on``.
 
@@ -71,6 +73,12 @@ def upsert_eq(
     job that writes the keys, no extra pass). Returns job metrics.
     Checkpoint-resumable like every other writer: both the data-file
     and key-file tasks skip work their marker shows done.
+
+    ``extra_delete_keys``: keys to delete WITHOUT replacement rows
+    (they join the equality-delete files but have no new data) — the
+    "key vanished" half of incremental view maintenance. Must be
+    disjoint from the source's keys. ``extra_summary`` merges into the
+    commit summary (e.g. a rollup watermark, atomic with the upsert).
     """
     on_cols = [on] if isinstance(on, str) else list(on)
     schema_names = table.schema_arrow().names
@@ -89,6 +97,20 @@ def upsert_eq(
     keys_df = source.groupBy(*on_cols).agg(
         F.count(F.lit(1)).alias("_n")
     )
+    if extra_delete_keys is not None:
+        # delete-only keys: never counted toward the duplicate check
+        # (they carry no replacement row); re-grouped so a key that is
+        # (wrongly) in both sets still writes one key row.
+        extras = (
+            extra_delete_keys.select(*on_cols)
+            .distinct()
+            .withColumn("_n", F.lit(1).cast("long"))
+        )
+        keys_df = (
+            keys_df.unionByName(extras)
+            .groupBy(*on_cols)
+            .agg(F.max("_n").alias("_n"))
+        )
     try:
         par = max(table.spark.sparkContext.defaultParallelism, 1)
     except Exception:
@@ -186,6 +208,7 @@ def upsert_eq(
             "strategy": "eq",
             "on": on_cols,
             "upsert_keys": n_keys,
+            **(extra_summary or {}),
         },
     )
     return {

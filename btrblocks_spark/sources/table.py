@@ -2467,9 +2467,13 @@ class BtrTable:
           metadata-only schema evolutions (``add-column`` /
           ``rename-column`` / ``drop-column``): no row-level change —
           contribute nothing (changelog rows use the CURRENT schema).
-        - copy-on-write ``merge``, ``backfill``, ``rollback``: not
-          representable as a file-level diff — NotImplementedError (run
-          MOR merges when a changelog consumer is downstream).
+        - merge-on-read ``delete`` / ``update`` (rowops): added data
+          files are inserts, added positional delete files yield the
+          removed rows' old images — same form as MOR merge.
+        - copy-on-write ``merge``/``delete``/``update``, ``backfill``,
+          ``rollback``: not representable as a file-level diff —
+          NotImplementedError (run MOR variants when a changelog
+          consumer is downstream).
 
         Fast path: each commit's added rows live in its own
         ``manifest-<sid>-a`` manifest. When manifest bin-packing merged
@@ -2527,14 +2531,17 @@ class BtrTable:
                 # no row-level change events (changelog rows always use
                 # the CURRENT schema)
                 continue
-            if op == "merge" and snap["summary"].get("strategy") != "mor":
+            if (
+                op in ("merge", "delete", "update")
+                and snap["summary"].get("strategy") != "mor"
+            ):
                 raise NotImplementedError(
-                    f"snapshot {sid}: copy-on-write merge is not "
+                    f"snapshot {sid}: copy-on-write {op} is not "
                     "file-diffable; use strategy='mor' for changelog "
                     "consumers"
                 )
             if op not in ("append", "stream-append", "merge",
-                          "upsert_eq"):
+                          "upsert_eq", "delete", "update"):
                 raise NotImplementedError(
                     f"snapshot {sid}: operation {op!r} has no "
                     "changelog representation"

@@ -1,0 +1,103 @@
+"""Incremental rollup maintenance: refresh == full recompute, always."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrblocks_spark.operators.rollup import (
+    create_rollup,
+    refresh_rollup,
+    rollup_watermark,
+)
+from btrblocks_spark.operators.rowops import delete_where
+from btrblocks_spark.operators.upsert import upsert_eq
+from btrblocks_spark.sources.table import BtrTable
+
+AGGS = {"total": ("sum", "value"), "n_rows": "count"}
+KEYS = ["grp"]
+
+
+def _src_df(spark, rows):
+    return spark.createDataFrame(rows, "id long, grp long, value long")
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    df = _src_df(spark, [(i, i % 5, i * 10) for i in range(50)])
+    return BtrTable.create(
+        spark, str(tmp_path / "src"), df, num_files=3, job_id="rs0"
+    )
+
+
+def _expected(src):
+    return {
+        r.grp: (r.total, r.n_rows)
+        for r in src.scan()
+        .groupBy("grp")
+        .agg(F.sum("value").alias("total"), F.count("*").alias("n_rows"))
+        .collect()
+    }
+
+
+def _actual(dst):
+    return {r.grp: (r.total, r.n_rows) for r in dst.scan().collect()}
+
+
+def test_create_then_append_refresh(spark, src, tmp_path):
+    dst = create_rollup(src, str(tmp_path / "dst"), KEYS, AGGS, job_id="r0")
+    assert _actual(dst) == _expected(src)
+    assert rollup_watermark(dst) == src.current_snapshot_id()
+
+    src.append(_src_df(spark, [(100, 1, 7), (101, 9, 3)]), job_id="a1")
+    res = refresh_rollup(src, dst, KEYS, AGGS, job_id="r1")
+    assert not res["noop"]
+    got = _actual(dst)
+    assert got == _expected(src)
+    assert got[9] == (3, 1)  # brand-new group appears
+    assert rollup_watermark(dst) == src.current_snapshot_id()
+
+
+def test_refresh_is_noop_when_unchanged(spark, src, tmp_path):
+    dst = create_rollup(src, str(tmp_path / "dst"), KEYS, AGGS, job_id="r0")
+    before = dst.current_snapshot_id()
+    res = refresh_rollup(src, dst, KEYS, AGGS, job_id="r1")
+    assert res["noop"] and dst.current_snapshot_id() == before
+
+
+def test_upsert_and_delete_refresh(spark, src, tmp_path):
+    dst = create_rollup(src, str(tmp_path / "dst"), KEYS, AGGS, job_id="r0")
+    # update some rows (changes group sums via delete old + insert new)
+    upsert_eq(
+        src,
+        _src_df(spark, [(0, 0, 999), (1, 1, 999)]),
+        on="id",
+        job_id="u1",
+    )
+    # wipe out group 2 entirely -> its rollup row must vanish
+    delete_where(src, "grp = 2", strategy="mor", job_id="d1")
+    refresh_rollup(src, dst, KEYS, AGGS, job_id="r1")
+    got = _actual(dst)
+    assert got == _expected(src)
+    assert 2 not in got
+    assert got[0][0] == sum(i * 10 for i in range(5, 50, 5)) + 999
+
+
+def test_multiple_windows_accumulate(spark, src, tmp_path):
+    dst = create_rollup(src, str(tmp_path / "dst"), KEYS, AGGS, job_id="r0")
+    src.append(_src_df(spark, [(200, 3, 1)]), job_id="a1")
+    src.append(_src_df(spark, [(201, 3, 2)]), job_id="a2")
+    refresh_rollup(src, dst, KEYS, AGGS, job_id="r1")  # folds both commits
+    src.append(_src_df(spark, [(202, 3, 4)]), job_id="a3")
+    refresh_rollup(src, dst, KEYS, AGGS, job_id="r2")
+    assert _actual(dst) == _expected(src)
+
+
+def test_rejects_non_decomposable_aggs(spark, src, tmp_path):
+    with pytest.raises(ValueError, match="sum/count"):
+        create_rollup(
+            src, str(tmp_path / "dst"), KEYS, {"m": ("max", "value")}
+        )
+
+
+def test_watermark_requires_rollup_table(spark, src):
+    with pytest.raises(KeyError, match="watermark"):
+        rollup_watermark(src)
