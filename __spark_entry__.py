@@ -422,6 +422,32 @@ def _ngram_jaccard_03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _event_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (no equi-key): events within 60 s of each other,
+    counted per type pair. Exercises functions/rangejoin.py's binning —
+    Catalyst alone would plan this as a nested-loop join."""
+    from btrblocks_spark.functions.rangejoin import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lt = ev.select(
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        "ts",
+    )
+    rt = ev.select(
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("ts").alias("win_s"),
+        (F.col("ts") + F.expr("INTERVAL 60 SECONDS")).alias("win_e"),
+    )
+    return (
+        range_join(lt, rt, "ts", "win_s", "win_e", bin_width_s=60)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters: near-dup pairs (char-5-gram
     Jaccard >= 0.3) -> alternating-star connected components -> every
@@ -799,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketches + temporal joins
         "kmv_distinct": _kmv_distinct_custkey,  # oracle-checked bottom-k
         "asof_purchase": _asof_purchase,  # oracle-checked vs DuckDB ASOF
+        "event_copresence": _event_copresence,  # binned range join
         # deterministic sampling (training-data curation)
         "doc_sample": _doc_sample,  # oracle-checked hash sample
         "stratified_sample": _stratified_sample,  # oracle-checked
@@ -1434,6 +1461,15 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars DESC, doc_id ASC) AS rk
               FROM documents) t
             WHERE rk <= 5 ORDER BY lang, doc_id
+        """,
+        "event_copresence": """
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM events a JOIN events b
+              ON a.ts >= b.ts
+             AND a.ts < b.ts + INTERVAL 60 SECOND
+             AND a.event_id <> b.event_id
+            GROUP BY 1, 2
         """,
         "asof_purchase": """
             WITH r AS (
