@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     # 14-q subset remains comparable via the per-query breakdown)
     "asof_purchase",
     "doc_sample",
+    "event_copresence",  # binned range join (r4)
 ]
 
 
