@@ -145,6 +145,27 @@ def main(argv: list[str] | None = None) -> int:
     mn.add_argument("--min-small-files", type=int, default=8)
     mn.add_argument("--orphans", action="store_true")
 
+    ru = sub.add_parser(
+        "rollup",
+        help="create or refresh an incremental rollup (materialized "
+        "sum/count aggregate maintained from the changelog)",
+    )
+    ru.add_argument("--src", required=True, help="source table root")
+    ru.add_argument("--dst", required=True, help="rollup table root")
+    ru.add_argument("--keys", required=True, help="comma-separated group keys")
+    ru.add_argument(
+        "--sum",
+        action="append",
+        default=[],
+        metavar="OUT=COL",
+        help="sum aggregate (repeatable); n_rows count is always kept",
+    )
+    ru.add_argument(
+        "--create",
+        action="store_true",
+        help="materialize from scratch (otherwise refresh from watermark)",
+    )
+
     vc = sub.add_parser("vacuum", help="remove orphan data/staging files")
     vc.add_argument("--table", required=True)
     vc.add_argument("--dry-run", action="store_true")
@@ -349,6 +370,29 @@ def main(argv: list[str] | None = None) -> int:
             min_small_files=args.min_small_files,
             orphans=args.orphans,
         )
+    elif args.cmd == "rollup":
+        from btrblocks_spark.operators.rollup import (
+            create_rollup,
+            refresh_rollup,
+        )
+
+        keys = [c for c in args.keys.split(",") if c]
+        aggs: dict = {"n_rows": "count"}
+        for spec in args.sum:
+            name, _, col = spec.partition("=")
+            if not col:
+                p.error(f"--sum expects OUT=COL, got {spec!r}")
+            aggs[name] = ("sum", col)
+        src = BtrTable.load(spark, args.src)
+        if args.create:
+            dst = create_rollup(src, args.dst, keys, aggs)
+            out = {
+                "created": args.dst,
+                "groups": sum(r["row_count"] for r in dst.data_files()),
+            }
+        else:
+            dst = BtrTable.load(spark, args.dst)
+            out = refresh_rollup(src, dst, keys, aggs)
     elif args.cmd == "vacuum":
         t = BtrTable.load(spark, args.table)
         out = t.remove_orphan_files(

@@ -100,3 +100,52 @@ def test_entry_queries_and_oracles_consistent():
         "knn_ivf_sq8",
         "embedding_near_dup_lsh",
     }
+
+
+def test_cli_rollup_create_and_refresh(setup, spark, capsys):
+    from pyspark.sql import functions as F
+
+    base, inp, root = setup
+    dst = str(base / "rollup_w")
+    assert jobs.main(
+        ["rollup", "--src", root, "--dst", dst,
+         "--keys", "fmt", "--sum", "total_w=w", "--create"]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["created"] == dst and res["groups"] >= 1
+
+    # no source change -> refresh is a watermark no-op
+    assert jobs.main(
+        ["rollup", "--src", root, "--dst", dst,
+         "--keys", "fmt", "--sum", "total_w=w"]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["noop"] is True
+
+    # append more source rows -> refresh folds them in
+    from btrblocks_spark.sources.table import BtrTable
+
+    src_t = BtrTable.load(spark, root)
+    src_t.append(
+        src_t.scan()
+        .limit(37)
+        .withColumn("image_id", F.concat_ws("-", F.col("image_id"), F.lit("x"))),
+        job_id="cli-extra",
+    )
+    assert jobs.main(
+        ["rollup", "--src", root, "--dst", dst,
+         "--keys", "fmt", "--sum", "total_w=w"]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["noop"] is False and res["upserted_keys"] >= 1
+
+    dst_t = BtrTable.load(spark, dst)
+    got = {r.fmt: (r.total_w, r.n_rows) for r in dst_t.scan().collect()}
+    exp = {
+        r.fmt: (r.tw, r.n)
+        for r in src_t.scan()
+        .groupBy("fmt")
+        .agg(F.sum("w").alias("tw"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp
