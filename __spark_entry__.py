@@ -422,6 +422,25 @@ def _ngram_jaccard_03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.text import ngram_repetition
+
+    return ngram_repetition(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=2
+    )
+
+
+def _decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: docs sharing any word-4-gram with the
+    deterministic 'benchmark' slice (doc_id % 50 == 0) are removed."""
+    from btrblocks_spark.functions.text import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(corpus, benchmark, n=4).select("doc_id")
+
+
 def _event_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure range join (no equi-key): events within 60 s of each other,
     counted per type pair. Exercises functions/rangejoin.py's binning —
@@ -790,6 +809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _docs_tokens,
         "lang_id": _docs_lang,
         "doc_fingerprint": _docs_fingerprint,
+        "doc_repetition": _doc_repetition,  # Gopher-style rep fraction
+        "decontaminated_docs": _decontaminated_docs,  # eval n-gram anti-join
         # block-level zone-map predicate skipping (scan through BtrTable)
         "zonemap_scan": _zonemap_scan,
         "point_lookup": _point_lookup,
@@ -1089,6 +1110,56 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS pred_lang,
                    CAST(greatest(h_en, h_de, h_fr, h_es) AS INT) AS best_hits
             FROM hits
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x != '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 2
+                       THEN list_transform(range(1, len(ws)),
+                              i -> array_to_string(ws[i:i+1], ' '))
+                       ELSE []::VARCHAR[] END AS grams
+              FROM toks
+            )
+            SELECT doc_id,
+                   len(grams) AS n_grams,
+                   len(list_distinct(grams)) AS n_distinct,
+                   round(CASE WHEN len(grams) > 0
+                     THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                     ELSE 0.0 END, 6) AS rep_frac
+            FROM g
+        """,
+        "decontaminated_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9]+'),
+                       x -> x != '') AS ws
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 4
+                       THEN list_transform(range(1, len(ws) - 2),
+                              i -> array_to_string(ws[i:i+3], ' '))
+                       ELSE []::VARCHAR[] END AS grams
+              FROM toks
+            ), corpus AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g
+              WHERE doc_id % 50 <> 0
+            ), bench AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM g
+              WHERE doc_id % 50 = 0
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 50 <> 0
+              AND doc_id NOT IN (
+                SELECT DISTINCT doc_id FROM corpus JOIN bench USING (gram)
+              )
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fingerprint,

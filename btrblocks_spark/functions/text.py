@@ -148,3 +148,79 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
     )
+
+
+def _word_ngrams(col, n: int):
+    """Array of word n-grams of ``col`` (lowered, token-split) — empty
+    when the doc has fewer than n tokens. Pure built-ins: the guard
+    matters because sequence(0, negative) DESCENDS instead of being
+    empty."""
+    toks = f"filter(split(lower({col}), '[^a-z0-9]+'), x -> x != '')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def ngram_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of a document's
+    word n-gram occurrences that are repeats of an earlier n-gram
+    (``1 - distinct/total``). Near-0 for natural prose, near-1 for
+    boilerplate/template spam — the standard pretraining quality gate
+    alongside length/stopword ratios. One narrow projection, no
+    shuffle, no Python."""
+    grams = _word_ngrams(text_col, n)
+    out = df.select(
+        id_col,
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        "n_distinct",
+        F.round(
+            F.when(
+                F.col("n_grams") > 0,
+                1.0 - F.col("n_distinct") / F.col("n_grams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rep_frac"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove training docs that share ANY word n-gram with a benchmark
+    set (the standard eval-decontamination rule, n=8..13 in practice).
+
+    Shape at 100 TB: explode both sides to (gram) keys, leftsemi join
+    marks contaminated ids, anti join removes them — the benchmark side
+    is eval-set sized (small), so Catalyst broadcasts it; the corpus
+    explode stays a narrow map feeding one shuffle-free broadcast probe.
+    """
+    def grams_of(frame: DataFrame, cols: list[str]) -> DataFrame:
+        return frame.select(
+            *cols, F.explode(_word_ngrams(text_col, n)).alias("_gram")
+        )
+
+    bench_grams = grams_of(benchmark, []).distinct()
+    hits = (
+        grams_of(df, [id_col])
+        .join(bench_grams, "_gram", "leftsemi")
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")

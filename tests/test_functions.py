@@ -400,3 +400,46 @@ def test_quantize_embeddings_codes_bounded(spark):
         "min(q_scale) as smin",
     ).collect()[0]
     assert row.mx <= 127 and row.smin > 0
+
+
+def test_ngram_repetition_edges(spark):
+    from btrblocks_spark.functions.text import ngram_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),   # one distinct bigram
+            (2, "a b c d"),                     # all distinct
+            (3, "word"),                        # < n tokens -> 0 grams
+            (4, ""),                            # empty
+            (5, "A  b!a B"),                    # case/punct normalization
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_grams, r.n_distinct, r.rep_frac)
+           for r in ngram_repetition(docs, n=2).collect()}
+    assert got[1] == (4, 1, 0.75)
+    assert got[2] == (3, 3, 0.0)
+    assert got[3] == (0, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+    # "a b", "b a", "a b" -> 3 grams, 2 distinct
+    assert got[5] == (3, 2, round(1 - 2 / 3, 6))
+
+
+def test_decontaminate_removes_sharing_docs(spark):
+    from btrblocks_spark.functions.text import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here nothing shared at all"),
+            (3, "prefix quick brown fox jumps suffix tail words"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "xx quick brown fox jumps yy")], "doc_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id for r in decontaminate(corpus, bench, n=4).collect()
+    )
+    assert kept == [2]  # docs 1 and 3 share the 4-gram "quick brown fox jumps"
