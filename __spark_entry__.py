@@ -441,6 +441,46 @@ def _decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, benchmark, n=4).select("doc_id")
 
 
+def _dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: paragraphs = ' the '-delimited spans
+    (the synthetic corpus has no newlines; the token split is the same
+    operator a newline corpus would run), first corpus-wide occurrence
+    wins, docs reassembled from survivors."""
+    from btrblocks_spark.functions.dedup import dedup_paragraphs
+
+    return dedup_paragraphs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        sep=" the ",
+        joiner=" the ",
+    )
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over text with DETERMINISTICALLY PLANTED spans (the
+    synthetic corpus is letter-only word salad, so email/IP/phone are
+    appended as functions of doc_id to make the scrub non-vacuous)."""
+    from btrblocks_spark.functions.text import scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0."),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit(" tel 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(planted)
+
+
 def _event_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure range join (no equi-key): events within 60 s of each other,
     counted per type pair. Exercises functions/rangejoin.py's binning —
@@ -811,6 +851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _docs_fingerprint,
         "doc_repetition": _doc_repetition,  # Gopher-style rep fraction
         "decontaminated_docs": _decontaminated_docs,  # eval n-gram anti-join
+        "dedup_paragraphs": _dedup_paragraphs,  # sub-document exact dedup
+        "pii_scrub": _pii_scrub,  # email/IP/phone redaction (planted)
         # block-level zone-map predicate skipping (scan through BtrTable)
         "zonemap_scan": _zonemap_scan,
         "point_lookup": _point_lookup,
@@ -1160,6 +1202,56 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id NOT IN (
                 SELECT DISTINCT doc_id FROM corpus JOIN bench USING (gram)
               )
+        """,
+        "dedup_paragraphs": """
+            WITH p0 AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(text, ' the ')) AS para,
+                     unnest(range(1, len(string_split_regex(text, ' the ')) + 1)) AS pos
+              FROM documents
+            ), p AS (
+              SELECT * FROM p0 WHERE trim(para) != ''
+            ), t AS (
+              SELECT doc_id, para, pos,
+                     count(*) OVER (PARTITION BY doc_id) AS n_total,
+                     row_number() OVER (
+                       PARTITION BY md5(lower(trim(para)))
+                       ORDER BY doc_id, pos) AS rk
+              FROM p
+            )
+            SELECT doc_id,
+                   string_agg(para, ' the ' ORDER BY pos) AS text,
+                   CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(any_value(n_total) AS BIGINT) AS n_total
+            FROM t WHERE rk = 1
+            GROUP BY doc_id
+        """,
+        "pii_scrub": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id ||
+                     '@example.com ip 10.' || (doc_id % 256) || '.0.' ||
+                     (doc_id % 100) || ' tel 555-' ||
+                     lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text,
+                     '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS BIGINT) AS n_phone,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                     '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'
+                   ) AS text
+            FROM planted
         """,
         "doc_fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fingerprint,

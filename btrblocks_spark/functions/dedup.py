@@ -459,3 +459,54 @@ def phash_near_pairs(
         F.col("doc_b").alias("id_b"),
         "hamming",
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n\n+",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Cross-corpus paragraph-level exact dedup (the CCNet/RefinedWeb
+    sub-document pass): split every document into paragraphs on ``sep``,
+    keep only the FIRST occurrence corpus-wide of each normalized
+    (lower+trim) paragraph — ordered by (doc, position) — and reassemble
+    the surviving paragraphs with ``joiner``.
+
+    Returns (id, text, n_kept, n_total); documents whose every paragraph
+    was a repeat disappear (standard boilerplate-removal semantics).
+
+    Shape at 100 TB: posexplode is a narrow map; first-occurrence
+    selection is ONE shuffle on the 16-byte paragraph digest (uniform
+    key — a hot boilerplate paragraph is still a single digest group
+    whose window only ranks, never materializes, its members);
+    reassembly is one shuffle back on the doc id. No driver state.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).filter(F.trim("para") != "")
+    paras = paras.withColumn(
+        "n_total", F.count("*").over(Window.partitionBy(id_col))
+    )
+    first = Window.partitionBy(
+        F.md5(F.lower(F.trim(F.col("para"))))
+    ).orderBy(id_col, "pos")
+    kept = (
+        paras.withColumn("_rk", F.row_number().over(first))
+        .filter(F.col("_rk") == 1)
+    )
+    out = kept.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "para"))).alias("_ps"),
+        F.count("*").alias("n_kept"),
+        F.first("n_total").alias("n_total"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.concat_ws(
+            joiner, F.transform("_ps", lambda s: s.para)
+        ).alias("text"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )

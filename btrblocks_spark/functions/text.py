@@ -224,3 +224,37 @@ def decontaminate(
         .distinct()
     )
     return df.join(hits, id_col, "left_anti")
+
+
+# PII patterns shared with the DuckDB oracle — RE2/Java-compatible subset
+# only (no lookaround, no backrefs), applied in this order so an earlier
+# replacement can never manufacture a later pattern's match.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers from a text column
+    (the standard pretraining PII scrub), returning per-category match
+    counts plus the scrubbed text.
+
+    Counts are taken on the ORIGINAL text, replacements applied in
+    :data:`PII_PATTERNS` order. Pure ``regexp_count``/``regexp_replace``
+    built-ins — one narrow JVM-side projection, no shuffle, no Python;
+    at 100 TB this fuses into whatever scan feeds it.
+    """
+    cols = [F.col(id_col)]
+    scrubbed = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        cols.append(
+            F.regexp_count(F.col(text_col), F.lit(pat))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(*cols, scrubbed.alias("text"))

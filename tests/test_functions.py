@@ -443,3 +443,49 @@ def test_decontaminate_removes_sharing_docs(spark):
         r.doc_id for r in decontaminate(corpus, bench, n=4).collect()
     )
     assert kept == [2]  # docs 1 and 3 share the 4-gram "quick brown fox jumps"
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from btrblocks_spark.functions.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nshared boilerplate\n\ngamma"),
+            (2, "shared boilerplate\n\ndelta"),      # para 0 is a repeat
+            (3, "SHARED BOILERPLATE"),               # normalized repeat only
+            (4, "\n\n\n\n"),                          # all empty -> drops
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    assert got[1].text == "alpha beta\n\nshared boilerplate\n\ngamma"
+    assert (got[1].n_kept, got[1].n_total) == (3, 3)
+    assert got[2].text == "delta"
+    assert (got[2].n_kept, got[2].n_total) == (1, 2)
+    assert 3 not in got      # lost its only (normalized-dup) paragraph
+    assert 4 not in got      # empty paragraphs never count
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from btrblocks_spark.functions.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-ample.org and d@e.io here"),
+            (2, "server 192.168.0.1 and 10.0.0.255 up"),
+            (3, "call 555-123-4567 or 555.987.6543"),
+            (4, "clean text, no pii at all"),
+            (5, "combo x@y.com 1.2.3.4 111-222-3333"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert got[1].text == "mail <EMAIL> and <EMAIL> here"
+    assert got[1].n_email == 2 and got[1].n_ipv4 == 0
+    assert got[2].text == "server <IP> and <IP> up"
+    assert got[2].n_ipv4 == 2
+    assert got[3].text == "call <PHONE> or <PHONE>"
+    assert got[3].n_phone == 2
+    assert got[4].text == "clean text, no pii at all"
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (0, 0, 0)
+    assert got[5].text == "combo <EMAIL> <IP> <PHONE>"
