@@ -696,6 +696,26 @@ def _knn_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf_sq8(table, queries, cents, k=5, n_probe=2)
 
 
+def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC tier (rows-only: numpy k-means codebooks are not
+    SQL-expressible): corpus scanned as m-byte codes, float queries
+    broadcast, asymmetric-distance cosine. Recall gate (>= 0.7 on the
+    adversarial isotropic corpus at m=32/ksub=64) lives in pytest
+    (test_similarity_scale.test_knn_pq_recall_gate); the IVF-PQ
+    composition is covered there too."""
+    from btrblocks_spark.functions.similarity import knn_pq
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return knn_pq(emb, queries, dim=dim, k=5, m=32, ksub=64)
+
+
 def _knn_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality gate: recall@5 of the *deterministic* banded LSH vs
     brute force — oracle-checkable (DuckDB reproduces the integer LSH
@@ -882,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": _knn_lsh,  # rows-only (numpy hyperplanes)
         "knn_ivf": _knn_ivf,  # rows-only (numpy kmeans centroids)
         "knn_ivf_sq8": _knn_ivf_sq8,  # rows-only (IVF-SQ8 composition)
+        "knn_pq": _knn_pq,  # rows-only (PQ ADC; pytest recall gate)
         "knn_recall_lsh": _knn_recall_lsh,  # oracle-checked (det LSH)
         "embedding_near_dup": _near_dup_embeddings,  # exact oracle twin
         "embedding_near_dup_lsh": _near_dup_embeddings_lsh,  # rows-only

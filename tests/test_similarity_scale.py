@@ -119,3 +119,81 @@ def test_knn_ivf_sq8_probe_stays_in_probed_cells(spark, tmp_path):
 
     for row in got.itertuples():
         assert cell_of(vecs[row.vec_id]) in probes_of(vecs[row.query_id])
+
+
+def test_knn_pq_recall_gate(spark):
+    """PQ ADC top-k vs float brute force on the random-embedding corpus
+    — PQ's adversarial case (isotropic subspaces, nothing for k-means
+    to exploit). m=32/ksub=64 over dim=64 measured ~0.88 recall@5 in a
+    numpy prototype; gate at 0.7 to absorb sampling seeds."""
+    from btrblocks_spark.functions.similarity import (
+        knn_bruteforce,
+        knn_pq,
+        knn_recall,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ann = knn_pq(emb, q, dim=dim, k=5, m=32, ksub=64)
+    exact = knn_bruteforce(emb, q, k=5)
+    recalls = [r.recall_at_k for r in knn_recall(ann, exact, k=5).collect()]
+    assert len(recalls) == 10
+    assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_knn_ivf_pq_probe_and_code_width(spark, tmp_path):
+    """IVF-PQ composition: codes persisted in the cell layout are m ints
+    wide, a 2-cell probe returns only vectors from probed cells, and
+    all-cells probing matches plain knn_pq's results exactly (same
+    codebooks => same ADC scores)."""
+    from btrblocks_spark.functions.similarity import (
+        build_ivf_pq_table,
+        knn_ivf_pq,
+        knn_pq,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    table, cents, books = build_ivf_pq_table(
+        spark, emb, str(tmp_path / "pqtab"), dim=dim,
+        n_centroids=8, m=16, ksub=32,
+    )
+    assert books.shape == (16, 32, dim // 16)
+    got_codes = table.scan(columns=["pq"]).first()
+    assert len(got_codes.pq) == 16
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    # all-cells probe == exhaustive ADC: must equal knn_pq bit-for-bit
+    full = knn_ivf_pq(table, q, cents, books, k=5, n_probe=8).toPandas()
+    plain = knn_pq(
+        emb, q, dim=dim, k=5, codebooks=books
+    ).toPandas()
+    full = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    plain = plain.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (full["vec_id"] == plain["vec_id"]).all()
+    assert np.allclose(full["cosine"], plain["cosine"])
+
+    # narrow probe stays within probed cells
+    narrow = knn_ivf_pq(table, q, cents, books, k=5, n_probe=2).toPandas()
+    assert len(narrow) == 15
+    vecs = {r.vec_id: np.asarray(r.embedding, np.float64) for r in emb.collect()}
+
+    def probes_of(v, n=2):
+        d = ((cents - v) ** 2).sum(1)
+        return set(np.argsort(d, kind="stable")[:n].tolist())
+
+    for row in narrow.itertuples():
+        qp = probes_of(vecs[row.query_id])
+        vc = int(((cents - vecs[row.vec_id]) ** 2).sum(1).argmin())
+        assert vc in qp
