@@ -1231,12 +1231,14 @@ def oracle_sql() -> dict[str, str]:
                      unnest(range(1, len(string_split_regex(text, ' the ')) + 1)) AS pos
               FROM documents
             ), p AS (
-              SELECT * FROM p0 WHERE trim(para) != ''
+              SELECT * FROM p0
+              WHERE regexp_replace(para, '^\\s+|\\s+$', '', 'g') != ''
             ), t AS (
               SELECT doc_id, para, pos,
                      count(*) OVER (PARTITION BY doc_id) AS n_total,
                      row_number() OVER (
-                       PARTITION BY md5(lower(trim(para)))
+                       PARTITION BY md5(lower(
+                         regexp_replace(para, '^\\s+|\\s+$', '', 'g')))
                        ORDER BY doc_id, pos) AS rk
               FROM p
             )

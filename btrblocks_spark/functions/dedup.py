@@ -483,16 +483,19 @@ def dedup_paragraphs(
     whose window only ranks, never materializes, its members);
     reassembly is one shuffle back on the doc id. No driver state.
     """
+    # trim() strips only ' ' in both Spark and DuckDB — a tab/newline-only
+    # paragraph would survive it, so strip all whitespace by regex
+    stripped = F.regexp_replace(F.col("para"), r"^\s+|\s+$", "")
     paras = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
-    ).filter(F.trim("para") != "")
+    ).filter(stripped != "")
     paras = paras.withColumn(
         "n_total", F.count("*").over(Window.partitionBy(id_col))
     )
-    first = Window.partitionBy(
-        F.md5(F.lower(F.trim(F.col("para"))))
-    ).orderBy(id_col, "pos")
+    first = Window.partitionBy(F.md5(F.lower(stripped))).orderBy(
+        id_col, "pos"
+    )
     kept = (
         paras.withColumn("_rk", F.row_number().over(first))
         .filter(F.col("_rk") == 1)

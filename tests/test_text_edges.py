@@ -88,3 +88,45 @@ def test_minhash_and_simhash_skip_nulls(edge_docs):
 
     sh = {r.doc_id: r.simhash for r in simhash_det(edge_docs).collect()}
     assert sh[6] == sh[7]
+
+
+def test_repetition_and_pii_handle_edges(edge_docs):
+    from btrblocks_spark.functions.text import ngram_repetition, scrub_pii
+
+    rep = {r.doc_id: r for r in ngram_repetition(edge_docs, n=2).collect()}
+    assert len(rep) == 9
+    for d in (1, 2, 3, 8):  # null/empty/ws/single-token -> 0 grams, frac 0
+        assert (rep[d].n_grams, rep[d].rep_frac) == (0, 0.0)
+    # 5x-repeated sentence: 44 bigrams, 9 distinct -> 1 - 9/44
+    assert rep[6].rep_frac == round(1 - 9 / 44, 6)
+    assert rep[4].n_grams > 0             # unicode must not crash
+
+    pii = {r.doc_id: r for r in scrub_pii(edge_docs).collect()}
+    assert len(pii) == 9
+    assert pii[1].text is None            # null propagates, never throws
+    assert (pii[1].n_email or 0) == 0
+    assert pii[4].text == "héllo wörld — déjà vu naïve façade"
+
+
+def test_dedup_paragraphs_and_decontaminate_edges(edge_docs):
+    from btrblocks_spark.functions.dedup import dedup_paragraphs
+    from btrblocks_spark.functions.text import decontaminate
+
+    out = {r.doc_id: r for r in dedup_paragraphs(edge_docs).collect()}
+    # null/empty/whitespace docs contribute no paragraphs and vanish
+    for d in (1, 2, 3):
+        assert d not in out
+    # identical docs 6/7: 6 keeps its (single) paragraph, 7 loses it
+    assert 6 in out and 7 not in out
+    assert out[6].n_kept == 1 and out[6].n_total == 1
+    assert out[5].text.strip() != ""      # unicode paragraph survives
+
+    bench = edge_docs.filter(F.col("doc_id") == 7)  # shares all of 6's grams
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate(
+            edge_docs.filter(F.col("doc_id") != 7), bench, n=4
+        ).collect()
+    )
+    # doc 6 contaminated; null/empty/short docs have no 4-grams -> kept
+    assert kept == [1, 2, 3, 4, 5, 8, 9]
