@@ -441,6 +441,12 @@ def _decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, benchmark, n=4).select("doc_id")
 
 
+def _corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.text import corpus_report
+
+    return corpus_report(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document exact dedup: paragraphs = ' the '-delimited spans
     (the synthetic corpus has no newlines; the token split is the same
@@ -871,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _docs_fingerprint,
         "doc_repetition": _doc_repetition,  # Gopher-style rep fraction
         "decontaminated_docs": _decontaminated_docs,  # eval n-gram anti-join
+        "corpus_report": _corpus_report,  # CUBE grouping-sets curation stats
         "dedup_paragraphs": _dedup_paragraphs,  # sub-document exact dedup
         "pii_scrub": _pii_scrub,  # email/IP/phone redaction (planted)
         # block-level zone-map predicate skipping (scan through BtrTable)
@@ -1223,6 +1230,17 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id NOT IN (
                 SELECT DISTINCT doc_id FROM corpus JOIN bench USING (gram)
               )
+        """,
+        "corpus_report": """
+            SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
+                   CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+                   round(1.0 - count(DISTINCT md5(text)) * 1.0 / count(*), 6) AS dup_frac,
+                   CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS total_tokens,
+                   round(avg(length(text)), 4) AS avg_chars
+            FROM documents
+            GROUP BY CUBE (lang, source)
         """,
         "dedup_paragraphs": """
             WITH p0 AS (

@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "asof_purchase",
     "doc_sample",
     "event_copresence",  # binned range join (r4)
+    "dedup_paragraphs",  # sub-document dedup: digest window + reassembly
+    "pii_scrub",  # regexp redaction — pure narrow projection
 ]
 
 

@@ -258,3 +258,48 @@ def scrub_pii(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return df.select(*cols, scrubbed.alias("text"))
+
+
+def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-scan corpus curation report over CUBE(lang, source): doc
+    counts, exact-duplicate fraction (via distinct content digests),
+    token totals and mean length — per language, per source, per
+    (lang, source) cell and the grand total, in a single aggregation.
+
+    Spark-first shape: ``cube`` + ``grouping`` are built-in grouping
+    sets (one shuffle, partial aggregation map-side); the dup counter
+    is ``count(distinct md5(text))`` which AQE expands to the standard
+    two-phase distinct. Rollup axes read ``<all>`` (disambiguated from
+    real values with ``grouping()``, not null-coalescing).
+    """
+    toks = F.regexp_count(F.col(text_col), F.lit(TOKEN_RE))
+    base = df.select(
+        "lang",
+        "source",
+        toks.alias("_t"),
+        F.length(text_col).alias("_c"),
+        F.md5(text_col).alias("_d"),
+    )
+    g = base.cube("lang", "source").agg(
+        F.grouping("lang").alias("_gl"),
+        F.grouping("source").alias("_gs"),
+        F.count("*").alias("n_docs"),
+        F.countDistinct("_d").alias("n_unique"),
+        F.sum("_t").cast("long").alias("total_tokens"),
+        F.round(F.avg("_c"), 4).alias("avg_chars"),
+    )
+    return g.select(
+        F.when(F.col("_gl") == 1, F.lit("<all>"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+        F.when(F.col("_gs") == 1, F.lit("<all>"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.col("n_unique") / F.col("n_docs"), 6
+        ).alias("dup_frac"),
+        "total_tokens",
+        "avg_chars",
+    )

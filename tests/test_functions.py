@@ -489,3 +489,26 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got[4].text == "clean text, no pii at all"
     assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (0, 0, 0)
     assert got[5].text == "combo <EMAIL> <IP> <PHONE>"
+
+
+def test_corpus_report_grouping_sets(spark):
+    from btrblocks_spark.functions.text import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "web", "alpha beta"),
+            (2, "en", "web", "alpha beta"),   # exact dup of 1
+            (3, "en", "book", "gamma delta"),
+            (4, "de", "web", "eins zwei"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    got = {(r.lang, r.source): r for r in corpus_report(docs).collect()}
+    assert len(got) == 3 + 2 + 2 + 1  # cells + lang rollup + source rollup + total
+    top = got[("<all>", "<all>")]
+    assert (top.n_docs, top.n_unique) == (4, 3)
+    assert top.dup_frac == 0.25
+    assert top.total_tokens == 8
+    en_web = got[("en", "web")]
+    assert (en_web.n_docs, en_web.n_unique, en_web.dup_frac) == (2, 1, 0.5)
+    assert got[("de", "<all>")].n_docs == 1
