@@ -441,6 +441,29 @@ def _decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, benchmark, n=4).select("doc_id")
 
 
+def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline, hash-verified end-to-end: exact
+    dedup -> en+quality gates -> repetition cap (0.05) -> eval-set
+    decontamination (4-grams vs the doc_id%50==0 slice) -> paragraph
+    dedup with reassembly (' the '-split) -> PII scrub."""
+    from btrblocks_spark.functions.pipeline import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return curate_corpus(
+        corpus,
+        benchmark=benchmark,
+        lang="en",
+        min_quality=0.3,
+        max_rep=0.05,
+        rep_n=2,
+        decontam_n=4,
+        para_sep=" the ",
+        para_joiner=" the ",
+    )
+
+
 def _corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.text import corpus_report
 
@@ -878,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _doc_repetition,  # Gopher-style rep fraction
         "decontaminated_docs": _decontaminated_docs,  # eval n-gram anti-join
         "corpus_report": _corpus_report,  # CUBE grouping-sets curation stats
+        "curated_corpus": _curated_corpus,  # full composed pipeline, oracle-checked
         "dedup_paragraphs": _dedup_paragraphs,  # sub-document exact dedup
         "pii_scrub": _pii_scrub,  # email/IP/phone redaction (planted)
         # block-level zone-map predicate skipping (scan through BtrTable)
@@ -1230,6 +1254,120 @@ def oracle_sql() -> dict[str, str]:
               AND doc_id NOT IN (
                 SELECT DISTINCT doc_id FROM corpus JOIN bench USING (gram)
               )
+        """,
+        "curated_corpus": f"""
+            WITH docs AS (
+              SELECT * FROM documents WHERE doc_id % 50 <> 0
+            ), bench AS (
+              SELECT * FROM documents WHERE doc_id % 50 = 0
+            ), toks AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                 x -> x <> '') AS tok
+              FROM docs
+            ), q AS (
+              SELECT doc_id,
+                     CAST(len(tok) AS INT) AS n_tokens,
+                     round((length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       * 1.0 / greatest(length(text), 1))
+                       * least(len(tok) / 100.0, 1.0), 6) AS quality
+              FROM toks
+            ), hits AS (
+              SELECT doc_id,
+                     len(list_filter(tok, x -> x IN ({_STOP_EN}))) AS h_en,
+                     len(list_filter(tok, x -> x IN ({_STOP_DE}))) AS h_de,
+                     len(list_filter(tok, x -> x IN ({_STOP_FR}))) AS h_fr,
+                     len(list_filter(tok, x -> x IN ({_STOP_ES}))) AS h_es
+              FROM toks
+            ), lang AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(h_en, h_de, h_fr, h_es) <= 0 THEN 'und'
+                          WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                          WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                          WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                          ELSE 'es' END AS pred_lang
+              FROM hits
+            ), keep AS (
+              SELECT min(doc_id) AS doc_id
+              FROM docs GROUP BY md5({_NORM})
+            ), rep AS (
+              SELECT doc_id,
+                     round(CASE WHEN len(grams) > 0
+                       THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                       ELSE 0.0 END, 6) AS rep_frac
+              FROM (
+                SELECT doc_id,
+                       CASE WHEN len(tok) >= 2
+                         THEN list_transform(range(1, len(tok)),
+                                i -> array_to_string(tok[i:i+1], ' '))
+                         ELSE []::VARCHAR[] END AS grams
+                FROM toks
+              )
+            ), s1 AS (
+              SELECT q.doc_id, q.n_tokens, q.quality, toks.text, toks.tok
+              FROM q
+              JOIN lang USING (doc_id)
+              JOIN keep USING (doc_id)
+              JOIN rep USING (doc_id)
+              JOIN toks USING (doc_id)
+              WHERE lang.pred_lang = 'en' AND q.quality >= 0.3
+                AND rep.rep_frac <= 0.05
+            ), s1g AS (
+              SELECT doc_id, unnest(
+                CASE WHEN len(tok) >= 4
+                  THEN list_transform(range(1, len(tok) - 2),
+                         i -> array_to_string(tok[i:i+3], ' '))
+                  ELSE []::VARCHAR[] END) AS gram
+              FROM s1
+            ), bg AS (
+              SELECT DISTINCT unnest(
+                CASE WHEN len(tok) >= 4
+                  THEN list_transform(range(1, len(tok) - 2),
+                         i -> array_to_string(tok[i:i+3], ' '))
+                  ELSE []::VARCHAR[] END) AS gram
+              FROM (
+                SELECT doc_id,
+                       list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                                   x -> x <> '') AS tok
+                FROM bench
+              )
+            ), s2 AS (
+              SELECT * FROM s1 WHERE doc_id NOT IN (
+                SELECT DISTINCT s1g.doc_id FROM s1g JOIN bg USING (gram)
+              )
+            ), p0 AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(text, ' the ')) AS para,
+                     unnest(range(1, len(string_split_regex(text, ' the ')) + 1)) AS pos
+              FROM s2
+            ), p AS (
+              SELECT * FROM p0
+              WHERE regexp_replace(para, '^\\s+|\\s+$', '', 'g') != ''
+            ), t AS (
+              SELECT doc_id, para, pos,
+                     row_number() OVER (
+                       PARTITION BY md5(lower(
+                         regexp_replace(para, '^\\s+|\\s+$', '', 'g')))
+                       ORDER BY doc_id, pos) AS rk
+              FROM p
+            ), reasm AS (
+              SELECT doc_id,
+                     string_agg(para, ' the ' ORDER BY pos) AS text
+              FROM t WHERE rk = 1
+              GROUP BY doc_id
+            )
+            SELECT s2.doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(reasm.text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+                         '<EMAIL>', 'g'),
+                       '\\b(?:\\d{{1,3}}\\.){{3}}\\d{{1,3}}\\b', '<IP>', 'g'),
+                     '\\b\\d{{3}}[-.]\\d{{3}}[-.]\\d{{4}}\\b', '<PHONE>', 'g'
+                   ) AS text,
+                   s2.n_tokens,
+                   round(s2.quality, 6) AS quality
+            FROM reasm JOIN s2 USING (doc_id)
         """,
         "corpus_report": """
             SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,

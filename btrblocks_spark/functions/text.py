@@ -102,7 +102,9 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def corpus_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def corpus_features(
+    df: DataFrame, text_col: str = "text", keep: list[str] | None = None
+) -> DataFrame:
     """One-pass projection of everything the corpus-curation pipeline
     needs: token count, quality, predicted language, and the exact-dedup
     content hash — a single scan with zero shuffles, so the composite
@@ -137,6 +139,7 @@ def corpus_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality.alias("quality"),
         pred.alias("pred_lang"),
         F.md5(norm).alias("content_hash"),
+        *[F.col(c) for c in (keep or [])],
     )
 
 
