@@ -164,3 +164,48 @@ def test_stream_upsert_into_table(spark, tmp_path):
     q2.awaitTermination(120)
     assert t.current_snapshot_id() == sid
     assert t.scan().count() == 105
+
+
+def test_streaming_curation_stateless_stages(spark, tmp_path):
+    """The stateless curation stages (features, gates, PII scrub) run
+    unchanged on a stream — same built-in expressions, no state store —
+    and the streamed result equals the batch result."""
+    from btrblocks_spark.functions.text import corpus_features, scrub_pii
+
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps for it was a fine day in the "
+                "park and all of the dogs ran to the gate " * 2),
+            (2, "der hund und die katze sind von den nicht ein haus"),
+            (3, "mail me at someone@example.com for that prize it is the "
+                "best of all the prizes and you want it " * 2),
+        ],
+        "doc_id long, text string",
+    )
+    docs.write.parquet(src)
+
+    def curate(df):
+        feats = corpus_features(df, keep=["text"]).filter(
+            (F.col("pred_lang") == "en") & (F.col("quality") >= 0.1)
+        )
+        return scrub_pii(feats).select("doc_id", "n_email", "text")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    got = {
+        r.doc_id: r for r in spark.sql("SELECT * FROM curated_stream").collect()
+    }
+    want = {r.doc_id: r for r in curate(docs).collect()}
+    assert set(got) == set(want) == {1, 3}
+    assert got[3].n_email == 2 and "<EMAIL>" in got[3].text  # doc text is x2
+    for k in want:
+        assert got[k].text == want[k].text
