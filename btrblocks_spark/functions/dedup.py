@@ -467,6 +467,7 @@ def dedup_paragraphs(
     id_col: str = "doc_id",
     sep: str = r"\n\n+",
     joiner: str = "\n\n",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Cross-corpus paragraph-level exact dedup (the CCNet/RefinedWeb
     sub-document pass): split every document into paragraphs on ``sep``,
@@ -488,6 +489,7 @@ def dedup_paragraphs(
     stripped = F.regexp_replace(F.col("para"), r"^\s+|\s+$", "")
     paras = df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep or [])],
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     ).filter(stripped != "")
     paras = paras.withColumn(
@@ -504,6 +506,7 @@ def dedup_paragraphs(
         F.array_sort(F.collect_list(F.struct("pos", "para"))).alias("_ps"),
         F.count("*").alias("n_kept"),
         F.first("n_total").alias("n_total"),
+        *[F.first(c).alias(c) for c in (keep or [])],
     )
     return out.select(
         F.col(id_col),
@@ -512,4 +515,5 @@ def dedup_paragraphs(
         ).alias("text"),
         F.col("n_kept").cast("long").alias("n_kept"),
         F.col("n_total").cast("long").alias("n_total"),
+        *[F.col(c) for c in (keep or [])],
     )

@@ -88,19 +88,22 @@ def curate_corpus(
         )
 
     # 5. paragraph-level dedup + reassembly (among survivors only — the
-    # drop order matters and is mirrored in the oracle)
+    # drop order matters and is mirrored in the oracle). The gate
+    # features ride THROUGH the stage (keep=...): re-joining survivors
+    # at the end would execute the whole gate subtree — including the
+    # decontamination explode-joins — a second time.
     paras = dedup_paragraphs(
-        survivors.select(id_col, text_col),
+        survivors.select(id_col, text_col, "n_tokens", "quality"),
         text_col=text_col,
         id_col=id_col,
         sep=para_sep,
         joiner=para_joiner,
-    ).select(id_col, text_col)
+        keep=["n_tokens", "quality"],
+    ).select(id_col, text_col, "n_tokens", "quality")
 
-    # 6. PII scrub of the final text; re-attach the gate features
-    scrubbed = scrub_pii(paras, text_col=text_col, id_col=id_col).select(
-        id_col, text_col
+    # 6. PII scrub of the final text
+    return scrub_pii(
+        paras, text_col=text_col, id_col=id_col, keep=["n_tokens", "quality"]
+    ).select(
+        id_col, text_col, "n_tokens", F.round("quality", 6).alias("quality")
     )
-    return scrubbed.join(
-        survivors.select(id_col, "n_tokens", "quality"), id_col
-    ).select(id_col, text_col, "n_tokens", F.round("quality", 6).alias("quality"))

@@ -240,7 +240,10 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 
 
 def scrub_pii(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: list[str] | None = None,
 ) -> DataFrame:
     """Redact emails / IPv4 addresses / phone numbers from a text column
     (the standard pretraining PII scrub), returning per-category match
@@ -260,7 +263,9 @@ def scrub_pii(
             .alias(f"n_{name}")
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
-    return df.select(*cols, scrubbed.alias("text"))
+    return df.select(
+        *cols, scrubbed.alias("text"), *[F.col(c) for c in (keep or [])]
+    )
 
 
 def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
