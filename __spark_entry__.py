@@ -464,6 +464,14 @@ def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from btrblocks_spark.functions.text import vocabulary
+
+    return vocabulary(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), top_k=100
+    )
+
+
 def _corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.text import corpus_report
 
@@ -901,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _doc_repetition,  # Gopher-style rep fraction
         "decontaminated_docs": _decontaminated_docs,  # eval n-gram anti-join
         "corpus_report": _corpus_report,  # CUBE grouping-sets curation stats
+        "vocabulary": _vocabulary,  # corpus-wide token counts (top-k)
         "curated_corpus": _curated_corpus,  # full composed pipeline, oracle-checked
         "dedup_paragraphs": _dedup_paragraphs,  # sub-document exact dedup
         "pii_scrub": _pii_scrub,  # email/IP/phone redaction (planted)
@@ -1368,6 +1377,22 @@ def oracle_sql() -> dict[str, str]:
                    s2.n_tokens,
                    round(s2.quality, 6) AS quality
             FROM reasm JOIN s2 USING (doc_id)
+        """,
+        "vocabulary": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> x <> '')) AS token
+              FROM documents
+            )
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS count,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+            FROM toks
+            GROUP BY token
+            ORDER BY count DESC, token ASC
+            LIMIT 100
         """,
         "corpus_report": """
             SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,

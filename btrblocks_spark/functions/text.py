@@ -311,3 +311,25 @@ def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
         "total_tokens",
         "avg_chars",
     )
+
+
+def vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide token vocabulary: (token, count, doc_freq), ordered by
+    count desc then token — the input a tokenizer/BPE trainer starts
+    from. One explode + one shuffle on the token; ``top_k`` turns the
+    global order into a TakeOrderedAndProject (no full sort at scale).
+    """
+    toks = df.select(
+        F.col("doc_id"), F.explode(_tokens(text_col)).alias("token")
+    )
+    agg = toks.groupBy("token").agg(
+        F.count("*").alias("count"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    ).filter(F.col("count") >= min_count)
+    out = agg.orderBy(F.desc("count"), F.asc("token"))
+    return out.limit(top_k) if top_k else out

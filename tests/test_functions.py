@@ -512,3 +512,18 @@ def test_corpus_report_grouping_sets(spark):
     en_web = got[("en", "web")]
     assert (en_web.n_docs, en_web.n_unique, en_web.dup_frac) == (2, 1, 0.5)
     assert got[("de", "<all>")].n_docs == 1
+
+
+def test_vocabulary_counts_and_topk(spark):
+    from btrblocks_spark.functions.text import vocabulary
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "apple cherry"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = vocabulary(docs).collect()
+    assert [(r.token, r.count, r.doc_freq) for r in rows] == [
+        ("apple", 3, 2), ("banana", 1, 1), ("cherry", 1, 1),
+    ]
+    assert [r.token for r in vocabulary(docs, top_k=1).collect()] == ["apple"]
+    assert [r.token for r in vocabulary(docs, min_count=2).collect()] == ["apple"]
