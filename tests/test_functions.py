@@ -522,7 +522,8 @@ def test_vocabulary_counts_and_topk(spark):
         "doc_id long, text string",
     )
     rows = vocabulary(docs).collect()
-    assert [(r.token, r.count, r.doc_freq) for r in rows] == [
+    # r.count would resolve to Row.count() — index the column by name
+    assert [(r.token, r["count"], r.doc_freq) for r in rows] == [
         ("apple", 3, 2), ("banana", 1, 1), ("cherry", 1, 1),
     ]
     assert [r.token for r in vocabulary(docs, top_k=1).collect()] == ["apple"]
