@@ -231,6 +231,19 @@ def main(argv: list[str] | None = None) -> int:
     mt.add_argument("--file", default=None, help="specific data file")
     mt.add_argument("--blocks", type=int, default=1, help="blocks per file")
 
+    cu = sub.add_parser(
+        "curate",
+        help="run the composed corpus-curation pipeline over parquet docs",
+    )
+    cu.add_argument("--input", required=True, help="documents parquet path")
+    cu.add_argument("--out", required=True, help="curated parquet output")
+    cu.add_argument("--benchmark", default=None, help="eval-set parquet")
+    cu.add_argument("--lang", default="en")
+    cu.add_argument("--min-quality", type=float, default=0.3)
+    cu.add_argument("--max-rep", type=float, default=1.0)
+    cu.add_argument("--rep-n", type=int, default=2)
+    cu.add_argument("--decontam-n", type=int, default=8)
+
     args = p.parse_args(argv)
     from btrblocks_spark.sources.table import BtrTable
 
@@ -326,6 +339,31 @@ def main(argv: list[str] | None = None) -> int:
             when_not_matched=args.when_not_matched,
             strategy=args.strategy,
         )
+    elif args.cmd == "curate":
+        from btrblocks_spark.functions.pipeline import curate_corpus
+
+        docs = spark.read.parquet(args.input)
+        bench = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        curated = curate_corpus(
+            docs,
+            benchmark=bench,
+            lang=args.lang,
+            min_quality=args.min_quality,
+            max_rep=args.max_rep,
+            rep_n=args.rep_n,
+            decontam_n=args.decontam_n,
+        )
+        curated.write.mode("overwrite").parquet(args.out)
+        n_in = docs.count()
+        n_out = spark.read.parquet(args.out).count()
+        out = {
+            "docs_in": n_in,
+            "docs_out": n_out,
+            "dropped": n_in - n_out,
+            "out": args.out,
+        }
     elif args.cmd == "changes":
         t = BtrTable.load(spark, args.table)
         df = t.scan_changes(args.from_snapshot, args.to_snapshot)

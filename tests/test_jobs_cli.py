@@ -149,3 +149,24 @@ def test_cli_rollup_create_and_refresh(setup, spark, capsys):
         .collect()
     }
     assert got == exp
+
+
+def test_cli_curate(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps for it was a fine day in the "
+                "park and all of the dogs ran to the gate " * 2),
+            (2, "der hund und die katze sind von den nicht ein haus"),
+        ],
+        "doc_id long, text string",
+    )
+    inp = str(tmp_path / "docs.parquet")
+    out = str(tmp_path / "curated")
+    docs.write.parquet(inp)
+    assert jobs.main(
+        ["curate", "--input", inp, "--out", out, "--min-quality", "0.1"]
+    ) == 0
+    metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert metrics["docs_in"] == 2 and metrics["docs_out"] == 1
+    kept = spark.read.parquet(out).collect()
+    assert len(kept) == 1 and kept[0].doc_id == 1
