@@ -70,3 +70,65 @@ def test_frequency_mode_scans_part_once(spark):
     df = cq.frequency_mode(spark, SF)
     plan = _executed(df)
     assert plan.count("part.parquet") == 1, plan[:3000]
+
+
+def test_decontaminate_no_cartesian_and_broadcast_bench(spark):
+    """Decontamination: the benchmark-gram side must reach the probe as
+    a broadcast (explicit hint), and no plan node may be a cartesian
+    product — the contract that keeps the op linear at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.functions.text import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=4,
+    )
+    plan = _executed(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_dedup_paragraphs_single_digest_window(spark):
+    """Paragraph dedup: the first-occurrence choice is ONE row_number
+    window keyed on the paragraph digest — no joins, no cartesian."""
+    from btrblocks_spark.functions.dedup import dedup_paragraphs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(dedup_paragraphs(docs, sep=" the ", joiner=" the "))
+    assert "CartesianProduct" not in plan
+    assert plan.count("RunningWindowFunction") <= 2  # rank + per-doc count
+    assert "Join" not in plan  # linear: explode -> window -> regroup
+
+
+def test_multimodal_pairs_no_all_pairs_join(spark):
+    """Cross-modal near-dup pairs stay pigeonhole-bucketed: every join
+    in the plan is an equi-join (hash/sort-merge), never nested-loop."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.functions.multimodal import multimodal_near_dup
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", 10, 10, 7, "x y z"), ("b", 10, 10, 7, "x y z")],
+            columns=["image_id", "w", "h", "phash", "caption"],
+        )
+    ).select(
+        "image_id", F.col("w").cast("int"), F.col("h").cast("int"),
+        F.col("phash").cast("long"), "caption",
+    )
+    plan = _executed(multimodal_near_dup(df))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_vocabulary_topk_is_take_ordered(spark):
+    """vocabulary(top_k=...) must plan as TakeOrderedAndProject — a
+    bounded per-partition heap + merge, never a global sort."""
+    from btrblocks_spark.functions.text import vocabulary
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _executed(vocabulary(docs, top_k=50))
+    assert "TakeOrderedAndProject" in plan
