@@ -51,8 +51,11 @@ def stats_may_match(stats: dict, prune: dict) -> bool:
                     smin, smax = float(smin), float(smax)
                 except (TypeError, ValueError):
                     continue
-            if not any(smin <= v <= smax for v in vals):
-                return False
+            try:
+                if not any(smin <= v <= smax for v in vals):
+                    return False
+            except TypeError:
+                pass  # uncomparable bound/stat types: keep the file
             continue
         lo, hi = bound
         numeric_bound = isinstance(lo, (int, float)) or isinstance(
@@ -63,8 +66,12 @@ def stats_may_match(stats: dict, prune: dict) -> bool:
                 smin, smax = float(smin), float(smax)
             except (TypeError, ValueError):
                 continue  # non-numeric stats can't prune a numeric bound
-        if lo is not None and smax < lo:
-            return False
-        if hi is not None and smin > hi:
-            return False
+        try:
+            if lo is not None and smax < lo:
+                return False
+            if hi is not None and smin > hi:
+                return False
+        except TypeError:
+            pass  # uncomparable bound/stat types (e.g. datetime vs JSON
+            # string stats): pruning is advisory — keep the file
     return True

@@ -40,10 +40,13 @@ parts x N blocks so a scan task reads one file.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
+import re as _re
 import time
 import uuid
+import zlib as _zlib
 
 import pyarrow as pa
 
@@ -107,6 +110,116 @@ def _write_blockfile_atomic(table: pa.Table, path: str) -> int:
 
 class CommitConflict(RuntimeError):
     pass
+
+
+_TRANSFORM_RE = _re.compile(
+    r"^(bucket|truncate|days)\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)$"
+)
+_EPOCH = _dt.date(1970, 1, 1)
+
+
+def _parse_partition_specs(partition_by: list[str] | None):
+    """Split partition_by entries into (dest column names, transform
+    specs). Iceberg hidden-partitioning analog: ``bucket(N, col)``,
+    ``truncate(W, col)``, ``days(col)`` become derived ``_p_*`` columns
+    computed at write; plain column names pass through unchanged."""
+    plain: list[str] = []
+    transforms: list[dict] = []
+    for p in partition_by or []:
+        m = _TRANSFORM_RE.match(p.strip())
+        if not m:
+            plain.append(p)
+            continue
+        kind, param, col = m.group(1), m.group(2), m.group(3)
+        if kind in ("bucket", "truncate") and not param:
+            raise ValueError(f"{kind}() needs a size parameter: {p!r}")
+        if kind == "days" and param:
+            raise ValueError(f"days() takes no parameter: {p!r}")
+        dest = f"_p_{'trunc' if kind == 'truncate' else kind}_{col}"
+        transforms.append(
+            {
+                "kind": kind,
+                "param": int(param) if param else None,
+                "col": col,
+                "dest": dest,
+            }
+        )
+        plain.append(dest)
+    return plain, transforms
+
+
+def _transform_column(t: dict, df: DataFrame):
+    """Spark expression computing transform ``t`` over ``df``'s source
+    column. Must stay value-identical to :func:`_transform_literal` —
+    the scan-side prune translation depends on the parity."""
+    from pyspark.sql.types import StringType
+
+    c = F.col(t["col"])
+    if t["kind"] == "bucket":
+        # crc32 over the string form: Spark's crc32 == zlib.crc32, and
+        # casting int/string sources through string keeps both engines
+        # byte-identical
+        return (
+            F.crc32(c.cast("string").cast("binary")) % t["param"]
+        ).cast("int")
+    if t["kind"] == "days":
+        # wall-clock days since epoch (TIMESTAMP_NTZ-safe: cast to date
+        # takes the naive date, matching datetime.date() in Python)
+        return F.datediff(c.cast("date"), F.lit("1970-01-01")).cast("int")
+    # truncate: string prefix / numeric floor-multiple (both monotone)
+    src_type = df.schema[t["col"]].dataType
+    if isinstance(src_type, StringType):
+        return F.substring(c, 1, t["param"])
+    return (F.floor(c / F.lit(t["param"])) * t["param"]).cast("long")
+
+
+def _transform_literal(t: dict, v):
+    """Python twin of :func:`_transform_column` for prune literals."""
+    if v is None:
+        return None
+    if t["kind"] == "bucket":
+        return _zlib.crc32(str(v).encode()) % t["param"]
+    if t["kind"] == "days":
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v[:10])
+        if isinstance(v, _dt.datetime):
+            v = v.date()
+        return (v - _EPOCH).days
+    if isinstance(v, str):
+        return v[: t["param"]]
+    return (v // t["param"]) * t["param"]
+
+
+def _translate_prune(prune: dict | None, transforms: list[dict]) -> dict | None:
+    """Add derived-partition prune entries for predicates on transform
+    SOURCE columns (the point of hidden partitioning: the caller prunes
+    on ``ts``/``id``, the engine prunes the ``_p_*`` layout too).
+
+    Set-form predicates translate for every transform; range form only
+    for the monotone ones (days, truncate) — a bucket range translates
+    only when it pins a single value (lo == hi). The raw-column entry
+    is kept: file/block min-max stats on the source column still apply.
+    """
+    if not prune or not transforms:
+        return prune
+    out = dict(prune)
+    for t in transforms:
+        v = prune.get(t["col"])
+        if v is None or t["dest"] in out or isinstance(v, dict):
+            continue
+        if isinstance(v, (list, set, frozenset)):
+            out[t["dest"]] = sorted({_transform_literal(t, x) for x in v})
+        else:
+            lo, hi = v
+            if t["kind"] == "bucket":
+                if lo is not None and lo == hi:
+                    out[t["dest"]] = [_transform_literal(t, lo)]
+                continue
+            out[t["dest"]] = (
+                _transform_literal(t, lo),
+                _transform_literal(t, hi),
+            )
+    return out
 
 
 class BtrTable:
@@ -454,13 +567,21 @@ class BtrTable:
         """
         for sub in ("data", "manifests", "_checkpoints"):
             fs.mkdirs(fs.join(root, sub))
+        # hidden-partitioning transforms: bucket(N,c)/truncate(W,c)/days(c)
+        # entries become derived _p_* columns computed on every write;
+        # the TABLE schema stays the user's (the derived layout is hidden)
+        plain_parts, transforms = _parse_partition_specs(partition_by)
+        for t in transforms:
+            if t["dest"] not in df.columns:
+                df = df.withColumn(t["dest"], _transform_column(t, df))
         arrow_schema = df.limit(0).toArrow().schema
         meta = {
             "format_version": 1,
             "table_uuid": uuid.uuid4().hex,
             "arrow_schema_hex": arrow_schema.serialize().hex().decode(),
             "spark_schema_json": df.schema.json(),
-            "partition_by": partition_by or [],
+            "partition_by": plain_parts,
+            "partition_transforms": transforms,
             "bloom_cols": bloom_cols or [],
             "ndv_cols": ndv_cols or [],
             "token_bloom_cols": token_bloom_cols or [],
@@ -550,6 +671,14 @@ class BtrTable:
         blooms = self.bloom_cols()
         ndvs = self.ndv_cols()
         tbcs = self.token_bloom_cols()
+        # hidden-partitioning columns: every write path flows through
+        # here, so computing the derived _p_* columns here (idempotent —
+        # rewrite kernels may already carry them from the scanned files,
+        # and the expressions are deterministic) covers append, merge,
+        # upsert, rowops, cluster and compact alike
+        for t in self.metadata().get("partition_transforms") or []:
+            if t["dest"] not in df.columns:
+                df = df.withColumn(t["dest"], _transform_column(t, df))
         arrow_schema = df.limit(0).toArrow().schema
 
         if preserve_partitioning:
@@ -1082,6 +1211,11 @@ class BtrTable:
         decompression-speed-s3.cpp:37-110``). Auto-enabled for object-store
         roots (no Hadoop connector needed); opt-in for local paths.
         """
+        # hidden partitioning: a predicate on a transform SOURCE column
+        # also prunes the derived _p_* layout (bucket/truncate/days)
+        prune = _translate_prune(
+            prune, self.metadata().get("partition_transforms") or []
+        )
         spec_src = None  # paths-DataFrame when planning is distributed
         sid = self._resolve_sid(snapshot_id)
         snapshot_id = sid  # tag name resolved once for the whole scan
@@ -1209,7 +1343,10 @@ class BtrTable:
                 }
             )
         arrow_schema = self.schema_arrow()
-        want = list(columns or arrow_schema.names)
+        want = list(
+            columns
+            or [c for c in arrow_schema.names if not c.startswith("_p_")]
+        )
         # equality deletes filter on their key columns, so those must be
         # decoded even when the caller didn't ask for them; trimmed from
         # every output batch after the mask
@@ -1776,6 +1913,10 @@ class BtrTable:
                 or old in meta.get("bloom_cols", [])
                 or old in meta.get("ndv_cols", [])
                 or old in meta.get("token_bloom_cols", [])
+                or any(
+                    t["col"] == old
+                    for t in meta.get("partition_transforms") or []
+                )
             ):
                 raise ValueError(
                     f"cannot rename partition/bloom/ndv column {old!r}"
@@ -1822,6 +1963,10 @@ class BtrTable:
                 raise KeyError(f"no column {name}")
             if (
                 name in meta.get("partition_by", [])
+                or any(
+                    t["col"] == name
+                    for t in meta.get("partition_transforms") or []
+                )
                 or name in meta.get("bloom_cols", [])
                 or name in meta.get("ndv_cols", [])
                 or name in meta.get("token_bloom_cols", [])
@@ -2501,7 +2646,10 @@ class BtrTable:
             and not known[s].get("branch")
         ]
         arrow_schema = self.schema_arrow()
-        want = list(columns or arrow_schema.names)
+        want = list(
+            columns
+            or [c for c in arrow_schema.names if not c.startswith("_p_")]
+        )
         out_parts: list[DataFrame] = []
 
         def added_rows_of(snap: dict) -> list[dict]:

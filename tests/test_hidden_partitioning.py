@@ -1,0 +1,148 @@
+"""Hidden-partitioning transforms (Iceberg analog): bucket/truncate/days
+entries in partition_by become derived _p_* columns computed on every
+write, invisible in scan output, and pruned from predicates on the
+SOURCE column."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrblocks_spark.sources.table import (
+    BtrTable,
+    _transform_literal,
+)
+
+
+@pytest.fixture(scope="module")
+def btable(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("hp") / "t")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("user"), F.col("id")).alias("name"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(days=(F.col("id") % 20).cast("int"))
+        ).alias("ts"),
+        (F.col("id") * 3).alias("val"),
+    )
+    t = BtrTable.create(spark, root, df, partition_by=["bucket(4, k)"])
+    return t, df
+
+
+def test_bucket_roundtrip_and_hidden_schema(spark, btable):
+    t, df = btable
+    got = t.scan()
+    assert got.count() == 400
+    assert not [c for c in got.columns if c.startswith("_p_")]
+    assert sorted(r.k for r in got.collect()) == list(range(400))
+
+
+def test_bucket_equality_prunes_files(spark, btable):
+    t, df = btable
+    all_files = (
+        t.scan(with_file=True).select("_file").distinct().count()
+    )
+    probe = (
+        t.scan(prune={"k": [123]}, with_file=True)
+        .select("_file")
+        .distinct()
+        .count()
+    )
+    # 4 buckets: an equality probe must open roughly a quarter of files
+    assert probe < all_files
+    assert probe <= max(1, all_files // 2)
+    # and the probed scan still contains the row (prune is advisory)
+    assert (
+        t.scan(prune={"k": [123]}).filter(F.col("k") == 123).count() == 1
+    )
+
+
+def test_bucket_range_does_not_mistranslate(spark, btable):
+    t, _ = btable
+    # a RANGE on the bucket source cannot prune buckets (non-monotone):
+    # the scan must stay complete
+    got = t.scan(prune={"k": (100, 200)})
+    assert got.filter((F.col("k") >= 100) & (F.col("k") <= 200)).count() == 101
+
+
+def test_days_and_truncate_transforms(spark, tmp_path):
+    root = str(tmp_path / "t2")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.concat(
+            F.when(F.col("id") % 2 == 0, F.lit("aa")).otherwise(F.lit("zz")),
+            F.col("id"),
+        ).alias("name"),
+        (
+            F.lit("2024-01-01 00:00:00").cast("timestamp")
+            + F.make_interval(days=(F.col("id") % 10).cast("int"))
+        ).alias("ts"),
+    )
+    t = BtrTable.create(
+        spark, root, df,
+        partition_by=["days(ts)", "truncate(2, name)"],
+        num_files=8,
+    )
+    assert t.scan().count() == 300
+
+    all_files = t.scan(with_file=True).select("_file").distinct().count()
+    # date-range prune on the raw ts column
+    lo = datetime.datetime(2024, 1, 1)
+    hi = datetime.datetime(2024, 1, 2)
+    pruned = (
+        t.scan(prune={"ts": (lo, hi)}, with_file=True)
+        .select("_file").distinct().count()
+    )
+    assert pruned < all_files
+    # string-prefix prune (set form)
+    pf = (
+        t.scan(prune={"name": ["aa42"]}, with_file=True)
+        .select("_file").distinct().count()
+    )
+    assert pf < all_files
+    assert t.scan(prune={"name": ["aa42"]}).filter(
+        F.col("name") == "aa42"
+    ).count() == 1
+
+
+def test_transforms_survive_rewrites(spark, btable, tmp_path):
+    from btrblocks_spark.operators.compact import compact
+
+    t, df = btable
+    t.append(df.filter(F.col("k") < 50).select(
+        "k", "name", "ts", (F.col("val") + 1).alias("val")
+    ))
+    compact(t, 1 << 30)
+    probe = t.scan(prune={"k": [7]}).filter(F.col("k") == 7)
+    assert probe.count() == 2  # original + appended copy
+    all_files = t.scan(with_file=True).select("_file").distinct().count()
+    opened = (
+        t.scan(prune={"k": [7]}, with_file=True)
+        .select("_file").distinct().count()
+    )
+    assert opened < all_files
+
+
+def test_rename_guard_protects_transform_source(spark, btable):
+    t, _ = btable
+    with pytest.raises(ValueError):
+        t.rename_column("k", "kk")
+
+
+def test_transform_literal_parity(spark):
+    import zlib
+
+    assert _transform_literal(
+        {"kind": "bucket", "param": 4, "col": "k"}, 123
+    ) == zlib.crc32(b"123") % 4
+    assert _transform_literal(
+        {"kind": "days", "param": None, "col": "ts"},
+        datetime.datetime(2024, 1, 3, 15, 0),
+    ) == (datetime.date(2024, 1, 3) - datetime.date(1970, 1, 1)).days
+    assert _transform_literal(
+        {"kind": "truncate", "param": 2, "col": "name"}, "abcdef"
+    ) == "ab"
+    assert _transform_literal(
+        {"kind": "truncate", "param": 10, "col": "v"}, -7
+    ) == -10  # floor semantics on both engines
