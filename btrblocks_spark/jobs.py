@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import re as _re
 import os
 import sys
 
@@ -285,7 +286,10 @@ def main(argv: list[str] | None = None) -> int:
     out: dict
     if args.cmd == "create":
         df = spark.read.parquet(args.input)
-        parts = [c for c in args.partition_by.split(",") if c]
+        # paren-aware split: "bucket(4,k),fmt" -> ["bucket(4,k)", "fmt"]
+        parts = [
+            c for c in _re.split(r",(?![^(]*\))", args.partition_by) if c
+        ]
         t = BtrTable.create(
             spark, args.table, df, partition_by=parts, num_files=args.num_files
         )

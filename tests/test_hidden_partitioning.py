@@ -146,3 +146,23 @@ def test_transform_literal_parity(spark):
     assert _transform_literal(
         {"kind": "truncate", "param": 10, "col": "v"}, -7
     ) == -10  # floor semantics on both engines
+
+
+def test_cli_create_with_transform_spec(spark, tmp_path, capsys):
+    import json as _json
+
+    from btrblocks_spark import jobs
+
+    inp = str(tmp_path / "in.parquet")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).write.parquet(inp)
+    root = str(tmp_path / "t")
+    assert jobs.main(
+        ["create", "--table", root, "--input", inp,
+         "--partition-by", "bucket(4,k)"]
+    ) == 0
+    _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = BtrTable.load(spark, root)
+    assert t.metadata()["partition_transforms"][0]["kind"] == "bucket"
+    assert t.scan().count() == 100
