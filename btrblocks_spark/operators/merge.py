@@ -198,7 +198,7 @@ def merge_into(
         )
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
     spark = table.spark
-    cols = table.schema_arrow().names
+    cols = table.user_columns()
     assert on in cols, f"merge key {on} not in table schema"
 
     import time as _time
@@ -694,7 +694,7 @@ def _merge_mor(
     import time as _time
 
     spark = table.spark
-    cols = table.schema_arrow().names
+    cols = table.user_columns()
     root = table.root
 
     t0 = _time.time()

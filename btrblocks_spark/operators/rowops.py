@@ -155,7 +155,7 @@ def delete_where(
             "deleted_rows": 0,
             "noop": True,
         }
-    cols = table.schema_arrow().names
+    cols = table.user_columns()
     before = table.scan(files=touched).count()
     kept = table.scan(files=touched).filter(~hit).select(*cols)
     new_rows = table._write_files(kept, job_id=job_id)
@@ -195,7 +195,7 @@ def update_where(
     table column; evaluated against the PRE-update row, SQL semantics).
     """
     assert strategy in ("mor", "cow")
-    cols = table.schema_arrow().names
+    cols = table.user_columns()
     unknown = set(assignments) - set(cols)
     if unknown:
         raise ValueError(f"assignments target unknown columns: {unknown}")

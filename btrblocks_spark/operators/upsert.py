@@ -86,7 +86,11 @@ def upsert_eq(
         if c not in schema_names:
             raise KeyError(f"upsert key {c!r} not in table schema")
     job_id = job_id or f"upsert-{uuid.uuid4().hex[:8]}"
-    source = source.select(*schema_names)
+    # hidden-partitioning _p_* columns are recomputed by _write_files;
+    # the caller's source frame never carries them
+    source = source.select(
+        *[c for c in schema_names if not c.startswith("_p_")]
+    )
 
     # 1. new data files (no commit yet — one atomic snapshot at the end)
     data_rows = table._write_files(source, job_id, num_files=num_files)

@@ -527,6 +527,14 @@ class BtrTable:
     def partition_by(self) -> list[str]:
         return self.metadata().get("partition_by", [])
 
+    def user_columns(self) -> list[str]:
+        """Schema columns minus the hidden-partitioning _p_* layout —
+        what callers see and what source frames must align to (the
+        derived columns are recomputed by _write_files)."""
+        return [
+            c for c in self.schema_arrow().names if not c.startswith("_p_")
+        ]
+
     def bloom_cols(self) -> list[str]:
         return self.metadata().get("bloom_cols", [])
 

@@ -166,3 +166,68 @@ def test_cli_create_with_transform_spec(spark, tmp_path, capsys):
     t = BtrTable.load(spark, root)
     assert t.metadata()["partition_transforms"][0]["kind"] == "bucket"
     assert t.scan().count() == 100
+
+
+def test_upsert_eq_on_bucketed_table_keeps_pruning(spark, tmp_path):
+    """Equality-delete upsert on a transform-partitioned table: the new
+    data files recompute the derived column, and bucket pruning still
+    holds after compaction absorbs the deletes."""
+    from btrblocks_spark.operators.compact import compact
+    from btrblocks_spark.operators.upsert import upsert_eq
+
+    root = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = BtrTable.create(spark, root, df, partition_by=["bucket(4, k)"])
+    src = spark.range(10).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    upsert_eq(t, src, on=["k"])
+    got = t.scan().filter(F.col("k") < 10)
+    assert got.count() == 10
+    assert all(r.v == -1 for r in got.collect())
+
+    compact(t, 1 << 30)
+    assert t.scan().count() == 200
+    all_files = t.scan(with_file=True).select("_file").distinct().count()
+    opened = (
+        t.scan(prune={"k": [5]}, with_file=True)
+        .select("_file").distinct().count()
+    )
+    assert opened < all_files
+    assert t.scan(prune={"k": [5]}).filter(F.col("k") == 5).first().v == -1
+
+
+def test_merge_and_rowops_on_bucketed_table(spark, tmp_path):
+    """MOR MERGE, delete_where and update_where all run on a
+    transform-partitioned table (source frames never carry _p_*)."""
+    from btrblocks_spark.operators.merge import merge_into
+    from btrblocks_spark.operators.rowops import delete_where, update_where
+
+    root = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = BtrTable.create(spark, root, df, partition_by=["bucket(4, k)"])
+
+    src = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(-5).cast("long").alias("v")
+    )
+    merge_into(t, src, on="k", strategy="mor")
+    assert t.scan().filter(F.col("k") < 5).agg(
+        F.sum("v")
+    ).first()[0] == -25
+
+    update_where(t, {"v": "999"}, "k = 100", strategy="cow")
+    assert t.scan().filter(F.col("k") == 100).first().v == 999
+
+    delete_where(t, "k >= 190", strategy="cow")
+    assert t.scan().count() == 190
+    # pruning still intact after the CoW rewrites
+    all_files = t.scan(with_file=True).select("_file").distinct().count()
+    opened = (
+        t.scan(prune={"k": [100]}, with_file=True)
+        .select("_file").distinct().count()
+    )
+    assert opened < all_files
