@@ -597,11 +597,13 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
             meta = t.metadata()
             self.exists = True
             self.partition_by = meta.get("partition_by", [])
+            self.partition_transforms = meta.get("partition_transforms", [])
             self.bloom_cols = meta.get("bloom_cols", [])
             self.ndv_cols = meta.get("ndv_cols", [])
             self.token_bloom_cols = meta.get("token_bloom_cols", [])
         except (FileNotFoundError, OSError):
             self.exists = False
+            self.partition_transforms = []
             self.partition_by = [
                 c for c in (options.get("partitionby") or "").split(",") if c
             ]
@@ -633,6 +635,15 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
         if not batches:
             return _BtrWriteMessage("[]", "")
         tbl = _pa.Table.from_batches(batches)
+        # hidden-partitioning columns: this path encodes Arrow directly
+        # (no _write_files), so derive them here
+        from btrblocks_spark.sources.table import _transform_arrow
+
+        for tf in getattr(self, "partition_transforms", None) or []:
+            if tf["dest"] not in tbl.schema.names:
+                tbl = tbl.append_column(
+                    tf["dest"], _transform_arrow(tf, tbl)
+                )
         schema_hex = tbl.schema.serialize().hex().decode()
         rows_out = []
         k = 0

@@ -190,6 +190,33 @@ def _transform_literal(t: dict, v):
     return (v // t["param"]) * t["param"]
 
 
+def _transform_arrow(t: dict, tbl: "pa.Table") -> "pa.Array":
+    """pyarrow twin of :func:`_transform_column` for executor-side batch
+    writers (the Python DataSource path encodes Arrow tables directly,
+    never seeing a Spark DataFrame)."""
+    import pyarrow.compute as pc
+
+    col = tbl[t["col"]]
+    if t["kind"] == "bucket":
+        vals = col.to_pylist()
+        return pa.array(
+            [
+                None if v is None else _zlib.crc32(str(v).encode()) % t["param"]
+                for v in vals
+            ],
+            pa.int32(),
+        )
+    if t["kind"] == "days":
+        return pc.cast(pc.cast(col, pa.date32()), pa.int32())
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        return pc.utf8_slice_codeunits(col, 0, t["param"])
+    import numpy as _np
+
+    arr = col.to_numpy(zero_copy_only=False)
+    out = _np.floor_divide(arr, t["param"]) * t["param"]
+    return pa.array(out, pa.int64())
+
+
 def _translate_prune(prune: dict | None, transforms: list[dict]) -> dict | None:
     """Add derived-partition prune entries for predicates on transform
     SOURCE columns (the point of hidden partitioning: the caller prunes

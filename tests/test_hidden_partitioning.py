@@ -231,3 +231,39 @@ def test_merge_and_rowops_on_bucketed_table(spark, tmp_path):
         .select("_file").distinct().count()
     )
     assert opened < all_files
+
+
+def test_datasource_write_computes_transforms(spark, tmp_path):
+    """The Python DataSource batch writer encodes Arrow directly
+    (no _write_files): it must derive the _p_* columns itself, with
+    values identical to the Spark expression path."""
+    from btrblocks_spark.sources.spark_datasource import (
+        BtrTableDataSource,
+    )
+
+    spark.dataSource.register(BtrTableDataSource)
+    root = str(tmp_path / "t")
+    df = spark.range(120).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    t = BtrTable.create(spark, root, df, partition_by=["bucket(4, k)"])
+    df2 = spark.range(120, 160).select(
+        F.col("id").alias("k"), (F.col("id") % 9).alias("v")
+    )
+    df2.write.format("btrtable").mode("append").save(root)
+    assert t.scan().count() == 160
+    # written _p_ values must agree with the Spark-expression path
+    import zlib
+
+    stored = t.scan(columns=["k", "_p_bucket_k"]).filter(
+        F.col("k") >= 120
+    )
+    for r in stored.collect():
+        assert r._p_bucket_k == zlib.crc32(str(r.k).encode()) % 4
+    # and pruning covers the datasource-written files too
+    all_files = t.scan(with_file=True).select("_file").distinct().count()
+    opened = (
+        t.scan(prune={"k": [150]}, with_file=True)
+        .select("_file").distinct().count()
+    )
+    assert opened < all_files
