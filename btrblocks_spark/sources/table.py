@@ -2884,6 +2884,28 @@ class BtrTable:
         tbl = pa.concat_tables([fs.read_parquet(p) for p in del_paths])
         return self.spark.createDataFrame(tbl.to_pandas())
 
+    def partitions_df(self) -> DataFrame:
+        """Per-partition summary (Iceberg ``table.partitions`` analog):
+        file/row/byte counts and compression ratio per partition value,
+        straight from the manifest DataFrame — zero data I/O."""
+        df = self.manifest_df().filter(
+            F.coalesce(F.col("content"), F.lit(0)) == 0
+        )
+        return (
+            df.groupBy("partition")
+            .agg(
+                F.count("*").alias("file_count"),
+                F.sum("row_count").alias("row_count"),
+                F.sum("file_bytes").alias("file_bytes"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.round(
+                    F.sum("raw_bytes") / F.greatest(F.sum("file_bytes"), F.lit(1)),
+                    3,
+                ).alias("ratio"),
+            )
+            .orderBy("partition")
+        )
+
     def lineage_df(self) -> DataFrame:
         """Per-file lineage as a DataFrame (job ids + source files)."""
         df = self.manifest_df()

@@ -267,3 +267,11 @@ def test_datasource_write_computes_transforms(spark, tmp_path):
         .select("_file").distinct().count()
     )
     assert opened < all_files
+
+
+def test_partitions_df_summary(spark, btable):
+    t, _ = btable
+    rows = t.partitions_df().collect()
+    assert len(rows) >= 4  # one row per bucket value (at least)
+    assert sum(r.row_count for r in rows) == t.scan().count()
+    assert all(r.file_count >= 1 and r.ratio > 0 for r in rows)
