@@ -130,6 +130,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     rm.add_argument("--table", required=True)
 
+    rd = sub.add_parser(
+        "rewrite-deletes",
+        help="minor-compact positional delete files (no data rewrite)",
+    )
+    rd.add_argument("--table", required=True)
+    rd.add_argument("--min-files", type=int, default=2)
+
     rb = sub.add_parser("rollback", help="roll back to an earlier snapshot")
     rb.add_argument("--table", required=True)
     rb.add_argument("--snapshot", type=int, required=True)
@@ -398,6 +405,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "rollback":
         t = BtrTable.load(spark, args.table)
         out = t.rollback(args.snapshot)
+    elif args.cmd == "rewrite-deletes":
+        from btrblocks_spark.operators.merge import rewrite_position_deletes
+
+        t = BtrTable.load(spark, args.table)
+        out = rewrite_position_deletes(t, min_files=args.min_files)
     elif args.cmd == "rewrite-manifests":
         t = BtrTable.load(spark, args.table)
         out = t.rewrite_manifests()

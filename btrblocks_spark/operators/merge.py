@@ -775,3 +775,56 @@ def _merge_mor(
         "bloom_skipped_files": bloom_skipped,
         "timings": {k: round(v, 3) for k, v in timings.items()},
     }
+
+
+def rewrite_position_deletes(
+    table: BtrTable, job_id: str | None = None, min_files: int = 2
+) -> dict:
+    """Minor compaction of positional delete files (Iceberg's
+    rewrite_position_delete_files analog): every MERGE/DELETE/UPDATE
+    adds small delete files, and scan tasks pay one parquet open per
+    overlapping delete file — this job unions all content=1 rows,
+    drops duplicates and rows referencing no live data file, and
+    rewrites them as the minimal sorted set WITHOUT touching data.
+
+    O(delete rows) — at 100 TB that is the change stream, never the
+    table. Commit replaces the old delete files atomically.
+    """
+    import time as _time
+
+    job_id = job_id or f"rewrite-dels-{uuid.uuid4().hex[:8]}"
+    dels = table.delete_files()
+    if len(dels) < min_files:
+        return {
+            "job_id": job_id,
+            "noop": True,
+            "delete_files": len(dels),
+        }
+    t0 = _time.time()
+    spark = table.spark
+    old_paths = [r["file_path"] for r in dels]
+    rows = spark.read.parquet(*old_paths).select("file_path", "pos")
+    live = spark.createDataFrame(
+        [(r["file_path"],) for r in table.data_files()], "file_path string"
+    )
+    rows = rows.join(F.broadcast(live), "file_path", "leftsemi").distinct()
+    new_rows = write_positional_deletes(table, rows, job_id)
+    sid = table._commit(
+        new_rows,
+        operation="rewrite-deletes",
+        replaced=set(old_paths),
+        extra_summary={
+            "rewritten_delete_files": len(old_paths),
+            "new_delete_files": len(new_rows),
+        },
+    )
+    return {
+        "job_id": job_id,
+        "snapshot_id": sid,
+        "delete_files_before": len(old_paths),
+        "delete_files_after": len(new_rows),
+        "delete_rows": sum(r["row_count"] for r in new_rows),
+        "bytes_before": sum(r["file_bytes"] for r in dels),
+        "bytes_after": sum(r["file_bytes"] for r in new_rows),
+        "elapsed_sec": round(_time.time() - t0, 3),
+    }

@@ -213,3 +213,53 @@ def test_string_key_blooms_skip_files(spark, tmp_path):
     # string lookup rides the same blooms
     row = t.lookup("image_id", "img-000123").collect()
     assert len(row) == 1 and row[0].val == "B"
+
+
+def test_rewrite_position_deletes_merges_files(spark, tmp_path):
+    """Three MOR merges -> three+ delete files; the rewrite job unions
+    them into the minimal sorted set (dupes and dead references dropped)
+    without touching data, and the scan result is unchanged."""
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.operators.merge import (
+        merge_into,
+        rewrite_position_deletes,
+    )
+    from btrblocks_spark.sources.table import BtrTable
+
+    root = str(tmp_path / "t")
+    df = spark.range(300).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = BtrTable.create(spark, root, df, num_files=6)
+    for lo in (0, 10, 10):  # third merge re-deletes the same positions
+        src = spark.range(lo, lo + 20).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        )
+        merge_into(t, src, on="k", strategy="mor")
+    before = t.delete_files()
+    assert len(before) >= 3
+    want = {(r.k, r.v) for r in t.scan().collect()}
+
+    out = rewrite_position_deletes(t)
+    assert out["delete_files_after"] < out["delete_files_before"]
+    after = t.delete_files()
+    assert len(after) == out["delete_files_after"]
+    got = {(r.k, r.v) for r in t.scan().collect()}
+    assert got == want
+    # duplicate (file, pos) rows from the re-delete collapsed
+    assert out["delete_rows"] <= sum(r["row_count"] for r in before)
+
+
+def test_rewrite_position_deletes_noop_below_threshold(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.operators.merge import rewrite_position_deletes
+    from btrblocks_spark.sources.table import BtrTable
+
+    root = str(tmp_path / "t")
+    t = BtrTable.create(
+        spark, root,
+        spark.range(50).select(F.col("id").alias("k")),
+    )
+    assert rewrite_position_deletes(t)["noop"] is True
