@@ -140,3 +140,70 @@ def test_bloom_never_false_negative_strings(keys):
     bl = build_bloom(np.asarray(keys, dtype=object))
     for k in keys[:20]:
         assert bloom_may_contain_any(bl, np.asarray([k], dtype=object))
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.text(
+                alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+                max_size=20,
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=1, max_value=64),
+)
+def test_transform_literal_matches_arrow(vals, param):
+    """The Python and pyarrow hidden-partitioning transforms must be
+    value-identical (the Spark expression is pinned separately in
+    test_hidden_partitioning) — bucket over any scalar, truncate over
+    homogeneous ints or strings."""
+    from btrblocks_spark.sources.table import (
+        _transform_arrow,
+        _transform_literal,
+    )
+
+    t = {"kind": "bucket", "param": param, "col": "c"}
+    tbl = pa.table({"c": pa.array([str(v) for v in vals])})
+    got = _transform_arrow(t, tbl).to_pylist()
+    want = [_transform_literal(t, str(v)) for v in vals]
+    assert got == want
+
+    tr = {"kind": "truncate", "param": param, "col": "c"}
+    ints = [v for v in vals if isinstance(v, int)]
+    if ints:
+        tbl_i = pa.table({"c": pa.array(ints, pa.int64())})
+        got_i = _transform_arrow(tr, tbl_i).to_pylist()
+        assert got_i == [_transform_literal(tr, v) for v in ints]
+    strs = [v for v in vals if isinstance(v, str)]
+    if strs:
+        tbl_s = pa.table({"c": pa.array(strs)})
+        got_s = _transform_arrow(tr, tbl_s).to_pylist()
+        assert got_s == [_transform_literal(tr, v) for v in strs]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=__import__("datetime").datetime(1970, 1, 1),
+            max_value=__import__("datetime").datetime(2100, 1, 1),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_days_transform_literal_matches_arrow(dts):
+    from btrblocks_spark.sources.table import (
+        _transform_arrow,
+        _transform_literal,
+    )
+
+    t = {"kind": "days", "param": None, "col": "c"}
+    tbl = pa.table({"c": pa.array(dts, pa.timestamp("us"))})
+    got = _transform_arrow(t, tbl).to_pylist()
+    assert got == [_transform_literal(t, d) for d in dts]
