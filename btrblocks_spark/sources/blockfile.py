@@ -170,6 +170,20 @@ def encode_table(
                 kmv = build_kmv(keys)
                 if kmv is not None:
                     entry["kmv"] = kmv
+        if (
+            name in (ndv_cols or ())
+            and (pa.types.is_integer(typ) or pa.types.is_floating(typ))
+            and n
+            and col.null_count < n
+        ):
+            # equi-depth histogram: 33 exact within-file quantile
+            # boundaries -> stats_agg("approx_quantile:q") folds them
+            # into a table-level quantile with ZERO data I/O
+            hv = (
+                col.drop_null().to_numpy(zero_copy_only=False).astype(float)
+            )
+            qs = np.quantile(hv, np.linspace(0.0, 1.0, 33), method="lower")
+            entry["hist"] = [float(x) for x in qs]
         if name in (token_bloom_cols or ()) and pa.types.is_string(typ):
             from btrblocks_spark.codec.bloom import build_token_bloom
 

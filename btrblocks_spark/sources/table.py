@@ -2440,6 +2440,18 @@ class BtrTable:
         """
         valid = {"count", "min", "max", "null_count", "approx_ndv"}
         for fn, col, _ in aggs:
+            base = fn.split(":", 1)[0]
+            if base == "approx_quantile":
+                q = float(fn.split(":", 1)[1])
+                if not 0.0 <= q <= 1.0:
+                    raise ValueError(f"quantile out of [0,1]: {fn!r}")
+                if col not in self.ndv_cols():
+                    raise ValueError(
+                        f"approx_quantile needs a per-file histogram: "
+                        f"column {col!r} is not in ndv_cols "
+                        f"({self.ndv_cols()}); declare it at create()"
+                    )
+                continue
             if fn not in valid:
                 raise ValueError(f"unsupported aggregate {fn!r}")
             if col == "*" and fn != "count":
@@ -2473,6 +2485,13 @@ class BtrTable:
                     # fallback gives the EXACT distinct count — a legal
                     # answer for an approximate aggregate
                     exprs.append(F.countDistinct(F.col(col)).alias(alias))
+                elif fn.startswith("approx_quantile:"):
+                    qv = float(fn.split(":", 1)[1])
+                    exprs.append(
+                        F.expr(f"percentile({col}, {qv})")
+                        .cast("double")
+                        .alias(alias)
+                    )
                 else:
                     exprs.append(getattr(F, fn)(F.col(col)).alias(alias))
             return df.agg(*exprs)
@@ -2551,6 +2570,17 @@ class BtrTable:
                 )
             elif fn == "approx_ndv":
                 ndv_frames.append(self._ndv_frame(mdf, stat, col, alias))
+            elif fn.startswith("approx_quantile:"):
+                ndv_frames.append(
+                    self._quantile_frame(
+                        mdf,
+                        stat,
+                        nulls_of,
+                        col,
+                        float(fn.split(":", 1)[1]),
+                        alias,
+                    )
+                )
             else:
                 dt = spark_schema[col].dataType
                 exprs.append(
@@ -2568,6 +2598,54 @@ class BtrTable:
             out = out.crossJoin(nf)  # one-row frames: no fan-out
         # restore the requested column order (crossJoin appends)
         return out.select(*[a for _, _, a in aggs])
+
+    @staticmethod
+    def _quantile_frame(
+        mdf: DataFrame, stat, nulls_of, col: str, q: float, alias: str
+    ) -> DataFrame:
+        """One-row DataFrame: approximate quantile from the per-file
+        equi-depth histograms (32 buckets of cnt/32 rows each, exact
+        within-file boundaries). Error is bounded by the within-file
+        bucket mass. Scale shape: one row per file explodes into 32
+        weighted boundaries; the cumulative sum runs range-partitioned
+        (per-range partials + tiny offset window), never a single-task
+        global window — the same trick as _ordered_dense_ids."""
+        from pyspark.sql import Window
+
+        h = F.from_json(stat(col, "hist"), "array<double>")
+        cnt = (F.col("row_count") - nulls_of(col)).cast("double")
+        rows = (
+            mdf.filter(stat(col, "hist").isNotNull())
+            .select(
+                F.explode(F.slice(h, 2, 32)).alias("_ub"),
+                (cnt / F.lit(32.0)).alias("_w"),
+            )
+        )
+        parts = rows.repartitionByRange(64, F.col("_ub")).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+        sums = parts.groupBy("_pid").agg(F.sum("_w").alias("_s"))
+        wo = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = sums.withColumn(
+            "_off", F.coalesce(F.sum("_s").over(wo), F.lit(0.0))
+        )
+        total = sums.agg(F.sum("_s").alias("_tot"))
+        wl = (
+            Window.partitionBy("_pid")
+            .orderBy("_ub")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = (
+            parts.withColumn("_c", F.sum("_w").over(wl))
+            .join(F.broadcast(offs.select("_pid", "_off")), "_pid")
+            .crossJoin(F.broadcast(total))
+            .withColumn("_cum", F.col("_c") + F.col("_off"))
+        )
+        return cum.filter(
+            F.col("_cum") >= F.lit(q) * F.col("_tot")
+        ).agg(F.min("_ub").alias(alias))
 
     @staticmethod
     def _ndv_frame(mdf: DataFrame, stat, col: str, alias: str) -> DataFrame:

@@ -216,3 +216,64 @@ def test_approx_ndv_mor_fallback_is_exact(spark, ndv_table):
     )
     got = ndv_table.stats_agg([("approx_ndv", "w", "d")]).collect()[0]
     assert got.d == truth == 4
+
+
+def test_approx_quantile_metadata_only(spark, tmp_path):
+    """approx_quantile folds per-file equi-depth histograms — zero data
+    I/O — and must land within one within-file bucket of the exact
+    quantile; q=0/1 hit min/max exactly."""
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.sources.table import BtrTable
+
+    root = str(tmp_path / "t")
+    df = spark.range(4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * F.col("id") % 997).cast("double").alias("v"),
+    )
+    t = BtrTable.create(spark, root, df, ndv_cols=["v"], num_files=6)
+    row = t.stats_agg(
+        [
+            ("approx_quantile:0.5", "v", "p50"),
+            ("approx_quantile:0.9", "v", "p90"),
+            ("approx_quantile:0.0", "v", "p0"),
+            ("approx_quantile:1.0", "v", "p100"),
+            ("count", "*", "n"),
+        ]
+    ).first()
+    exact = df.select(
+        F.expr("percentile(v, 0.5)").alias("p50"),
+        F.expr("percentile(v, 0.9)").alias("p90"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    ).first()
+    assert row.n == 4000
+    assert abs(row.p50 - exact.p50) <= 997 * 0.05
+    assert abs(row.p90 - exact.p90) <= 997 * 0.05
+    # q=0 returns the first bucket's UPPER bound — within one bucket
+    assert exact.mn <= row.p0 <= exact.mn + 997 * 0.05
+    assert row.p100 == exact.mx
+
+
+def test_approx_quantile_mor_fallback_and_guard(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.operators.rowops import delete_where
+    from btrblocks_spark.sources.table import BtrTable
+
+    root = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    t = BtrTable.create(spark, root, df, ndv_cols=["v"])
+    delete_where(t, "k >= 50", strategy="mor")
+    # MOR deletes present -> exact-percentile fallback over live rows
+    got = t.stats_agg([("approx_quantile:1.0", "v", "mx")]).first().mx
+    assert got == 49.0
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        t.stats_agg([("approx_quantile:0.5", "k", "x")])  # k not in ndv_cols
+    with _pt.raises(ValueError):
+        t.stats_agg([("approx_quantile:1.5", "v", "x")])
