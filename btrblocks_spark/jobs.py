@@ -212,7 +212,7 @@ def main(argv: list[str] | None = None) -> int:
         "--agg",
         action="append",
         required=True,
-        help="fn:col[:alias], e.g. count:*  min:o_orderkey:mn",
+        help="fn:col[:alias], e.g. count:*  min:o_orderkey:mn  approx_quantile:0.5:v:p50",
     )
 
     ch = sub.add_parser(
@@ -466,10 +466,16 @@ def main(argv: list[str] | None = None) -> int:
         specs = []
         for a in args.agg:
             parts = a.split(":")
-            fn, col = parts[0], parts[1]
-            alias = parts[2] if len(parts) > 2 else (
-                f"{fn}_{col}".replace("*", "all")
-            )
+            if parts[0] == "approx_quantile":
+                # approx_quantile:<q>:col[:alias]
+                fn, col = f"{parts[0]}:{parts[1]}", parts[2]
+                alias = parts[3] if len(parts) > 3 else f"q{parts[1]}_{col}"
+                alias = alias.replace(".", "_")
+            else:
+                fn, col = parts[0], parts[1]
+                alias = parts[2] if len(parts) > 2 else (
+                    f"{fn}_{col}".replace("*", "all")
+                )
             specs.append((fn, col, alias))
         out = t.stats_agg(specs).collect()[0].asDict()
     elif args.cmd == "export":

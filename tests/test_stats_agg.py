@@ -277,3 +277,24 @@ def test_approx_quantile_mor_fallback_and_guard(spark, tmp_path):
         t.stats_agg([("approx_quantile:0.5", "k", "x")])  # k not in ndv_cols
     with _pt.raises(ValueError):
         t.stats_agg([("approx_quantile:1.5", "v", "x")])
+
+
+def test_cli_stats_approx_quantile(spark, tmp_path, capsys):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark import jobs
+    from btrblocks_spark.sources.table import BtrTable
+
+    root = str(tmp_path / "t")
+    df = spark.range(500).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    BtrTable.create(spark, root, df, ndv_cols=["v"], num_files=4)
+    assert jobs.main(
+        ["stats", "--table", root, "--agg", "approx_quantile:1.0:v:mx",
+         "--agg", "count:*"]
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mx"] == 499.0 and out["count_all"] == 500
