@@ -59,6 +59,19 @@ def _table(path: str):
     return BtrTable(None, path)
 
 
+def _user_schema_hex(meta: dict) -> str:
+    """Table arrow schema minus hidden-partitioning _p_* columns — what
+    the DataSource exposes (the derived layout is an internal detail,
+    like Iceberg's partition fields)."""
+    logical = pa.ipc.read_schema(
+        pa.py_buffer(bytes.fromhex(meta["arrow_schema_hex"]))
+    )
+    keep = [f for f in logical if not f.name.startswith("_p_")]
+    if len(keep) == len(logical):
+        return meta["arrow_schema_hex"]
+    return pa.schema(keep).serialize().hex().decode()
+
+
 def _decode_file(
     path: str,
     schema_hex: str,
@@ -115,6 +128,9 @@ class BtrTableDataSource(DataSource):
     def schema(self):
         meta = _table(self._root()).metadata()
         base = StructType.fromJson(json.loads(meta["spark_schema_json"]))
+        base = StructType(
+            [f for f in base.fields if not f.name.startswith("_p_")]
+        )
         if self.options.get("cdc", "").lower() in ("1", "true"):
             return StructType(base.fields + _CHANGE_FIELDS)
         return base
@@ -148,7 +164,7 @@ class BtrTableBatchReader(DataSourceReader):
         self.root = root
         t = _table(root)
         meta = t.metadata()
-        self.schema_hex = meta["arrow_schema_hex"]
+        self.schema_hex = _user_schema_hex(meta)
         self.aliases = meta.get("renames", {})
         self.rows = t.data_files()
         self.del_paths = [r["file_path"] for r in t.delete_files()]
@@ -261,7 +277,7 @@ class BtrTableStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         t = _table(self.root)
         meta = t.metadata()
-        schema_hex = meta["arrow_schema_hex"]
+        schema_hex = _user_schema_hex(meta)
         aliases = meta.get("renames", {})
         known = {s["snapshot_id"]: s for s in meta["snapshots"]}
         lo, hi = start["snapshot_id"], end["snapshot_id"]

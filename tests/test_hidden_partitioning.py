@@ -275,3 +275,20 @@ def test_partitions_df_summary(spark, btable):
     assert len(rows) >= 4  # one row per bucket value (at least)
     assert sum(r.row_count for r in rows) == t.scan().count()
     assert all(r.file_count >= 1 and r.ratio > 0 for r in rows)
+
+
+def test_datasource_read_hides_derived_columns(spark, tmp_path):
+    from btrblocks_spark.sources.spark_datasource import (
+        BtrTableDataSource,
+    )
+
+    spark.dataSource.register(BtrTableDataSource)
+    root = str(tmp_path / "t")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")
+    )
+    BtrTable.create(spark, root, df, partition_by=["bucket(4, k)"])
+    got = spark.read.format("btrtable").load(root)
+    assert not [c for c in got.columns if c.startswith("_p_")]
+    assert got.count() == 60
+    assert got.agg(F.sum("k")).first()[0] == sum(range(60))
