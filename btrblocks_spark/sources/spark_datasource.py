@@ -175,9 +175,15 @@ class BtrTableBatchReader(DataSourceReader):
                 "only — run compact() first or read via BtrTable.scan()"
             )
         self.prune: dict = {}
+        self._transforms = meta.get("partition_transforms", [])
 
     def partitions(self):
+        from btrblocks_spark.sources.table import _translate_prune
+
         rows = self.rows
+        # hidden partitioning: pushed predicates on transform SOURCE
+        # columns also prune the derived _p_* layout
+        self.prune = _translate_prune(self.prune, self._transforms) or {}
         if self.prune:
             from btrblocks_spark.sources.table import _file_may_match
 

@@ -292,3 +292,30 @@ def test_datasource_read_hides_derived_columns(spark, tmp_path):
     assert not [c for c in got.columns if c.startswith("_p_")]
     assert got.count() == 60
     assert got.agg(F.sum("k")).first()[0] == sum(range(60))
+
+
+def test_pushdown_reader_translates_bucket_filters(spark, tmp_path):
+    """A pushed equality filter on the bucket source column prunes the
+    derived layout: fewer files are decoded, result identical."""
+    from btrblocks_spark.sources.spark_datasource import (
+        BtrTableDataSource,
+    )
+
+    spark.dataSource.register(BtrTableDataSource)
+    root = str(tmp_path / "t")
+    df = spark.range(400).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    BtrTable.create(spark, root, df, partition_by=["bucket(4, k)"])
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        got = (
+            spark.read.format("btrtable")
+            .option("pushdown", "true")
+            .load(root)
+            .filter(F.col("k") == 123)
+            .collect()
+        )
+        assert len(got) == 1 and got[0].v == 861
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
