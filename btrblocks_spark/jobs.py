@@ -104,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
     e = sub.add_parser("expire")
     e.add_argument("--table", required=True)
     e.add_argument("--keep-last", type=int, default=3)
+    e.add_argument(
+        "--older-than", type=float, default=None,
+        help="age retention in seconds: younger snapshots are kept "
+        "even beyond --keep-last",
+    )
 
     v = sub.add_parser("verify")
     v.add_argument("--table", required=True)
@@ -391,7 +396,9 @@ def main(argv: list[str] | None = None) -> int:
         out = {"rows": len(rows), "result": [r.asDict() for r in rows[:20]]}
     elif args.cmd == "expire":
         t = BtrTable.load(spark, args.table)
-        out = t.expire_snapshots(keep_last=args.keep_last)
+        out = t.expire_snapshots(
+            keep_last=args.keep_last, older_than=args.older_than
+        )
     elif args.cmd == "verify":
         from btrblocks_spark.operators.verify import (
             verify_images,

@@ -1727,8 +1727,15 @@ class BtrTable:
         )
         return int(row[0] or 0)
 
-    def expire_snapshots(self, keep_last: int = 1) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than: float | None = None
+    ) -> dict:
         """Drop all but the last ``keep_last`` snapshots; delete orphans.
+
+        ``older_than`` (seconds) adds Iceberg-style age retention: a
+        snapshot younger than the cutoff is kept even beyond
+        ``keep_last`` — expiry only ever removes snapshots that fail
+        BOTH criteria.
 
         Above ``DISTRIBUTED_META_MIN`` expired files the doomed-file set
         is computed as a Spark anti-join of the expired snapshots'
@@ -1758,6 +1765,11 @@ class BtrTable:
         # fast_forward (the head alone is in refs; ancestors carry the
         # branch marker until adoption sheds it)
         keep_sids |= {s["snapshot_id"] for s in snaps if s.get("branch")}
+        if older_than is not None:
+            cutoff = time.time() - older_than
+            keep_sids |= {
+                s["snapshot_id"] for s in snaps if s["ts"] > cutoff
+            }
         retained = [s for s in snaps if s["snapshot_id"] in keep_sids]
         expired = [s for s in snaps if s["snapshot_id"] not in keep_sids]
         retained_sids = [s["snapshot_id"] for s in retained]

@@ -452,3 +452,27 @@ def test_rewrite_manifests_distributed_idempotent_rerun(spark, tmp_path, monkeyp
     assert strip(files_1) == strip(files_2)
     assert t.scan().count() == 50
     assert r1["files"] == r2["files"] == len(t.data_files())
+
+
+def test_expire_older_than_age_retention(spark, tmp_path):
+    """older_than keeps young snapshots beyond keep_last; a huge cutoff
+    expires nothing, a zero cutoff falls back to keep_last."""
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.sources.table import BtrTable
+
+    root = str(tmp_path / "t")
+    t = BtrTable.create(
+        spark, root, spark.range(10).select(F.col("id").alias("k"))
+    )
+    for _ in range(3):
+        t.append(spark.range(5).select(F.col("id").alias("k")))
+    n0 = len(t.metadata()["snapshots"])
+    # everything is seconds old: a 1-hour cutoff retains all snapshots
+    out = t.expire_snapshots(keep_last=1, older_than=3600)
+    assert len(t.metadata()["snapshots"]) == n0
+    assert out["expired"] == 0 if "expired" in out else True
+    # zero cutoff: age no longer protects — keep_last governs
+    t.expire_snapshots(keep_last=1, older_than=0)
+    assert len(t.metadata()["snapshots"]) < n0
+    assert t.scan().count() == 25
