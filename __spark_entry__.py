@@ -202,6 +202,33 @@ def _corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning E2E: orders written with bucket(8, o_custkey)
+    (derived _p_* column, invisible in output); an equality prune on the
+    SOURCE column translates to the bucket layout and opens ~1/8 of the
+    files — something min/max stats cannot do on an unsorted key."""
+    import tempfile
+
+    from btrblocks_spark.sources.table import BtrTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    root = tempfile.mkdtemp(prefix="btr_hp_") + "/t"
+    table = BtrTable.create(
+        spark,
+        root,
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        partition_by=["bucket(8, o_custkey)"],
+        job_id="hpscan",
+    )
+    key = 19  # deterministic probe key non-vacuous at every sf
+    return (
+        table.scan(prune={"o_custkey": [key]})
+        .filter(F.col("o_custkey") == key)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
 def _zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective scan through the block-compressed table: manifest stats
     prune FILES, then per-block zone maps prune BLOCKS inside each
@@ -915,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,  # email/IP/phone redaction (planted)
         # block-level zone-map predicate skipping (scan through BtrTable)
         "zonemap_scan": _zonemap_scan,
+        "hidden_partition_scan": _hidden_partition_scan,
         "point_lookup": _point_lookup,
         "stats_only_agg": _stats_only_agg,  # zero-data-I/O metadata agg
         "ndv_stats": _ndv_stats,  # KMV distinct sketch fold (exact < k)
@@ -1103,6 +1131,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "hidden_partition_scan": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = 19
+            ORDER BY o_orderkey
         """,
         "zonemap_scan": """
             SELECT o_orderstatus,
