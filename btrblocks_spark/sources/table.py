@@ -187,7 +187,9 @@ def _transform_literal(t: dict, v):
         return (v - _EPOCH).days
     if isinstance(v, str):
         return v[: t["param"]]
-    return (v // t["param"]) * t["param"]
+    # match the Spark expression's floor(v/W)*W cast to long — floats
+    # quantize to the integral multiple
+    return int((v // t["param"]) * t["param"])
 
 
 def _transform_arrow(t: dict, tbl: "pa.Table") -> "pa.Array":
@@ -213,7 +215,7 @@ def _transform_arrow(t: dict, tbl: "pa.Table") -> "pa.Array":
     import numpy as _np
 
     arr = col.to_numpy(zero_copy_only=False)
-    out = _np.floor_divide(arr, t["param"]) * t["param"]
+    out = (_np.floor_divide(arr, t["param"]) * t["param"]).astype(_np.int64)
     return pa.array(out, pa.int64())
 
 
@@ -235,7 +237,11 @@ def _translate_prune(prune: dict | None, transforms: list[dict]) -> dict | None:
         if v is None or t["dest"] in out or isinstance(v, dict):
             continue
         if isinstance(v, (list, set, frozenset)):
-            out[t["dest"]] = sorted({_transform_literal(t, x) for x in v})
+            lits = {
+                _transform_literal(t, x) for x in v if x is not None
+            }
+            if lits:
+                out[t["dest"]] = sorted(lits)
         else:
             lo, hi = v
             if t["kind"] == "bucket":
