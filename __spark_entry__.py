@@ -229,6 +229,39 @@ def _hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _days_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """days(ts) hidden partitioning: events land in day partitions; a
+    raw-timestamp range predicate translates to a derived-day range and
+    opens only those days' files (monotone transform, range form)."""
+    import tempfile
+
+    from btrblocks_spark.sources.table import BtrTable
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    root = tempfile.mkdtemp(prefix="btr_days_") + "/t"
+    table = BtrTable.create(
+        spark,
+        root,
+        events.select("event_id", "ts", "event_type", "value"),
+        partition_by=["days(ts)"],
+        job_id="dayscan",
+    )
+    import datetime
+
+    lo = datetime.datetime(2024, 1, 3)
+    hi = datetime.datetime(2024, 1, 5)
+    return (
+        table.scan(prune={"ts": (lo, hi)})
+        .filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _zonemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective scan through the block-compressed table: manifest stats
     prune FILES, then per-block zone maps prune BLOCKS inside each
@@ -943,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # block-level zone-map predicate skipping (scan through BtrTable)
         "zonemap_scan": _zonemap_scan,
         "hidden_partition_scan": _hidden_partition_scan,
+        "days_partition_scan": _days_partition_scan,
         "point_lookup": _point_lookup,
         "stats_only_agg": _stats_only_agg,  # zero-data-I/O metadata agg
         "ndv_stats": _ndv_stats,  # KMV distinct sketch fold (exact < k)
@@ -1131,6 +1165,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "days_partition_scan": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-05 00:00:00'
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "hidden_partition_scan": """
             SELECT o_orderkey, o_custkey, o_totalprice
