@@ -813,6 +813,34 @@ def _knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_pq(emb, queries, dim=dim, k=5, m=32, ksub=64)
 
 
+def _knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ tier (rows-only): PQ codes persisted into the IVF cell
+    layout; probe = executor-side cell assignment + stats-pruned scan of
+    the probed cells' m-byte codes + ADC cosine. Recall and
+    full-probe ≡ plain-PQ equivalence gates live in pytest
+    (test_similarity_scale)."""
+    import tempfile
+
+    from btrblocks_spark.functions.similarity import (
+        build_ivf_pq_table,
+        knn_ivf_pq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    root = tempfile.mkdtemp(prefix="btr_ivfpq_") + "/t"
+    table, cents, books = build_ivf_pq_table(
+        spark, emb, root, dim=dim, n_centroids=8, m=16, ksub=32
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return knn_ivf_pq(table, queries, cents, books, k=5, n_probe=2)
+
+
 def _knn_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality gate: recall@5 of the *deterministic* banded LSH vs
     brute force — oracle-checkable (DuckDB reproduces the integer LSH
@@ -1005,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": _knn_ivf,  # rows-only (numpy kmeans centroids)
         "knn_ivf_sq8": _knn_ivf_sq8,  # rows-only (IVF-SQ8 composition)
         "knn_pq": _knn_pq,  # rows-only (PQ ADC; pytest recall gate)
+        "knn_ivf_pq": _knn_ivf_pq,  # rows-only (IVF-PQ composition)
         "knn_recall_lsh": _knn_recall_lsh,  # oracle-checked (det LSH)
         "embedding_near_dup": _near_dup_embeddings,  # exact oracle twin
         "embedding_near_dup_lsh": _near_dup_embeddings_lsh,  # rows-only

@@ -99,6 +99,7 @@ def test_entry_queries_and_oracles_consistent():
         "knn_ivf",
         "knn_ivf_sq8",
         "knn_pq",
+        "knn_ivf_pq",
         "embedding_near_dup_lsh",
     }
 
