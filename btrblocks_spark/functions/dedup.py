@@ -512,7 +512,7 @@ def dedup_paragraphs(
         F.col(id_col),
         F.concat_ws(
             joiner, F.transform("_ps", lambda s: s.para)
-        ).alias("text"),
+        ).alias(text_col),
         F.col("n_kept").cast("long").alias("n_kept"),
         F.col("n_total").cast("long").alias("n_total"),
         *[F.col(c) for c in (keep or [])],

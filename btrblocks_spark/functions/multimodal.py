@@ -15,7 +15,7 @@ rank window per cluster. Nothing collects to the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from btrblocks_spark.functions.dedup import (
@@ -23,7 +23,7 @@ from btrblocks_spark.functions.dedup import (
     simhash64,
     simhash_near_pairs,
 )
-from btrblocks_spark.functions.graph import dedup_clusters
+from btrblocks_spark.functions.graph import canonical_docs, dedup_clusters
 
 
 def multimodal_near_dup(
@@ -77,14 +77,14 @@ def curate_images(
         dst="id_b",
         id_col="doc_id",
     ).select(F.col("doc_id").alias(id_col), "cluster_id")
-    joined = df.join(clusters, id_col)
-    w = Window.partitionBy("cluster_id").orderBy(
-        (F.col("w").cast("long") * F.col("h")).desc(), F.col(id_col).asc()
-    )
-    size_w = Window.partitionBy("cluster_id")
-    return (
-        joined.withColumn("_rk", F.row_number().over(w))
-        .withColumn("cluster_size", F.count("*").over(size_w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
+    # same canonical-selection window as the text path, ranked by
+    # resolution instead of length
+    return canonical_docs(
+        df,
+        clusters,
+        id_col=id_col,
+        order_by=[
+            (F.col("w").cast("long") * F.col("h")).desc(),
+            F.col(id_col).asc(),
+        ],
     )

@@ -55,7 +55,9 @@ def curate_corpus(
     ``max_rep=1.0`` disables the repetition gate; ``benchmark=None``
     skips decontamination.
     """
-    feats = corpus_features(df, text_col=text_col, keep=[text_col])
+    feats = corpus_features(
+        df, text_col=text_col, keep=[text_col], id_col=id_col
+    )
 
     # 1. exact dedup (min id per content hash — one digest-keyed window)
     w = Window.partitionBy("content_hash")

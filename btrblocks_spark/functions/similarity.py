@@ -277,6 +277,21 @@ def knn_lsh_det(
     )
 
 
+def _collect_sample(
+    vectors: DataFrame, vec_col: str, sample_rows: int, seed: int
+) -> np.ndarray:
+    """One driver-side training sample shared by the IVF and PQ
+    trainers (one count + one sampled collect, not one per trainer)."""
+    n_total = vectors.count()
+    frac = min(1.0, sample_rows / max(n_total, 1))
+    return np.vstack(
+        vectors.select(vec_col)
+        .sample(fraction=frac, seed=seed)
+        .toPandas()[vec_col]
+        .to_numpy()
+    ).astype(np.float64)
+
+
 def train_ivf_centroids(
     vectors: DataFrame,
     dim: int,
@@ -285,6 +300,7 @@ def train_ivf_centroids(
     iters: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Mini-kmeans on a driver-side sample → (n_centroids, dim) float64.
 
@@ -292,14 +308,8 @@ def train_ivf_centroids(
     sampled — FAISS does the same); the expensive assignment pass stays
     distributed in :func:`knn_ivf`.
     """
-    n_total = vectors.count()
-    frac = min(1.0, sample_rows / max(n_total, 1))
-    sample = np.vstack(
-        vectors.select(vec_col)
-        .sample(fraction=frac, seed=seed)
-        .toPandas()[vec_col]
-        .to_numpy()
-    ).astype(np.float64)
+    if sample is None:
+        sample = _collect_sample(vectors, vec_col, sample_rows, seed)
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), n_centroids, replace=False)]
     for _ in range(iters):
@@ -746,6 +756,7 @@ def train_pq_codebooks(
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
+    sample: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace k-means codebooks -> (m, ksub, dim//m) float64.
 
@@ -756,14 +767,8 @@ def train_pq_codebooks(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    n_total = vectors.count()
-    frac = min(1.0, sample_rows / max(n_total, 1))
-    sample = np.vstack(
-        vectors.select(vec_col)
-        .sample(fraction=frac, seed=seed)
-        .toPandas()[vec_col]
-        .to_numpy()
-    ).astype(np.float64)
+    if sample is None:
+        sample = _collect_sample(vectors, vec_col, sample_rows, seed)
     rng = np.random.default_rng(seed)
     books = []
     for j in range(m):
@@ -923,11 +928,14 @@ def build_ivf_pq_table(
     probed bytes ~10-30x). Returns (BtrTable, centroids, codebooks)."""
     from btrblocks_spark.sources.table import BtrTable
 
+    sample = _collect_sample(vectors, vec_col, 10_000, seed)
     centroids = train_ivf_centroids(
-        vectors, dim, n_centroids, seed=seed, vec_col=vec_col
+        vectors, dim, n_centroids, seed=seed, vec_col=vec_col,
+        sample=sample,
     )
     codebooks = train_pq_codebooks(
-        vectors, dim, m=m, ksub=ksub, seed=seed, vec_col=vec_col
+        vectors, dim, m=m, ksub=ksub, seed=seed, vec_col=vec_col,
+        sample=sample,
     )
     assign = ivf_assign_udf(centroids)
     qdf = pq_encode(

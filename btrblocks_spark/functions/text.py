@@ -103,7 +103,10 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def corpus_features(
-    df: DataFrame, text_col: str = "text", keep: list[str] | None = None
+    df: DataFrame,
+    text_col: str = "text",
+    keep: list[str] | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """One-pass projection of everything the corpus-curation pipeline
     needs: token count, quality, predicted language, and the exact-dedup
@@ -134,7 +137,7 @@ def corpus_features(
     pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(
-        "doc_id",
+        id_col,
         ntok.alias("n_tokens"),
         quality.alias("quality"),
         pred.alias("pred_lang"),
@@ -264,7 +267,7 @@ def scrub_pii(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
     return df.select(
-        *cols, scrubbed.alias("text"), *[F.col(c) for c in (keep or [])]
+        *cols, scrubbed.alias(text_col), *[F.col(c) for c in (keep or [])]
     )
 
 

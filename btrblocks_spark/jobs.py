@@ -475,9 +475,14 @@ def main(argv: list[str] | None = None) -> int:
             parts = a.split(":")
             if parts[0] == "approx_quantile":
                 # approx_quantile:<q>:col[:alias]
+                if len(parts) < 3:
+                    p.error(f"--agg {a!r}: need approx_quantile:<q>:col")
                 fn, col = f"{parts[0]}:{parts[1]}", parts[2]
-                alias = parts[3] if len(parts) > 3 else f"q{parts[1]}_{col}"
-                alias = alias.replace(".", "_")
+                alias = (
+                    parts[3]
+                    if len(parts) > 3
+                    else f"q{parts[1]}_{col}".replace(".", "_")
+                )
             else:
                 fn, col = parts[0], parts[1]
                 alias = parts[2] if len(parts) > 2 else (

@@ -353,6 +353,15 @@ def _merge_staged(
     parts = table.partition_by()
     schema_hex = table.schema_arrow().serialize().hex().decode()
     aliases = table.metadata().get("renames", {})
+    # replacement rows splice into FULL-schema decoded files, so the
+    # source Arrow table needs the hidden-partitioning columns too
+    from btrblocks_spark.sources.table import _transform_arrow
+
+    for tf in table.metadata().get("partition_transforms") or []:
+        if tf["dest"] not in src_tbl.schema.names:
+            src_tbl = src_tbl.append_column(
+                tf["dest"], _transform_arrow(tf, src_tbl)
+            )
     src_tbl = src_tbl.select(cols).combine_chunks()
 
     # ONE key-only pass: (key, file) pairs matched against the source
@@ -561,7 +570,7 @@ def _merge_staged(
         t0 = _time.time()
         inserts = source.join(
             keyscan.select(on), on=on, how="left_anti"
-        ).select(*cols)
+        ).select(*table.user_columns())
         new_rows.extend(table._write_files(inserts, job_id=job_id))
         timings["inserts"] = _time.time() - t0
     keyscan.unpersist()

@@ -625,10 +625,35 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
             self.token_bloom_cols = meta.get("token_bloom_cols", [])
         except (FileNotFoundError, OSError):
             self.exists = False
-            self.partition_transforms = []
-            self.partition_by = [
-                c for c in (options.get("partitionby") or "").split(",") if c
+            import re as _re
+
+            from pyspark.sql.types import StructType as _ST
+
+            from btrblocks_spark.sources.table import (
+                _parse_partition_specs,
+                _validate_transforms,
+            )
+
+            raw = [
+                c
+                for c in _re.split(
+                    r",(?![^(]*\))", options.get("partitionby") or ""
+                )
+                if c
             ]
+            self.partition_by, self.partition_transforms = (
+                _parse_partition_specs(raw)
+            )
+            sch = _ST.fromJson(json.loads(self.schema_json))
+            reserved = [
+                f.name for f in sch.fields if f.name.startswith("_p_")
+            ]
+            if reserved:
+                raise ValueError(
+                    f"column names {reserved} use the reserved hidden-"
+                    "partitioning prefix '_p_'"
+                )
+            _validate_transforms(self.partition_transforms, sch)
             self.bloom_cols = [
                 c for c in (options.get("bloomcols") or "").split(",") if c
             ]
@@ -814,6 +839,7 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
                 "arrow_schema_hex": schema_hex,
                 "spark_schema_json": self.schema_json,
                 "partition_by": self.partition_by,
+                "partition_transforms": self.partition_transforms,
                 "bloom_cols": self.bloom_cols,
                 "ndv_cols": self.ndv_cols,
                 "token_bloom_cols": self.token_bloom_cols,

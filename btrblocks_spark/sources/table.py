@@ -148,6 +148,43 @@ def _parse_partition_specs(partition_by: list[str] | None):
     return plain, transforms
 
 
+def _validate_transforms(transforms: list[dict], spark_schema) -> None:
+    """Transform source columns must have engine-stable string/epoch
+    forms across the three twins (Spark expr / Python literal / pyarrow)
+    — bool and float keys stringify differently per engine, so they are
+    rejected up front rather than silently landing in wrong buckets."""
+    from pyspark.sql.types import (
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    ints = (ByteType, ShortType, IntegerType, LongType)
+    for t in transforms:
+        if t["col"] not in spark_schema.names:
+            raise KeyError(f"transform source column {t['col']!r} missing")
+        dt = spark_schema[t["col"]].dataType
+        if t["kind"] in ("bucket", "truncate") and not isinstance(
+            dt, ints + (StringType,)
+        ):
+            raise TypeError(
+                f"{t['kind']}() needs an integer or string column, "
+                f"got {t['col']}: {dt.simpleString()}"
+            )
+        if t["kind"] == "days" and not isinstance(
+            dt, (DateType, TimestampType, TimestampNTZType)
+        ):
+            raise TypeError(
+                f"days() needs a date/timestamp column, got "
+                f"{t['col']}: {dt.simpleString()}"
+            )
+
+
 def _transform_column(t: dict, df: DataFrame):
     """Spark expression computing transform ``t`` over ``df``'s source
     column. Must stay value-identical to :func:`_transform_literal` —
@@ -612,6 +649,13 @@ class BtrTable:
         # entries become derived _p_* columns computed on every write;
         # the TABLE schema stays the user's (the derived layout is hidden)
         plain_parts, transforms = _parse_partition_specs(partition_by)
+        reserved = [c for c in df.columns if c.startswith("_p_")]
+        if reserved:
+            raise ValueError(
+                f"column names {reserved} use the reserved hidden-"
+                "partitioning prefix '_p_'"
+            )
+        _validate_transforms(transforms, df.schema)
         for t in transforms:
             if t["dest"] not in df.columns:
                 df = df.withColumn(t["dest"], _transform_column(t, df))
@@ -2460,7 +2504,16 @@ class BtrTable:
         for fn, col, _ in aggs:
             base = fn.split(":", 1)[0]
             if base == "approx_quantile":
-                q = float(fn.split(":", 1)[1])
+                fn_parts = fn.split(":", 1)
+                if len(fn_parts) != 2:
+                    raise ValueError(
+                        f"approx_quantile needs a ':q' suffix "
+                        f"(e.g. 'approx_quantile:0.5'): {fn!r}"
+                    )
+                try:
+                    q = float(fn_parts[1])
+                except ValueError:
+                    raise ValueError(f"bad quantile in {fn!r}") from None
                 if not 0.0 <= q <= 1.0:
                     raise ValueError(f"quantile out of [0,1]: {fn!r}")
                 if col not in self.ndv_cols():
@@ -2568,6 +2621,21 @@ class BtrTable:
                 stat(col, "null_count").cast("long"), F.col("row_count")
             )
 
+        # approx_quantile must never average an arbitrary SUBSET of
+        # files: every data file needs a histogram for the column (older
+        # files written before the column joined ndv_cols, or a
+        # non-numeric column, lack one) — error out rather than return a
+        # silently skewed quantile; a compact() rewrite backfills hists
+        for fn, col, _ in aggs:
+            if fn.startswith("approx_quantile:"):
+                n_missing = mdf.filter(stat(col, "hist").isNull()).count()
+                if n_missing:
+                    raise ValueError(
+                        f"approx_quantile({col!r}): {n_missing} data "
+                        "file(s) carry no histogram (written before the "
+                        "column was in ndv_cols, or non-numeric) — "
+                        "compact() to backfill, or scan+percentile"
+                    )
         zero = F.lit(0).cast("long")
         exprs = []
         ndv_frames: list[DataFrame] = []

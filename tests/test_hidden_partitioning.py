@@ -219,6 +219,15 @@ def test_merge_and_rowops_on_bucketed_table(spark, tmp_path):
         F.sum("v")
     ).first()[0] == -25
 
+    # the STAGED copy-on-write path splices full-schema replacement
+    # rows — the source Arrow table must gain the derived columns
+    src2 = spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit(-7).cast("long").alias("v")
+    )
+    merge_into(t, src2, on="k", strategy="staged")
+    got = t.scan().filter((F.col("k") >= 5) & (F.col("k") < 8))
+    assert got.agg(F.sum("v")).first()[0] == -21
+
     update_where(t, {"v": "999"}, "k = 100", strategy="cow")
     assert t.scan().filter(F.col("k") == 100).first().v == 999
 
@@ -319,3 +328,65 @@ def test_pushdown_reader_translates_bucket_filters(spark, tmp_path):
         assert len(got) == 1 and got[0].v == 861
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def test_transform_type_validation_and_reserved_prefix(spark, tmp_path):
+    import pytest as _pt
+
+    df_bool = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2 == 0).alias("flag")
+    )
+    with _pt.raises(TypeError):
+        BtrTable.create(
+            spark, str(tmp_path / "a"), df_bool,
+            partition_by=["bucket(4, flag)"],
+        )
+    df_float = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    with _pt.raises(TypeError):
+        BtrTable.create(
+            spark, str(tmp_path / "b"), df_float,
+            partition_by=["truncate(2, v)"],
+        )
+    with _pt.raises(TypeError):
+        BtrTable.create(
+            spark, str(tmp_path / "c"), df_float,
+            partition_by=["days(k)"],
+        )
+    df_res = spark.range(10).select(
+        F.col("id").alias("k"), F.col("id").alias("_p_score")
+    )
+    with _pt.raises(ValueError):
+        BtrTable.create(spark, str(tmp_path / "d"), df_res)
+
+
+def test_datasource_create_with_transform_spec(spark, tmp_path):
+    """Creating a NEW transform-partitioned table straight through the
+    DataSource writer: paren-aware partitionby parsing, derived columns
+    in the written files, pruning works on the result."""
+    from btrblocks_spark.sources.spark_datasource import (
+        BtrTableDataSource,
+    )
+
+    spark.dataSource.register(BtrTableDataSource)
+    root = str(tmp_path / "t")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    (
+        df.write.format("btrtable")
+        .option("partitionby", "bucket(4,k)")
+        .mode("append")
+        .save(root)
+    )
+    t = BtrTable.load(spark, root)
+    assert t.metadata()["partition_transforms"][0]["kind"] == "bucket"
+    assert t.scan().count() == 200
+    all_files = t.scan(with_file=True).select("_file").distinct().count()
+    opened = (
+        t.scan(prune={"k": [77]}, with_file=True)
+        .select("_file").distinct().count()
+    )
+    assert opened < all_files
+    assert t.scan(prune={"k": [77]}).filter(F.col("k") == 77).first().v == 231

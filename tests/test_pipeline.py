@@ -53,3 +53,18 @@ def test_curate_corpus_optional_stages_off(spark):
     # no benchmark, repetition gate disabled -> doc survives untouched
     out = curate_corpus(docs, benchmark=None, min_quality=0.0).collect()
     assert len(out) == 1 and out[0].doc_id == 1
+
+
+def test_curate_corpus_custom_column_names(spark):
+    from btrblocks_spark.functions.pipeline import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(7, "the quick brown fox jumps for it was a fine day in the "
+             "park and all of the dogs ran to the gate " * 2)],
+        "id long, body string",
+    )
+    out = curate_corpus(
+        docs, min_quality=0.0, text_col="body", id_col="id"
+    ).collect()
+    assert len(out) == 1 and out[0].id == 7
+    assert "quick brown fox" in out[0].body

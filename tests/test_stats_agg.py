@@ -298,3 +298,41 @@ def test_cli_stats_approx_quantile(spark, tmp_path, capsys):
     ) == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["mx"] == 499.0 and out["count_all"] == 500
+
+
+def test_approx_quantile_missing_hist_errors(spark, tmp_path):
+    """Files written before the column had a histogram must make the
+    aggregate ERROR, never silently average a subset."""
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.sources.table import BtrTable
+
+    root = str(tmp_path / "t")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    t = BtrTable.create(spark, root, df, ndv_cols=["v"])
+    # simulate a legacy file: strip hist from one manifest row's stats
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    mname = t._manifest_list(t.current_snapshot_id())[0]["name"]
+    import os
+
+    mpath = os.path.join(root, "manifests", mname)
+    mt = pq.read_table(mpath).to_pylist()
+    st = _json.loads(mt[0]["stats"])
+    st["v"].pop("hist", None)
+    mt[0]["stats"] = _json.dumps(st)
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pylist(mt), mpath)
+    t._manifest_rows_cache = {}  # bust any cache if present
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no histogram"):
+        t.stats_agg([("approx_quantile:0.5", "v", "p50")])
+    with _pt.raises(ValueError, match="suffix"):
+        t.stats_agg([("approx_quantile", "v", "x")])
