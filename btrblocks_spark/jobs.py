@@ -256,6 +256,12 @@ def main(argv: list[str] | None = None) -> int:
     cu.add_argument("--max-rep", type=float, default=1.0)
     cu.add_argument("--rep-n", type=int, default=2)
     cu.add_argument("--decontam-n", type=int, default=8)
+    cu.add_argument(
+        "--report",
+        action="store_true",
+        help="append CUBE(lang, source) corpus stats of the curated "
+        "output to the result JSON (needs lang/source columns)",
+    )
 
     args = p.parse_args(argv)
     from btrblocks_spark.sources.table import BtrTable
@@ -380,6 +386,25 @@ def main(argv: list[str] | None = None) -> int:
             "dropped": n_in - n_out,
             "out": args.out,
         }
+        if args.report:
+            from pyspark.sql import functions as F
+
+            from btrblocks_spark.functions.text import corpus_report
+
+            # the pipeline output keeps (id, text, ...); re-attach the
+            # lang/source grouping axes from the input for the report
+            axes = [c for c in ("lang", "source") if c in docs.columns]
+            rep_src = spark.read.parquet(args.out)
+            if axes:
+                rep_src = rep_src.join(
+                    docs.select("doc_id", *axes), "doc_id", "left"
+                )
+            for c in ("lang", "source"):
+                if c not in rep_src.columns:
+                    rep_src = rep_src.withColumn(c, F.lit("unknown"))
+            out["report"] = [
+                r.asDict() for r in corpus_report(rep_src).collect()
+            ]
     elif args.cmd == "changes":
         t = BtrTable.load(spark, args.table)
         df = t.scan_changes(args.from_snapshot, args.to_snapshot)

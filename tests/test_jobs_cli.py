@@ -166,9 +166,13 @@ def test_cli_curate(spark, tmp_path, capsys):
     out = str(tmp_path / "curated")
     docs.write.parquet(inp)
     assert jobs.main(
-        ["curate", "--input", inp, "--out", out, "--min-quality", "0.1"]
+        ["curate", "--input", inp, "--out", out, "--min-quality", "0.1",
+         "--report"]
     ) == 0
     metrics = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert metrics["docs_in"] == 2 and metrics["docs_out"] == 1
+    top = [r for r in metrics["report"]
+           if r["lang"] == "<all>" and r["source"] == "<all>"]
+    assert top and top[0]["n_docs"] == 1
     kept = spark.read.parquet(out).collect()
     assert len(kept) == 1 and kept[0].doc_id == 1
