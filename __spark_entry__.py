@@ -422,6 +422,45 @@ def _upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.scan()
 
 
+def _merge_multikey_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key MERGE INTO (operators/merge.py): lineitem's natural
+    key is the TUPLE (l_orderkey, l_linenumber) — one staged CoW merge
+    updates every %20 order's lines (tripled quantity, flag 'M') and
+    inserts shifted new lines for the %100 orders; all discovery joins,
+    the owner-file map and the executor-side splice operate on the key
+    tuple (a row matching only one component must never be replaced)."""
+    import tempfile
+
+    from btrblocks_spark.operators.merge import merge_into
+    from btrblocks_spark.sources.table import BtrTable
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag",
+    )
+    root = tempfile.mkdtemp(prefix="btr_mmk_") + "/t"
+    table = BtrTable.create(spark, root, li, num_files=4, job_id="mmk0")
+    upd = li.filter(F.col("l_orderkey") % 20 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") * 3).alias("l_quantity"),
+        "l_extendedprice",
+        F.lit("M").alias("l_returnflag"),
+    )
+    ins = li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        (F.col("l_linenumber") + 100).alias("l_linenumber"),
+        (F.col("l_quantity") + 1000.0).alias("l_quantity"),
+        "l_extendedprice",
+        F.lit("I").alias("l_returnflag"),
+    )
+    merge_into(
+        table, upd.unionByName(ins), on=["l_orderkey", "l_linenumber"],
+        job_id="mmk1",
+    )
+    return table.scan()
+
+
 def _token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring/word search through the block table with per-file TOKEN
     BLOOMS (codec/bloom.py build_token_bloom): files whose bloom rejects
@@ -1009,6 +1048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_only_agg": _stats_only_agg,  # zero-data-I/O metadata agg
         "ndv_stats": _ndv_stats,  # KMV distinct sketch fold (exact < k)
         "upsert_scan": _upsert_scan,  # equality-delete upsert (O(change))
+        "merge_multikey_scan": _merge_multikey_scan,  # composite-key MERGE
         "token_search": _token_search,  # token-bloom file skipping
         # composite training-data curation pipeline
         "corpus_filter": _corpus_filter,
@@ -1245,6 +1285,21 @@ def oracle_sql() -> dict[str, str]:
                    o_totalprice * 2 AS o_totalprice,
                    '0-UPSERTED' AS o_orderpriority
             FROM orders WHERE o_orderkey % 10 = 0
+        """,
+        "merge_multikey_scan": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   l_extendedprice, l_returnflag
+            FROM lineitem WHERE l_orderkey % 20 <> 0
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   l_quantity * 3 AS l_quantity,
+                   l_extendedprice, 'M' AS l_returnflag
+            FROM lineitem WHERE l_orderkey % 20 = 0
+            UNION ALL
+            SELECT l_orderkey, l_linenumber + 100 AS l_linenumber,
+                   l_quantity + 1000.0 AS l_quantity,
+                   l_extendedprice, 'I' AS l_returnflag
+            FROM lineitem WHERE l_orderkey % 100 = 0
         """,
         "ndv_stats": """
             SELECT CAST(count(*) AS BIGINT) AS cnt,

@@ -99,7 +99,7 @@ def _norm(path: str) -> str:
 def _candidate_files(
     table: BtrTable,
     source: DataFrame,
-    on: str,
+    keys: list[str],
     prune: dict,
     source_bytes: int | None,
     max_collect_mb: int,
@@ -108,37 +108,38 @@ def _candidate_files(
     """(candidate file paths, bloom_skipped) for the MERGE keyscan.
 
     Manifest min/max range prune first; then, when the table carries
-    per-file key blooms on ``on`` (``BtrTable.create(bloom_cols=...)``)
+    per-file key blooms on any key column (``create(bloom_cols=...)``)
     and the source is small enough to collect its keys, every range-
     surviving file's bloom is probed with the full source key set —
     files whose bloom rejects ALL keys are dropped WITHOUT being opened
-    (their key blobs are never read). Returns (None, 0) when blooms
+    (their key blobs are never read). With composite keys, a file
+    survives only if EVERY bloomed key column may contain at least one
+    of the source's values for that column (a tuple can only match
+    where each of its components might). Returns (None, 0) when blooms
     don't apply (scan falls back to prune-only discovery)."""
     import json as _json
     import time as _time
 
     from btrblocks_spark.sources.table import _file_may_match
 
-    if on not in table.bloom_cols():
+    bloomed = [c for c in keys if c in table.bloom_cols()]
+    if not bloomed:
         return None, 0
     if source_bytes is not None and source_bytes > max_collect_mb * 2**20:
         return None, 0  # keys too big to collect; range prune only
     t0 = _time.time()
     import numpy as np
 
-    keys = (
-        source.select(on)
-        .distinct()
-        .toPandas()[on]
-        .to_numpy()
-    )
-    if keys.dtype.kind in "iu":
-        keys = keys.astype(np.int64)
-    elif keys.dtype.kind == "O" and all(
-        isinstance(k, (str, bytes)) for k in keys[:8]
-    ):
-        keys = keys.astype(object)
-    else:
+    key_vals: dict[str, np.ndarray] = {}
+    for c in bloomed:
+        vals = source.select(c).distinct().toPandas()[c].to_numpy()
+        if vals.dtype.kind in "iu":
+            key_vals[c] = vals.astype(np.int64)
+        elif vals.dtype.kind == "O" and all(
+            isinstance(k, (str, bytes)) for k in vals[:8]
+        ):
+            key_vals[c] = vals.astype(object)
+    if not key_vals:
         return None, 0
     from btrblocks_spark.codec.bloom import bloom_may_contain_any
 
@@ -146,8 +147,14 @@ def _candidate_files(
     for r in table.data_files():
         if not _file_may_match(r, prune):
             continue
-        bl = _json.loads(r["stats"]).get(on, {}).get("bloom")
-        if bl is not None and not bloom_may_contain_any(bl, keys):
+        stats = _json.loads(r["stats"])
+        rejected = False
+        for c, vals in key_vals.items():
+            bl = stats.get(c, {}).get("bloom")
+            if bl is not None and not bloom_may_contain_any(bl, vals):
+                rejected = True
+                break
+        if rejected:
             skipped += 1
             continue
         cand.append(r["file_path"])
@@ -155,10 +162,27 @@ def _candidate_files(
     return cand, skipped
 
 
+_KEY_SEP = "\x1f"
+
+# composite staged merges canonicalize key tuples as strings on BOTH the
+# driver (python str() of collected Spark values) and the executors
+# (arrow cast-to-string) — these agree only for these Spark types
+_STAGED_MULTIKEY_TYPES = (
+    "tinyint", "smallint", "int", "bigint", "string", "date",
+)
+
+
+def _canon_key(vals) -> str:
+    """Canonical string for a composite merge-key tuple. Must agree with
+    the executor-side arrow cast-to-string join in ``_merge_staged`` —
+    guaranteed by the ``_STAGED_MULTIKEY_TYPES`` restriction."""
+    return _KEY_SEP.join(str(v) for v in vals)
+
+
 def merge_into(
     table: BtrTable,
     source: DataFrame,
-    on: str,
+    on: str | list[str],
     when_matched: str = "update",  # "update" | "delete"
     when_not_matched: str = "insert",  # "insert" | "ignore"
     job_id: str | None = None,
@@ -168,6 +192,12 @@ def merge_into(
     extra_summary: dict | None = None,
 ) -> dict:
     """Execute MERGE INTO; returns job metrics.
+
+    ``on`` may be a single column or a composite key list (Iceberg
+    MERGE ``ON t.k1 = s.k1 AND t.k2 = s.k2``); all discovery joins,
+    bloom probes and the owner-file map operate on the key tuple.
+    NULL key components never match (SQL equality semantics) — a
+    NULL-keyed source row is always an insert.
 
     ``strategy="staged"`` (default): touched files are rewritten entirely
     inside Python workers — each task reads its files via pyarrow, drops /
@@ -199,7 +229,20 @@ def merge_into(
     job_id = job_id or f"merge-{uuid.uuid4().hex[:8]}"
     spark = table.spark
     cols = table.user_columns()
-    assert on in cols, f"merge key {on} not in table schema"
+    keys = [on] if isinstance(on, str) else list(on)
+    assert keys, "merge needs at least one key column"
+    for k in keys:
+        assert k in cols, f"merge key {k} not in table schema"
+    if len(keys) > 1 and strategy == "staged" and when_matched == "update":
+        # the staged owner map canonicalizes key tuples through string
+        # casts on two engines — only types whose python str() and
+        # arrow cast-to-string agree are safe; others take the pure-
+        # Spark shuffle path (same semantics, no canonicalization).
+        # Delete-mode staged merges match purely arrow-side (self-
+        # consistent casts) and need no restriction.
+        dts = dict(source.select(*keys).dtypes)
+        if any(dts[k] not in _STAGED_MULTIKEY_TYPES for k in keys):
+            strategy = "shuffle"
 
     import time as _time
 
@@ -208,37 +251,39 @@ def merge_into(
     if broadcast_source is None:
         broadcast_source = True  # dims/updates are usually << target
     src = F.broadcast(source) if broadcast_source else source
-    src_keys = F.broadcast(source.select(on).distinct()) if broadcast_source \
-        else source.select(on).distinct()
+    src_keys = source.select(*keys).distinct()
+    if broadcast_source:
+        src_keys = F.broadcast(src_keys)
 
-    # 1. ONE source pass: key range (stats pruning) + byte-size estimate
-    #    (the staged-path gate) in a single aggregation job. No rows
-    #    cross to Python; a multi-GB source must never be materialized
-    #    on the driver just to decide to fall back to shuffle.
+    # 1. ONE source pass: per-key-column range (stats pruning) + byte-
+    #    size estimate (the staged-path gate) in a single aggregation
+    #    job. No rows cross to Python; a multi-GB source must never be
+    #    materialized on the driver just to decide to fall back.
     t0 = _time.time()
-    aggs = [
-        F.min(on).alias("lo"),
-        F.max(on).alias("hi"),
-        F.sum(_row_bytes_expr(source)).alias("b"),
-    ]
+    aggs = []
+    for i, k in enumerate(keys):
+        aggs += [F.min(k).alias(f"_lo_{i}"), F.max(k).alias(f"_hi_{i}")]
+    aggs.append(F.sum(_row_bytes_expr(source)).alias("b"))
     srow = source.agg(*aggs).collect()[0]
-    prune = {on: (srow.lo, srow.hi)}
+    prune = {
+        k: (srow[f"_lo_{i}"], srow[f"_hi_{i}"]) for i, k in enumerate(keys)
+    }
     timings["source_stats"] = _time.time() - t0
 
     # 1b. per-file key blooms cut the candidate set below the range prune
     cand_paths, bloom_skipped = _candidate_files(
-        table, source, on, prune,
+        table, source, keys, prune,
         int(srow.b or 0), max_staged_source_mb, timings,
     )
 
     # 2. touched files: key-only scan of candidates x source keys
     keyscan = table.scan(
-        columns=[on], prune=prune, files=cand_paths, with_file=True
+        columns=keys, prune=prune, files=cand_paths, with_file=True
     )
 
     if strategy == "mor":
         return _merge_mor(
-            table, source, on, when_matched, when_not_matched, job_id,
+            table, source, keys, when_matched, when_not_matched, job_id,
             cand_paths, prune, broadcast_source, bloom_skipped, timings,
             extra_summary,
         )
@@ -251,7 +296,7 @@ def merge_into(
             timings["source_collect"] = _time.time() - t0
             if src_tbl.nbytes <= cap:  # exact check on the bounded collect
                 return _merge_staged(
-                    table, src_tbl, on, when_matched, when_not_matched,
+                    table, src_tbl, keys, when_matched, when_not_matched,
                     job_id, keyscan, source, prune, timings,
                     bloom_skipped=bloom_skipped,
                     extra_summary=extra_summary,
@@ -260,7 +305,7 @@ def merge_into(
 
     touched = [
         _norm(r._file)
-        for r in keyscan.join(src_keys, on=on, how="leftsemi")
+        for r in keyscan.join(src_keys, on=keys, how="leftsemi")
         .select("_file")
         .distinct()
         .collect()
@@ -272,23 +317,23 @@ def merge_into(
         target_rows = table.scan(files=touched)
         if when_matched == "update":
             # replace matched rows wholesale with source versions
-            kept = target_rows.join(src_keys, on=on, how="left_anti")
+            kept = target_rows.join(src_keys, on=keys, how="left_anti")
             replacement = src.join(
-                F.broadcast(target_rows.select(on)) if broadcast_source
-                else target_rows.select(on),
-                on=on,
+                F.broadcast(target_rows.select(*keys)) if broadcast_source
+                else target_rows.select(*keys),
+                on=keys,
                 how="leftsemi",
             )
             rewritten = kept.unionByName(replacement)
         else:  # delete
-            rewritten = target_rows.join(src_keys, on=on, how="left_anti")
+            rewritten = target_rows.join(src_keys, on=keys, how="left_anti")
     else:
         rewritten = None
 
     inserts = None
     if when_not_matched == "insert":
-        all_keys = table.scan(columns=[on], prune=prune)
-        inserts = source.join(all_keys, on=on, how="left_anti")
+        all_keys = table.scan(columns=keys, prune=prune)
+        inserts = source.join(all_keys, on=keys, how="left_anti")
 
     to_write = None
     if rewritten is not None and inserts is not None:
@@ -306,7 +351,7 @@ def merge_into(
         operation="merge",
         replaced=set(touched),
         extra_summary={
-            "on": on,
+            "on": keys if len(keys) > 1 else keys[0],
             "when_matched": when_matched,
             **(extra_summary or {}),
         },
@@ -328,7 +373,7 @@ _SRC_CACHE: dict = {}
 def _merge_staged(
     table: BtrTable,
     src_tbl,
-    on: str,
+    keys: list[str],
     when_matched: str,
     when_not_matched: str,
     job_id: str,
@@ -364,30 +409,39 @@ def _merge_staged(
             )
     src_tbl = src_tbl.select(cols).combine_chunks()
 
-    # ONE key-only pass: (key, file) pairs matched against the source
-    # yield both the touched-file set and the owner file per key (a key
-    # may appear in several files; exactly one rewrite emits the
-    # replacement row). keyscan is cached — the insert anti-join below
-    # reuses it instead of rescanning.
+    # ONE key-only pass, aggregated IN SPARK: the touched-file set plus
+    # the owner file per matched key (a key may appear in several
+    # files; exactly one rewrite emits the replacement row — min(_file)
+    # is the deterministic owner). Only O(matched keys) + O(touched
+    # files) rows ever reach the driver — never the (key, file) pair
+    # multiset, which a hot key appearing in many files multiplies.
+    # keyscan is cached — the owner agg, the touched-file distinct and
+    # the insert anti-join all reuse it instead of rescanning.
     t0 = _time.time()
     keyscan = keyscan.cache()
     file_of = {r["file_path"]: r for r in table.data_files()}
-    src_keys = F.broadcast(source.select(on).distinct())
-    matched_pairs = (
-        keyscan.join(src_keys, on=on, how="inner")
-        .select(on, "_file")
-        .distinct()
-        .collect()
-    )
-    timings["keyscan"] = _time.time() - t0
-    touched = sorted({_norm(r._file) for r in matched_pairs})
+    src_keys = F.broadcast(source.select(*keys).distinct())
+    matched = keyscan.join(src_keys, on=keys, how="inner")
     owner_of_key: dict = {}
     if when_matched == "update":
-        for r in matched_pairs:
-            f = _norm(r._file)
-            k = r[on]
-            if k not in owner_of_key or f < owner_of_key[k]:
-                owner_of_key[k] = f
+        owner_rows = (
+            matched.groupBy(*keys)
+            .agg(F.min("_file").alias("_owner"))
+            .collect()
+        )
+        owner_of_key = {
+            _canon_key(tuple(r[k] for k in keys)): _norm(r._owner)
+            for r in owner_rows
+        }
+    # the full touched set (owners plus files holding non-owner copies
+    # of a matched key — all must be rewritten)
+    touched = sorted(
+        {
+            _norm(r._file)
+            for r in matched.select("_file").distinct().collect()
+        }
+    )
+    timings["keyscan"] = _time.time() - t0
 
     src_blob = b""
     if len(src_tbl):
@@ -395,9 +449,7 @@ def _merge_staged(
         with pa.ipc.new_stream(sink, src_tbl.schema) as w:
             w.write_table(src_tbl)
         src_blob = sink.getvalue().to_pybytes()
-    owner_json = _json.dumps(
-        {str(k): v for k, v in owner_of_key.items()}
-    )
+    owner_json = _json.dumps(owner_of_key)
     root = table.root
     blooms = table.bloom_cols()
     ndvs = table.ndv_cols()
@@ -443,16 +495,32 @@ def _merge_staged(
             logical = pa.ipc.read_schema(
                 pa.py_buffer(bytes.fromhex(schema_hex))
             )
+            def key_comp(t):
+                # composite key: cast-to-string join (single key stays
+                # its native type — no canonicalization needed); a NULL
+                # component yields a NULL composite, which never
+                # matches (SQL equality semantics)
+                if len(keys) == 1:
+                    return t.column(keys[0]).combine_chunks()
+                parts_ = [
+                    pc.cast(t.column(c).combine_chunks(), pa.string())
+                    for c in keys
+                ]
+                return pc.binary_join_element_wise(*parts_, _KEY_SEP)
+
             cached = _merge_mod._SRC_CACHE.get(job_id)
             if cached is None:
                 blob, owners_js = bc.value
                 src_parsed = (
                     pa.ipc.open_stream(blob).read_all() if blob else None
                 )
-                cached = (src_parsed, _json.loads(owners_js))
+                src_comp = (
+                    key_comp(src_parsed) if src_parsed is not None else None
+                )
+                cached = (src_parsed, _json.loads(owners_js), src_comp)
                 _merge_mod._SRC_CACHE.clear()  # one live job per worker
                 _merge_mod._SRC_CACHE[job_id] = cached
-            src_local, owners = cached
+            src_local, owners, src_comp = cached
             for batch in batch_iter:
                 for row in batch.to_pylist():
                     bin_id = row["bin_id"]
@@ -482,25 +550,29 @@ def _merge_staged(
                         ),
                         schema=logical,  # robust to an all-deleted file
                     ).combine_chunks()
-                    key_col = tbl.column(on).combine_chunks()
-                    src_keys_arr = src_local.column(on).combine_chunks()
-                    matched = pc.is_in(key_col, value_set=src_keys_arr)
+                    comp = key_comp(tbl)
+                    # NULL-keyed target rows never match (fill_null
+                    # keeps them in `kept`); NULL source keys never
+                    # delete (drop_null from the probe set)
+                    matched = pc.fill_null(
+                        pc.is_in(comp, value_set=pc.drop_null(src_comp)),
+                        False,
+                    )
                     kept = tbl.filter(pc.invert(matched))
                     pieces = [kept]
                     if when_matched == "update":
+                        hit_keys = set(comp.filter(matched).to_pylist())
                         owned = [
                             k
-                            for k in set(
-                                key_col.filter(matched).to_pylist()
-                            )
+                            for k in hit_keys
                             if owners.get(str(k)) == path
                         ]
                         if owned:
                             repl = src_local.filter(
                                 pc.is_in(
-                                    src_local.column(on),
+                                    src_comp,
                                     value_set=pa.array(
-                                        owned, type=src_keys_arr.type
+                                        owned, type=src_comp.type
                                     ),
                                 )
                             )
@@ -569,7 +641,7 @@ def _merge_staged(
     if when_not_matched == "insert":
         t0 = _time.time()
         inserts = source.join(
-            keyscan.select(on), on=on, how="left_anti"
+            keyscan.select(*keys), on=keys, how="left_anti"
         ).select(*table.user_columns())
         new_rows.extend(table._write_files(inserts, job_id=job_id))
         timings["inserts"] = _time.time() - t0
@@ -581,7 +653,7 @@ def _merge_staged(
         operation="merge",
         replaced=set(touched),
         extra_summary={
-            "on": on,
+            "on": keys if len(keys) > 1 else keys[0],
             "when_matched": when_matched,
             "strategy": "staged",
             **(extra_summary or {}),
@@ -673,7 +745,7 @@ def write_positional_deletes(
 def _merge_mor(
     table: BtrTable,
     source: DataFrame,
-    on: str,
+    keys: list[str],
     when_matched: str,
     when_not_matched: str,
     job_id: str,
@@ -708,16 +780,16 @@ def _merge_mor(
 
     t0 = _time.time()
     keyscan = table.scan(
-        columns=[on],
+        columns=keys,
         prune=prune,
         files=cand_paths,
         with_file=True,
         with_pos=True,
     ).cache()
-    src_keys = source.select(on).distinct()
+    src_keys = source.select(*keys).distinct()
     if broadcast_source:
         src_keys = F.broadcast(src_keys)
-    matched = keyscan.join(src_keys, on=on, how="inner")
+    matched = keyscan.join(src_keys, on=keys, how="inner")
     # (file, pos) pairs are already unique: keyscan emits one row per
     # PHYSICAL row and src_keys is distinct — no dedup shuffle needed
     del_rows = matched.select(
@@ -730,13 +802,13 @@ def _merge_mor(
     t0 = _time.time()
     pieces = []
     if when_matched == "update":
-        matched_keys = matched.select(on).distinct()
+        matched_keys = matched.select(*keys).distinct()
         if broadcast_source:
             matched_keys = F.broadcast(matched_keys)
-        pieces.append(source.join(matched_keys, on=on, how="leftsemi"))
+        pieces.append(source.join(matched_keys, on=keys, how="leftsemi"))
     if when_not_matched == "insert":
         pieces.append(
-            source.join(keyscan.select(on), on=on, how="left_anti")
+            source.join(keyscan.select(*keys), on=keys, how="left_anti")
         )
     data_rows: list[dict] = []
     if pieces:
@@ -762,7 +834,7 @@ def _merge_mor(
         operation="merge",
         replaced=None,
         extra_summary={
-            "on": on,
+            "on": keys if len(keys) > 1 else keys[0],
             "when_matched": when_matched,
             "strategy": "mor",
             "delete_rows": sum(r["row_count"] for r in delete_rows),
@@ -812,7 +884,26 @@ def rewrite_position_deletes(
     t0 = _time.time()
     spark = table.spark
     old_paths = [r["file_path"] for r in dels]
-    rows = spark.read.parquet(*old_paths).select("file_path", "pos")
+    # read through the engine's fs/pyarrow layer (never the JVM parquet
+    # reader): scan() supports object-store roots without a Hadoop
+    # connector, and this maintenance job must too
+    try:
+        cores = spark.sparkContext.defaultParallelism
+    except Exception:
+        cores = 8
+    paths_df = spark.createDataFrame(
+        [(p,) for p in old_paths], "p string"
+    ).repartition(max(1, min(len(old_paths), cores * 2)))
+
+    def _read_dels(batch_iter):
+        from btrblocks_spark.sources import fs as _fs
+
+        for batch in batch_iter:
+            for p in batch.column("p").to_pylist():
+                t = _fs.read_parquet(p, columns=["file_path", "pos"])
+                yield from t.to_batches()
+
+    rows = paths_df.mapInArrow(_read_dels, "file_path string, pos long")
     live = spark.createDataFrame(
         [(r["file_path"],) for r in table.data_files()], "file_path string"
     )

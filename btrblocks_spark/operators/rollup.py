@@ -169,8 +169,17 @@ def refresh_rollup(
     renamed = olds.select(
         *keys, *[F.col(n).alias(f"_old_{n}") for n in norm]
     )
-    merged = delta.join(renamed, on=keys, how="left").select(
-        *keys,
+    # null-SAFE key join: a NULL grouping key is a legitimate group
+    # (groupBy emits it); plain equality would never match the existing
+    # rollup row and coalesce would silently reset its aggregates. The
+    # downstream upsert_eq delete matches NULLs too (Iceberg null=null
+    # equality-delete semantics, blockfile.eq_delete_mask).
+    d, r = delta.alias("_d"), renamed.alias("_r")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"_d.{k}").eqNullSafe(F.col(f"_r.{k}"))
+    merged = d.join(r, on=cond, how="left").select(
+        *[F.col(f"_d.{k}").alias(k) for k in keys],
         *[
             (F.coalesce(F.col(f"_old_{n}"), F.lit(0)) + F.col(n))
             .cast(dict(olds.dtypes)[n])

@@ -219,8 +219,13 @@ def eq_delete_mask(
 ) -> np.ndarray | None:
     """Boolean KEEP mask for ``batch`` under the equality deletes, or
     None when nothing applies. Single-key deletes are a vectorized
-    ``pc.is_in``; multi-key falls back to a pandas tuple-set probe
-    (delete sets are the since-last-compaction upsert keys — small)."""
+    ``pc.is_in``; multi-key falls back to a tuple-set probe
+    (delete sets are the since-last-compaction upsert keys — small).
+
+    NULL semantics follow Iceberg v2 equality deletes: a NULL key value
+    in a delete file matches NULL key values in data rows (``is_in``'s
+    default MATCH behavior / exact ``None`` tuples) — so an upsert_eq
+    over a NULL-keyed group really replaces it."""
     import pyarrow.compute as pc
 
     drop = None
@@ -230,7 +235,10 @@ def eq_delete_mask(
         cols = list(keys)
         if len(cols) == 1:
             c = cols[0]
-            hit = pc.fill_null(  # null keys never match a delete
+            # is_in: NULL matches iff the value_set holds a NULL
+            # (Iceberg null=null); fill_null guards pyarrow versions
+            # that emit null instead of false for unmatched nulls
+            hit = pc.fill_null(
                 pc.is_in(
                     batch.column(c), value_set=keys[c].combine_chunks()
                 ),
@@ -238,18 +246,17 @@ def eq_delete_mask(
             )
             hit_np = hit.to_numpy(zero_copy_only=False).astype(bool)
         else:
-            import pandas as pd
-
-            bdf = pd.DataFrame(
-                {c: batch.column(c).to_pandas() for c in cols}
-            )
+            # to_pylist keeps nulls as exact None (pandas would coerce
+            # nullable ints to float NaN, breaking both equality and
+            # the null=null match)
             kset = set(
-                zip(*[keys[c].to_pandas().tolist() for c in cols])
+                zip(*[keys[c].to_pylist() for c in cols])
             )
+            bcols = [batch.column(c).to_pylist() for c in cols]
             hit_np = np.fromiter(
-                (t in kset for t in zip(*[bdf[c] for c in cols])),
+                (t in kset for t in zip(*bcols)),
                 dtype=bool,
-                count=len(bdf),
+                count=batch.num_rows,
             )
         drop = hit_np if drop is None else (drop | hit_np)
     if drop is None or not drop.any():

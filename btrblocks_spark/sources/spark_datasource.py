@@ -654,6 +654,26 @@ class BtrTableArrowWriter(DataSourceArrowWriter):
                     "partitioning prefix '_p_'"
                 )
             _validate_transforms(self.partition_transforms, sch)
+            # derived _p_* fields are SCHEMA-OWNED: mirror BtrTable.create
+            # so spark_schema_json and arrow_schema_hex agree on the
+            # hidden-partitioning columns (scan's _spark_schema_for would
+            # otherwise KeyError on any explicit _p_* request)
+            from pyspark.sql.types import (
+                IntegerType as _IT,
+                LongType as _LT,
+                StringType as _StrT,
+                StructField as _SF,
+            )
+
+            for tf in self.partition_transforms:
+                if tf["kind"] in ("bucket", "days"):
+                    dt = _IT()
+                elif isinstance(sch[tf["col"]].dataType, _StrT):
+                    dt = _StrT()
+                else:
+                    dt = _LT()
+                sch = sch.add(_SF(tf["dest"], dt, True))
+            self.schema_json = sch.json()
             self.bloom_cols = [
                 c for c in (options.get("bloomcols") or "").split(",") if c
             ]

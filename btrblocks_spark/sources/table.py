@@ -2626,9 +2626,15 @@ class BtrTable:
         # files written before the column joined ndv_cols, or a
         # non-numeric column, lack one) — error out rather than return a
         # silently skewed quantile; a compact() rewrite backfills hists
+        # (files whose column holds no non-null rows legitimately lack a
+        # histogram — blockfile only writes one when null_count < n —
+        # and contribute zero weight, so they are exempt)
         for fn, col, _ in aggs:
             if fn.startswith("approx_quantile:"):
-                n_missing = mdf.filter(stat(col, "hist").isNull()).count()
+                n_missing = mdf.filter(
+                    stat(col, "hist").isNull()
+                    & (nulls_of(col) < F.col("row_count"))
+                ).count()
                 if n_missing:
                     raise ValueError(
                         f"approx_quantile({col!r}): {n_missing} data "
@@ -3009,7 +3015,11 @@ class BtrTable:
                 {c for r in eq_rows for c in json.loads(r["stats"] or "{}")}
             )
             # range prune for the parent scan from the delete files'
-            # own stats (advisory — the semijoin is the real filter)
+            # own stats (advisory — the semijoin is the real filter).
+            # A column whose delete set contains NULL keys gets NO
+            # bound: the NULL old image may live in a file whose
+            # non-null min/max sit outside the range (null=null
+            # equality-delete semantics, blockfile.eq_delete_mask)
             prune: dict = {}
             for c in key_cols:
                 bounds = [
@@ -3017,6 +3027,8 @@ class BtrTable:
                     for r in eq_rows
                     if c in json.loads(r["stats"] or "{}")
                 ]
+                if any(b.get("null_count") for b in bounds):
+                    continue
                 los = [b["min"] for b in bounds if b.get("min") is not None]
                 his = [b["max"] for b in bounds if b.get("max") is not None]
                 if los and his:
@@ -3032,8 +3044,13 @@ class BtrTable:
                 snapshot_id=snap["parent"],
                 prune=prune or None,
             )
-            removed = old.join(
-                F.broadcast(keys_df), on=key_cols, how="leftsemi"
+            # null-safe semijoin: NULL-keyed old images are real deletes
+            o, kd = old.alias("_o"), keys_df.alias("_k")
+            sem = F.lit(True)
+            for c in key_cols:
+                sem = sem & F.col(f"_o.{c}").eqNullSafe(F.col(f"_k.{c}"))
+            removed = o.join(
+                F.broadcast(kd), on=sem, how="leftsemi"
             ).select(*want)
             parts.append(
                 removed.withColumn("_change_type", F.lit("delete"))

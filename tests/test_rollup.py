@@ -101,3 +101,25 @@ def test_rejects_non_decomposable_aggs(spark, src, tmp_path):
 def test_watermark_requires_rollup_table(spark, src):
     with pytest.raises(KeyError, match="watermark"):
         rollup_watermark(src)
+
+
+def test_null_group_key_refresh(spark, tmp_path):
+    """NULL is a legitimate grouping key (groupBy emits it): the rollup
+    must fold into it (null-safe join), and empty it via the null=null
+    equality-delete path when the group vanishes."""
+    df = _src_df(spark, [(0, None, 5), (1, None, 7), (2, 1, 3)])
+    src = BtrTable.create(spark, str(tmp_path / "nsrc"), df, job_id="ns0")
+    dst = create_rollup(src, str(tmp_path / "ndst"), KEYS, AGGS, job_id="nr0")
+    assert _actual(dst)[None] == (12, 2)
+
+    src.append(_src_df(spark, [(3, None, 8), (4, 1, 1)]), job_id="na1")
+    refresh_rollup(src, dst, KEYS, AGGS, job_id="nr1")
+    got = _actual(dst)
+    assert got == _expected(src)
+    assert got[None] == (20, 3)
+
+    delete_where(src, "grp IS NULL", strategy="mor", job_id="nd1")
+    refresh_rollup(src, dst, KEYS, AGGS, job_id="nr2")
+    got = _actual(dst)
+    assert None not in got
+    assert got == _expected(src)

@@ -262,3 +262,42 @@ def test_scan_changes_changelog(spark, table, base_df):
     assert ins[ins.image_id.isin(dels.image_id)].caption.str.startswith(
         "cl:"
     ).all()
+
+
+def test_null_key_upsert_replaces_null_rows(spark, tmp_path):
+    """Iceberg null=null equality-delete semantics: an upsert whose key
+    is NULL replaces the existing NULL-keyed rows (and the changelog
+    reports their old images as deletes)."""
+    df = spark.createDataFrame([(None, 1), (2, 2), (3, 3)], "k long, v long")
+    t = BtrTable.create(spark, str(tmp_path / "nk"), df, job_id="nk0")
+    sid0 = t.current_snapshot_id()
+    upsert_eq(
+        t, spark.createDataFrame([(None, 100)], "k long, v long"),
+        on="k", job_id="nk1",
+    )
+    rows = {(r.k, r.v) for r in t.scan().collect()}
+    assert rows == {(None, 100), (2, 2), (3, 3)}
+    ch = {
+        (r.k, r.v, r._change_type)
+        for r in t.scan_changes(sid0).collect()
+    }
+    assert ch == {(None, 100, "insert"), (None, 1, "delete")}
+
+
+def test_null_in_multikey_upsert(spark, tmp_path):
+    """Multi-column equality deletes match exact None tuples."""
+    df = spark.createDataFrame(
+        [(1, None, "a"), (1, 2, "b"), (None, None, "c")],
+        "k1 long, k2 long, v string",
+    )
+    t = BtrTable.create(spark, str(tmp_path / "nk2"), df, job_id="nm0")
+    upsert_eq(
+        t,
+        spark.createDataFrame(
+            [(1, None, "A"), (None, None, "C")], "k1 long, k2 long, v string"
+        ),
+        on=["k1", "k2"],
+        job_id="nm1",
+    )
+    rows = {(r.k1, r.k2, r.v) for r in t.scan().collect()}
+    assert rows == {(1, None, "A"), (1, 2, "b"), (None, None, "C")}
