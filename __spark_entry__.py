@@ -422,6 +422,35 @@ def _upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.scan()
 
 
+def _spec_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution (sources/table.py evolve_partition_spec,
+    Iceberg analog): half of orders lands UNPARTITIONED, the spec then
+    evolves to bucket(8, o_custkey), the other half lands bucketed —
+    and one pruned scan answers a customer probe across BOTH layouts
+    (old files prune by raw min/max only and are kept when stats lack
+    the derived column; new files prune to their bucket)."""
+    import tempfile
+
+    from btrblocks_spark.sources.table import BtrTable
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="btr_evo_") + "/t"
+    table = BtrTable.create(
+        spark, root, orders.filter(F.col("o_orderkey") % 2 == 0),
+        num_files=4, job_id="evo0",
+    )
+    table.evolve_partition_spec(["bucket(8, o_custkey)"])
+    table.append(
+        orders.filter(F.col("o_orderkey") % 2 == 1),
+        num_files=4, job_id="evo1",
+    )
+    return table.scan(prune={"o_custkey": [7]}).filter(
+        F.col("o_custkey") == 7
+    )
+
+
 def _merge_multikey_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite-key MERGE INTO (operators/merge.py): lineitem's natural
     key is the TUPLE (l_orderkey, l_linenumber) — one staged CoW merge
@@ -1049,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndv_stats": _ndv_stats,  # KMV distinct sketch fold (exact < k)
         "upsert_scan": _upsert_scan,  # equality-delete upsert (O(change))
         "merge_multikey_scan": _merge_multikey_scan,  # composite-key MERGE
+        "spec_evolution_scan": _spec_evolution_scan,  # partition-spec evolution
         "token_search": _token_search,  # token-bloom file skipping
         # composite training-data curation pipeline
         "corpus_filter": _corpus_filter,
@@ -1285,6 +1315,10 @@ def oracle_sql() -> dict[str, str]:
                    o_totalprice * 2 AS o_totalprice,
                    '0-UPSERTED' AS o_orderpriority
             FROM orders WHERE o_orderkey % 10 = 0
+        """,
+        "spec_evolution_scan": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_custkey = 7
         """,
         "merge_multikey_scan": """
             SELECT l_orderkey, l_linenumber, l_quantity,

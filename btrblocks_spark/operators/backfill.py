@@ -52,6 +52,7 @@ def backfill(
     blooms = table.bloom_cols()
     ndvs = table.ndv_cols()
     tbcs = table.token_bloom_cols()
+    all_tfs = table.all_partition_transforms()
     if not files:
         return {"job_id": job_id, "rewritten_files": 0}
 
@@ -113,6 +114,12 @@ def backfill(
                 tbl = tbl.set_column(
                     col_idx, logical.field(col_idx), values
                 )
+                if all_tfs:
+                    from btrblocks_spark.sources.table import (
+                        recompute_partition_arrow,
+                    )
+
+                    tbl = recompute_partition_arrow(tbl, all_tfs)
                 out_rows = []
                 for k, (pjson, sub) in enumerate(
                     split_by_partition(tbl, parts)

@@ -370,6 +370,7 @@ def cluster_staged(
     blooms = table.bloom_cols()
     ndvs = table.ndv_cols()
     tbcs = table.token_bloom_cols()
+    all_tfs = table.all_partition_transforms()
 
     def merge_task(batch_iter):
         from btrblocks_spark.operators.cluster import compute_zkey as _zk
@@ -390,6 +391,14 @@ def cluster_staged(
                     _fs.read_parquet(p) for p in _json.loads(row["paths"])
                 ]
                 tbl = pa.concat_tables(tbls).combine_chunks()
+                if all_tfs:
+                    # refresh _p_* layout columns (pre-spec files decode
+                    # them as NULL — mixed stats would mis-prune)
+                    from btrblocks_spark.sources.table import (
+                        recompute_partition_arrow,
+                    )
+
+                    tbl = recompute_partition_arrow(tbl, all_tfs)
                 z = _zk(tbl, tuple(by), curve)
                 tbl = tbl.take(pa.array(np.argsort(z, kind="stable")))
                 out_rows = []

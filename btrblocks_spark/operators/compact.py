@@ -249,6 +249,7 @@ def compact(
     blooms = table.bloom_cols()
     ndvs = table.ndv_cols()
     tbcs = table.token_bloom_cols()
+    all_tfs = table.all_partition_transforms()
 
     def rebuild(batch_iter):
         from btrblocks_spark.sources import fs as _fs
@@ -298,6 +299,15 @@ def compact(
                 merged = pa.Table.from_batches(
                     logical_batches, schema=schema
                 )
+                if all_tfs:
+                    # refresh _p_* layout columns (pre-spec files decode
+                    # them as NULL; also migrates old files to the
+                    # evolved spec's stats)
+                    from btrblocks_spark.sources.table import (
+                        recompute_partition_arrow,
+                    )
+
+                    merged = recompute_partition_arrow(merged, all_tfs)
                 _t1 = _time.time()
                 if merged.num_rows == 0:
                     # every row of the bin was deleted — nothing to write

@@ -402,8 +402,12 @@ def _merge_staged(
     # source Arrow table needs the hidden-partitioning columns too
     from btrblocks_spark.sources.table import _transform_arrow
 
-    for tf in table.metadata().get("partition_transforms") or []:
-        if tf["dest"] not in src_tbl.schema.names:
+    all_tfs = table.all_partition_transforms()
+    for tf in all_tfs:
+        # EVERY spec's dest that lives in the table schema (replacement
+        # rows splice into old-spec files too — a null dest mixed with
+        # stored values would poison the rewritten file's stats)
+        if tf["dest"] in cols and tf["dest"] not in src_tbl.schema.names:
             src_tbl = src_tbl.append_column(
                 tf["dest"], _transform_arrow(tf, src_tbl)
             )
@@ -582,6 +586,12 @@ def _merge_staged(
                                 repl.select(tbl.schema.names).cast(tbl.schema)
                             )
                     merged = pa.concat_tables(pieces).combine_chunks()
+                    if all_tfs:
+                        from btrblocks_spark.sources.table import (
+                            recompute_partition_arrow,
+                        )
+
+                        merged = recompute_partition_arrow(merged, all_tfs)
                     out_rows = []
                     # replacement rows may carry a DIFFERENT partition
                     # value than the file they land in (an update can

@@ -175,7 +175,13 @@ class BtrTableBatchReader(DataSourceReader):
                 "only — run compact() first or read via BtrTable.scan()"
             )
         self.prune: dict = {}
-        self._transforms = meta.get("partition_transforms", [])
+        # every spec that ever wrote files (partition-spec evolution):
+        # prune translation must cover old-spec layouts too
+        self._transforms = (
+            meta.get("partition_transforms_history")
+            or meta.get("partition_transforms")
+            or []
+        )
 
     def partitions(self):
         from btrblocks_spark.sources.table import _translate_prune

@@ -256,6 +256,31 @@ def _transform_arrow(t: dict, tbl: "pa.Table") -> "pa.Array":
     return pa.array(out, pa.int64())
 
 
+def recompute_partition_arrow(tbl: "pa.Table", transforms: list[dict]):
+    """Recompute every derived ``_p_*`` column present in ``tbl`` from
+    its source column (deterministic overwrite). Rewrite kernels decode
+    evolved tables with the FULL logical schema, so a file written
+    before a spec existed decodes that dest as NULL — mixing those
+    nulls with real values in one output file would poison its min/max
+    stats (a prune on the dest could drop a file whose only matching
+    rows are the null-dest ones). Overwriting from the source keeps
+    every written file's ``_p_*`` stats truthful AND opportunistically
+    migrates old-spec files to the new layout on compaction."""
+    for t in transforms:
+        names = tbl.schema.names
+        if t["dest"] not in names or t["col"] not in names:
+            continue
+        i = tbl.schema.get_field_index(t["dest"])
+        arr = _transform_arrow(t, tbl)
+        field = tbl.schema.field(i)
+        if not arr.type.equals(field.type):
+            import pyarrow.compute as _pc
+
+            arr = _pc.cast(arr, field.type)
+        tbl = tbl.set_column(i, field, arr)
+    return tbl
+
+
 def _translate_prune(prune: dict | None, transforms: list[dict]) -> dict | None:
     """Add derived-partition prune entries for predicates on transform
     SOURCE columns (the point of hidden partitioning: the caller prunes
@@ -760,8 +785,16 @@ class BtrTable:
         # here, so computing the derived _p_* columns here (idempotent —
         # rewrite kernels may already carry them from the scanned files,
         # and the expressions are deterministic) covers append, merge,
-        # upsert, rowops, cluster and compact alike
-        for t in self.metadata().get("partition_transforms") or []:
+        # upsert, rowops, cluster and compact alike. Historical-spec
+        # dests riding along from a rewrite are RECOMPUTED (a decode of
+        # a pre-spec file fills them with NULL; mixed null/real values
+        # would poison the written file's stats); active-spec dests are
+        # added when absent.
+        active = self.metadata().get("partition_transforms") or []
+        for t in self.all_partition_transforms():
+            if t["dest"] in df.columns and t["col"] in df.columns:
+                df = df.withColumn(t["dest"], _transform_column(t, df))
+        for t in active:
             if t["dest"] not in df.columns:
                 df = df.withColumn(t["dest"], _transform_column(t, df))
         arrow_schema = df.limit(0).toArrow().schema
@@ -974,42 +1007,52 @@ class BtrTable:
 
         ``branch="name"`` commits on top of that branch ref's head and
         advances the REF, never ``current_snapshot_id`` — main readers
-        are untouched until :meth:`fast_forward` adopts the branch."""
+        are untouched until :meth:`fast_forward` adopts the branch.
+
+        Concurrency (Iceberg's optimistic model): the heavy work —
+        reading and rewriting touched manifests — runs OUTSIDE the
+        commit lock against an optimistically-read head. The lock only
+        guards re-validate + append-manifest-write + metadata swap. If
+        the head moved while preparing:
+
+        - a pure APPEND (nothing replaced) rebases trivially onto the
+          new head's manifest list — two appenders never block on each
+          other beyond the short swap;
+        - a REPLACE commit retries its manifest processing against the
+          new head (bounded attempts); a true conflict — its replaced
+          files vanished because another writer rewrote them — raises
+          :class:`CommitConflict`."""
         import bisect
 
         lock = fs.join(self.root, "_commit.lock")
-        locked = False
-        try:
-            self._acquire_commit_lock(lock)
-            locked = True
-            meta = self.metadata()
+        replaced = set(replaced or ())
+        rsorted = sorted(replaced)
+
+        def may_contain(e: dict) -> bool:
+            if e["path_min"] is None:
+                return True
+            i = bisect.bisect_left(rsorted, e["path_min"])
+            return i < len(rsorted) and rsorted[i] <= e["path_max"]
+
+        def head_of(meta: dict) -> int:
             if branch is not None:
                 ref = meta.get("refs", {}).get(branch)
                 if ref is None or ref.get("type") != "branch":
                     raise KeyError(f"no branch {branch!r}")
-                current = ref["snapshot_id"]
-            else:
-                current = meta["current_snapshot_id"]
+                return ref["snapshot_id"]
+            return meta["current_snapshot_id"]
+
+        MAX_ATTEMPTS = 4
+        for attempt in range(MAX_ATTEMPTS):
+            # ---- optimistic phase (no lock): process touched manifests
+            meta = self.metadata()
+            current = head_of(meta)
             entries = self._manifest_list(current)
-            snapshot_id = self._next_snapshot_id(meta)
-            # data sequence number (Iceberg v2): files added by this
-            # commit get seq = snapshot_id (ids are monotone), unless
-            # the caller pre-stamped one; rows rewritten verbatim in
-            # process() keep their original seq
-            for r in new_rows:
-                r.setdefault("seq", snapshot_id)
-            replaced = set(replaced or ())
-            rsorted = sorted(replaced)
-
-            def may_contain(e: dict) -> bool:
-                if e["path_min"] is None:
-                    return True
-                i = bisect.bisect_left(rsorted, e["path_min"])
-                return i < len(rsorted) and rsorted[i] <= e["path_max"]
-
+            token = uuid.uuid4().hex[:8]  # unique rewritten-manifest tag
             kept: list[dict] = []
             skipped: list[dict] = []  # entries not read (range miss)
             found: set[str] = set()
+            written_names: list[str] = []
             k = 0
 
             def process(e: dict) -> None:
@@ -1024,9 +1067,10 @@ class BtrTable:
                     r for r in rows if r["file_path"] not in replaced
                 ]
                 if remaining:
-                    name = f"manifest-{snapshot_id}-r{k}.parquet"
+                    name = f"manifest-{token}-r{k}.parquet"
                     k += 1
                     kept.append(self._write_manifest(name, remaining))
+                    written_names.append(name)
 
             for e in entries:
                 if replaced and may_contain(e):
@@ -1052,45 +1096,79 @@ class BtrTable:
                 raise CommitConflict(
                     f"files vanished from manifest: {missing}"
                 )
-            if new_rows:
-                kept.append(
-                    self._write_manifest(
-                        f"manifest-{snapshot_id}-a.parquet", list(new_rows)
-                    )
+
+            # ---- critical section: re-validate head, append, swap
+            self._acquire_commit_lock(lock)
+            try:
+                meta2 = self.metadata()
+                head2 = head_of(meta2)
+                if head2 != current:
+                    if replaced:
+                        # head moved under a replace commit: drop this
+                        # attempt's rewritten manifests and re-process
+                        # against the new head (outside the lock)
+                        for name in written_names:
+                            fs.delete_file(
+                                fs.join(self.root, "manifests", name)
+                            )
+                        continue
+                    # pure append: rebase onto the new head's list
+                    kept = self._manifest_list(head2)
+                    current = head2
+                meta = meta2
+                snapshot_id = self._next_snapshot_id(meta)
+                # data sequence number (Iceberg v2): files added by this
+                # commit get seq = snapshot_id (assigned at COMMIT time,
+                # so a rebased append still orders after the commits it
+                # rebased over), unless the caller pre-stamped one; rows
+                # rewritten verbatim in process() keep their original seq
+                for r in new_rows:
+                    r.setdefault("seq", snapshot_id)
+                if new_rows:
+                    kept = kept + [
+                        self._write_manifest(
+                            f"manifest-{snapshot_id}-a.parquet",
+                            list(new_rows),
+                        )
+                    ]
+                kept = self._maybe_merge_manifests(kept, snapshot_id)
+                total_files = sum(e["file_count"] for e in kept)
+                total_rows = sum(e["row_count_sum"] for e in kept)
+                snap_entry = {
+                    "snapshot_id": snapshot_id,
+                    "parent": current,
+                    "ts": time.time(),
+                    "operation": operation,
+                    "manifest": None,
+                    "manifests": kept,
+                    "summary": {
+                        "added_files": len(new_rows),
+                        "removed_files": len(replaced),
+                        "total_files": total_files,
+                        "total_rows": total_rows,
+                        **(extra_summary or {}),
+                    },
+                }
+                if stage:
+                    snap_entry["staged"] = True
+                if branch is not None:
+                    snap_entry["branch"] = branch
+                meta["snapshots"].append(snap_entry)
+                if branch is not None:
+                    meta["refs"][branch]["snapshot_id"] = snapshot_id
+                elif not stage:
+                    meta["current_snapshot_id"] = snapshot_id
+                _atomic_write_json(self._meta_path, meta)
+                self._write_job_metrics(
+                    snapshot_id, operation, new_rows, replaced
                 )
-            kept = self._maybe_merge_manifests(kept, snapshot_id)
-            total_files = sum(e["file_count"] for e in kept)
-            total_rows = sum(e["row_count_sum"] for e in kept)
-            snap_entry = {
-                "snapshot_id": snapshot_id,
-                "parent": current,
-                "ts": time.time(),
-                "operation": operation,
-                "manifest": None,
-                "manifests": kept,
-                "summary": {
-                    "added_files": len(new_rows),
-                    "removed_files": len(replaced),
-                    "total_files": total_files,
-                    "total_rows": total_rows,
-                    **(extra_summary or {}),
-                },
-            }
-            if stage:
-                snap_entry["staged"] = True
-            if branch is not None:
-                snap_entry["branch"] = branch
-            meta["snapshots"].append(snap_entry)
-            if branch is not None:
-                meta["refs"][branch]["snapshot_id"] = snapshot_id
-            elif not stage:
-                meta["current_snapshot_id"] = snapshot_id
-            _atomic_write_json(self._meta_path, meta)
-            self._write_job_metrics(snapshot_id, operation, new_rows, replaced)
-            return snapshot_id
-        finally:
-            if locked:
+                return snapshot_id
+            finally:
                 fs.delete_file(lock)
+        raise CommitConflict(
+            f"head kept moving for {MAX_ATTEMPTS} attempts "
+            f"({operation}, {len(replaced)} replaced files)"
+        )
 
     def _maybe_merge_manifests(
         self, entries: list[dict], snapshot_id: int
@@ -1297,10 +1375,10 @@ class BtrTable:
         roots (no Hadoop connector needed); opt-in for local paths.
         """
         # hidden partitioning: a predicate on a transform SOURCE column
-        # also prunes the derived _p_* layout (bucket/truncate/days)
-        prune = _translate_prune(
-            prune, self.metadata().get("partition_transforms") or []
-        )
+        # also prunes the derived _p_* layout (bucket/truncate/days) —
+        # through EVERY spec that ever wrote files (spec evolution):
+        # files lacking a dest column are kept by stats_may_match
+        prune = _translate_prune(prune, self.all_partition_transforms())
         spec_src = None  # paths-DataFrame when planning is distributed
         sid = self._resolve_sid(snapshot_id)
         snapshot_id = sid  # tag name resolved once for the whole scan
@@ -1942,6 +2020,124 @@ class BtrTable:
         for chain in meta.get("renames", {}).values():
             retired.update(chain)
         return retired
+
+    def all_partition_transforms(self) -> list[dict]:
+        """Active + historical hidden-partitioning transforms — every
+        spec that ever wrote files. Prune translation must cover them
+        all: old-spec files prune on their own ``_p_*`` stats, files
+        lacking a dest column are kept by ``stats_may_match``."""
+        meta = self.metadata()
+        hist = meta.get("partition_transforms_history")
+        if hist is not None:
+            return hist
+        return meta.get("partition_transforms") or []
+
+    def evolve_partition_spec(
+        self, partition_by: list[str] | None
+    ) -> dict:
+        """Iceberg-style partition-spec evolution: REPLACE the active
+        spec with ``partition_by`` (same syntax as ``create`` —
+        ``bucket(N,col)`` / ``truncate(W,col)`` / ``days(col)`` / plain
+        columns) without rewriting any data.
+
+        - Existing files keep their old-spec layout and keep pruning
+          through it (``all_partition_transforms`` unions every spec's
+          prune translation; a file lacking a ``_p_*`` column is kept).
+        - New writes compute only the NEW spec's derived columns.
+        - Re-parameterizing a transform (``bucket(8,k)`` →
+          ``bucket(16,k)``) gets a fresh ``_p_*_sN`` column — the old
+          name keeps its old meaning in old files.
+        - ``compact()`` / ``cluster()`` rewrites migrate old files to
+          the new spec opportunistically (every write path computes the
+          active transforms).
+
+        Metadata-only snapshot commit (operation ``evolve-spec``).
+        Reference analog: none — the reference has no partitioned
+        tables; semantics follow the Iceberg spec (per-file spec ids).
+        """
+        import json as _json
+
+        from pyspark.sql.types import (
+            IntegerType,
+            LongType,
+            StringType,
+            StructType,
+        )
+
+        lock = fs.join(self.root, "_commit.lock")
+        self._acquire_commit_lock(lock)
+        try:
+            meta = self.metadata()
+            spark_schema = StructType.fromJson(
+                _json.loads(meta["spark_schema_json"])
+            )
+            plain, transforms = _parse_partition_specs(partition_by)
+            spec_id = int(meta.get("partition_spec_id") or 0) + 1
+            history = list(
+                meta.get("partition_transforms_history")
+                or meta.get("partition_transforms")
+                or []
+            )
+            hist_by_dest = {t["dest"]: t for t in history}
+            final: list[dict] = []
+            renamed_plain = list(plain)
+            for t in transforms:
+                ex = hist_by_dest.get(t["dest"])
+                if ex is not None and (
+                    ex["kind"], ex["param"], ex["col"]
+                ) != (t["kind"], t["param"], t["col"]):
+                    # same source re-parameterized: fresh derived column
+                    nd = f"{t['dest']}_s{spec_id}"
+                    renamed_plain[renamed_plain.index(t["dest"])] = nd
+                    t = {**t, "dest": nd}
+                final.append(t)
+            # validate sources against the USER schema (a derived _p_*
+            # column is never a transform source)
+            user_fields = [
+                f for f in spark_schema.fields
+                if not f.name.startswith("_p_")
+            ]
+            _validate_transforms(final, StructType(user_fields))
+            for p in renamed_plain:
+                if not p.startswith("_p_") and p not in spark_schema.names:
+                    raise KeyError(f"partition column {p!r} missing")
+            # extend the schema with any new derived columns (type
+            # parity with _transform_column/_transform_arrow)
+            for t in final:
+                if t["dest"] in spark_schema.names:
+                    continue
+                if t["kind"] in ("bucket", "days"):
+                    dt = IntegerType()
+                elif isinstance(
+                    spark_schema[t["col"]].dataType, StringType
+                ):
+                    dt = StringType()
+                else:
+                    dt = LongType()
+                spark_schema = spark_schema.add(t["dest"], dt, True)
+            new_hist = history + [
+                t for t in final if t["dest"] not in hist_by_dest
+            ]
+            meta["partition_by"] = renamed_plain
+            meta["partition_transforms"] = final
+            meta["partition_transforms_history"] = new_hist
+            meta["partition_spec_id"] = spec_id
+            self._schema_evolution_commit(
+                meta,
+                spark_schema,
+                "evolve-spec",
+                {
+                    "spec_id": spec_id,
+                    "partition_by": renamed_plain,
+                },
+            )
+            return {
+                "spec_id": spec_id,
+                "partition_by": renamed_plain,
+                "transforms": final,
+            }
+        finally:
+            fs.delete_file(lock)
 
     def _schema_evolution_commit(
         self, meta: dict, spark_schema, operation: str, summary: dict

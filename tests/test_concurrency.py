@@ -92,3 +92,84 @@ def test_true_conflict_still_raises(spark, tmp_path):
     t._commit([], operation="rewrite", replaced={victim})
     with pytest.raises(CommitConflict, match="vanished"):
         t._commit([], operation="rewrite", replaced={victim})
+
+
+def test_append_rebases_without_blocking(spark, tmp_path, monkeypatch):
+    """Optimistic append rebase: another writer lands a full commit
+    BETWEEN this append's optimistic manifest read and its lock — the
+    append must rebase onto the new head (both snapshots live, no
+    retry, no conflict)."""
+    t = _mk(spark, str(tmp_path / "t"))
+    other = spark.range(500, 550).select(
+        F.col("id"), F.concat(F.lit("x"), F.col("id")).alias("val")
+    )
+    orig = BtrTable._acquire_commit_lock
+    fired = []
+
+    def hooked(self, lock):
+        if not fired:
+            fired.append(1)
+            # a competing append commits while we are pre-lock
+            t.append(other, job_id="race")
+        orig(self, lock)
+
+    monkeypatch.setattr(BtrTable, "_acquire_commit_lock", hooked)
+    mine = spark.range(900, 930).select(
+        F.col("id"), F.concat(F.lit("y"), F.col("id")).alias("val")
+    )
+    t.append(mine, job_id="mine")
+    assert t.scan().count() == 200 + 50 + 30
+    snaps = t.snapshots()
+    # mine's parent must be the racer's snapshot (rebased, not lost)
+    assert snaps[-1]["parent"] == snaps[-2]["snapshot_id"]
+
+
+def test_replace_retries_then_conflicts(spark, tmp_path, monkeypatch):
+    """A REPLACE commit whose head moves retries against the new head;
+    when the new head no longer has its file (a racer replaced it), it
+    raises CommitConflict instead of clobbering."""
+    t = _mk(spark, str(tmp_path / "t"))
+    victim = t.data_files()[0]["file_path"]
+    orig = BtrTable._acquire_commit_lock
+    fired = []
+
+    def hooked(self, lock):
+        if not fired:
+            fired.append(1)
+            orig2 = BtrTable._acquire_commit_lock
+            monkeypatch.setattr(BtrTable, "_acquire_commit_lock", orig)
+            t._commit([], operation="rewrite", replaced={victim})
+            monkeypatch.setattr(BtrTable, "_acquire_commit_lock", hooked)
+        orig(self, lock)
+
+    monkeypatch.setattr(BtrTable, "_acquire_commit_lock", hooked)
+    with pytest.raises(CommitConflict, match="vanished"):
+        t._commit([], operation="rewrite", replaced={victim})
+
+
+def test_replace_rebases_over_disjoint_commit(spark, tmp_path, monkeypatch):
+    """A REPLACE commit whose head moves by a DISJOINT commit (an
+    append) retries and lands cleanly."""
+    t = _mk(spark, str(tmp_path / "t"))
+    vrow = t.data_files()[0]
+    victim, victim_rows = vrow["file_path"], vrow["row_count"]
+    other = spark.range(700, 720).select(
+        F.col("id"), F.concat(F.lit("z"), F.col("id")).alias("val")
+    )
+    orig = BtrTable._acquire_commit_lock
+    fired = []
+
+    def hooked(self, lock):
+        if not fired:
+            fired.append(1)
+            monkeypatch.setattr(BtrTable, "_acquire_commit_lock", orig)
+            t.append(other, job_id="race2")
+            monkeypatch.setattr(BtrTable, "_acquire_commit_lock", hooked)
+        orig(self, lock)
+
+    monkeypatch.setattr(BtrTable, "_acquire_commit_lock", hooked)
+    sid = t._commit([], operation="rewrite", replaced={victim})
+    assert sid == t.current_snapshot_id()
+    live = {r["file_path"] for r in t.data_files()}
+    assert victim not in live
+    assert t.scan().count() == 200 - victim_rows + 20
