@@ -592,6 +592,44 @@ def _curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curated_corpus_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation from CDC (functions/incremental.py): half
+    the corpus is batch-bootstrapped (init_curation persists hash +
+    paragraph state tables), the other half arrives as an append, and
+    ONE refresh_curation folds the changelog in — O(changed docs):
+    ownership re-election, paragraph-winner flips and reassembly all
+    run against bucket-pruned state probes. The refreshed output must
+    hash-match the SAME full-batch DuckDB oracle as `curated_corpus` —
+    the equivalence IS the correctness claim."""
+    import tempfile
+
+    from btrblocks_spark.functions.incremental import (
+        init_curation,
+        refresh_curation,
+    )
+    from btrblocks_spark.sources.table import BtrTable
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    root = tempfile.mkdtemp(prefix="btr_inc_")
+    src = BtrTable.create(
+        spark, f"{root}/src", corpus.filter(F.col("doc_id") % 2 == 0),
+        num_files=2, job_id="ic0",
+    )
+    out = init_curation(
+        src, f"{root}/cur", benchmark=benchmark, lang="en",
+        min_quality=0.3, max_rep=0.05, rep_n=2, decontam_n=4,
+        sep=" the ", joiner=" the ", job_id="ic1",
+    )
+    src.append(
+        corpus.filter(F.col("doc_id") % 2 == 1), num_files=2,
+        job_id="ic2",
+    )
+    refresh_curation(src, out, benchmark=benchmark, job_id="ic3")
+    return out.scan()
+
+
 def _vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.text import vocabulary
 
@@ -1067,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_report": _corpus_report,  # CUBE grouping-sets curation stats
         "vocabulary": _vocabulary,  # corpus-wide token counts (top-k)
         "curated_corpus": _curated_corpus,  # full composed pipeline, oracle-checked
+        "curated_corpus_incremental": _curated_corpus_incremental,  # CDC refresh == batch
         "dedup_paragraphs": _dedup_paragraphs,  # sub-document exact dedup
         "pii_scrub": _pii_scrub,  # email/IP/phone redaction (planted)
         # block-level zone-map predicate skipping (scan through BtrTable)
@@ -1119,6 +1158,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_entries()
+    # the incremental CDC refresh must equal the full-batch result —
+    # same oracle, by construction
+    out["curated_corpus_incremental"] = out["curated_corpus"]
+    return out
+
+
+def _oracle_sql_entries() -> dict[str, str]:
     return {
         "rle_runs": """
             WITH ordered AS (
