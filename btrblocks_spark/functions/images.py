@@ -5,8 +5,11 @@ Images travel as opaque ``binary`` cells with typed metadata columns
 engine decode / PSNR-verify / re-encode / feature-extract kernels.
 
 STUB NOTICE: no real image libraries (PIL/opencv/libjpeg) exist in this
-container, so the three codecs are deterministic stand-ins with the right
-*shape* (header + encoded payload, lossless vs lossy):
+container, so the three fast-path codecs are deterministic stand-ins
+with the right *shape* (header + encoded payload, lossless vs lossy) —
+but REAL PNGs round-trip in-sandbox through the dependency-free codec
+in :mod:`btrblocks_spark.functions.png_pure` (zlib + PNG filters);
+only lossy formats (JPEG) keep the NotImplementedError boundary:
 
 - ``bmp``  — raw uint8 pixels (lossless)
 - ``png``  — zlib-compressed pixels (lossless)
@@ -52,24 +55,35 @@ _REAL_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"BM")
 
 
 def _decode_real(data) -> np.ndarray:
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            "real image formats need an image library not present here"
-        )
-    img = _PILImage.open(_io.BytesIO(bytes(data))).convert("RGB")
-    return np.asarray(img, np.uint8)
+    if HAVE_PIL:
+        img = _PILImage.open(_io.BytesIO(bytes(data))).convert("RGB")
+        return np.asarray(img, np.uint8)
+    if bytes(data[:4]).startswith(b"\x89PNG"):
+        # dependency-free lossless path: real PNGs decode in-sandbox
+        from btrblocks_spark.functions.png_pure import decode_png
+
+        return decode_png(data)
+    raise NotImplementedError(
+        "real image formats beyond PNG need an image library not "
+        "present here"
+    )
 
 
 def _encode_real(pixels: np.ndarray, fmt: str) -> bytes:
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            "real image formats need an image library not present here"
+    if HAVE_PIL:
+        sink = _io.BytesIO()
+        _PILImage.fromarray(pixels, "RGB").save(
+            sink, format=fmt.removeprefix("real-").upper()
         )
-    sink = _io.BytesIO()
-    _PILImage.fromarray(pixels, "RGB").save(
-        sink, format=fmt.removeprefix("real-").upper()
+        return sink.getvalue()
+    if fmt == "real-png":
+        from btrblocks_spark.functions.png_pure import encode_png
+
+        return encode_png(pixels)
+    raise NotImplementedError(
+        "real image formats beyond PNG need an image library not "
+        "present here"
     )
-    return sink.getvalue()
 
 
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:

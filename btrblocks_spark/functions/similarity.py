@@ -301,13 +301,22 @@ def train_ivf_centroids(
     seed: int = 42,
     vec_col: str = "embedding",
     sample: np.ndarray | None = None,
+    distributed: bool = False,
 ) -> np.ndarray:
     """Mini-kmeans on a driver-side sample → (n_centroids, dim) float64.
 
     The sample is tiny relative to the corpus (IVF training is always
     sampled — FAISS does the same); the expensive assignment pass stays
-    distributed in :func:`knn_ivf`.
+    distributed in :func:`knn_ivf`. Pass ``distributed=True`` to train
+    on executor-side partial sums over the FULL table instead
+    (:func:`train_kmeans_distributed`) — same interface, no driver
+    collect of vectors.
     """
+    if distributed:
+        return train_kmeans_distributed(
+            vectors, dim, n_centroids, iters=iters, seed=seed,
+            vec_col=vec_col,
+        )
     if sample is None:
         sample = _collect_sample(vectors, vec_col, sample_rows, seed)
     rng = np.random.default_rng(seed)
@@ -319,6 +328,78 @@ def train_ivf_centroids(
             members = sample[assign == c]
             if len(members):
                 cents[c] = members.mean(0)
+    return cents
+
+
+def train_kmeans_distributed(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    iters: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Full-table Lloyd's k-means with EXECUTOR-side partial sums —
+    the honest trainer for corpora where a 10k driver sample is no
+    longer representative (flag-gated; the sampled trainer stays the
+    default, matching FAISS practice).
+
+    Initialization seeds from a bounded 4*n_centroids-row sample; each
+    Lloyd iteration ships the centroids to executors in the task
+    closure (n_centroids x dim floats — tiny), every Arrow batch
+    assigns its vectors and emits ONE (cell, count, sum-vector) row per
+    centroid, and the driver reduces only n_partitions x n_centroids
+    partial rows — the iterations never move a vector. Empty cells keep
+    their previous centroid.
+    """
+    init = _collect_sample(
+        vectors, vec_col, max(n_centroids * 4, 256), seed
+    )
+    rng = np.random.default_rng(seed)
+    cents = init[
+        rng.choice(len(init), min(n_centroids, len(init)), replace=False)
+    ].astype(np.float64)
+    if len(cents) < n_centroids:
+        raise ValueError(
+            f"corpus smaller than n_centroids={n_centroids}"
+        )
+    src = vectors.select(vec_col)
+    for _ in range(iters):
+        cb = cents.copy()
+
+        def partials(batches):
+            sums = np.zeros((n_centroids, dim), np.float64)
+            cnts = np.zeros(n_centroids, np.int64)
+            for pdf in batches:
+                mat = np.vstack(pdf[vec_col].to_numpy()).astype(
+                    np.float64
+                )
+                d = (
+                    (mat**2).sum(1)[:, None]
+                    - 2 * mat @ cb.T
+                    + (cb**2).sum(1)[None, :]
+                )
+                a = d.argmin(1)
+                np.add.at(sums, a, mat)
+                cnts += np.bincount(a, minlength=n_centroids)
+            yield pd.DataFrame(
+                {
+                    "cell": np.arange(n_centroids, dtype=np.int32),
+                    "cnt": cnts,
+                    "s": list(sums),
+                }
+            )
+
+        rows = src.mapInPandas(
+            partials, "cell int, cnt long, s array<double>"
+        ).collect()
+        sums = np.zeros((n_centroids, dim), np.float64)
+        cnts = np.zeros(n_centroids, np.int64)
+        for r in rows:
+            sums[r.cell] += np.asarray(r.s, np.float64)
+            cnts[r.cell] += r.cnt
+        nz = cnts > 0
+        cents[nz] = sums[nz] / cnts[nz][:, None]
     return cents
 
 
@@ -885,6 +966,42 @@ def _pq_topk(joined: DataFrame, codebooks: np.ndarray, id_col: str, k: int,
     )
 
 
+def _rerank_exact(
+    cands: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """FAISS-style refine step: exact-cosine re-rank of ADC candidates.
+
+    The candidate list (queries x c*k ids — tiny) is BROADCAST against
+    one corpus scan that fetches only the survivors' float vectors, so
+    the re-rank costs one narrow probe regardless of corpus size; the
+    quantization error of the quantized tier then only has to get the
+    true neighbors into the top c*k, not rank them."""
+    cand_ids = cands.select("query_id", id_col)
+    fetched = vectors.select(id_col, vec_col).join(
+        F.broadcast(cand_ids), id_col
+    )
+    scored = fetched.join(
+        F.broadcast(queries.select("query_id", "query_vec")), "query_id"
+    ).select(
+        "query_id",
+        F.col(id_col),
+        F.round(_cosine("query_vec", vec_col), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
 def knn_pq(
     vectors: DataFrame,
     queries: DataFrame,
@@ -895,18 +1012,27 @@ def knn_pq(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebooks: np.ndarray | None = None,
+    refine: int = 0,
 ) -> DataFrame:
     """Top-k by asymmetric PQ cosine: the corpus is scanned as m-byte
     codes (narrow encode map, no shuffle), queries stay float and
     broadcast. Isotropic random embeddings are PQ's adversarial case —
-    recall vs float brute force is pytest-gated on exactly that corpus."""
+    recall vs float brute force is pytest-gated on exactly that corpus.
+
+    ``refine=c`` (FAISS IndexRefine analog): take the top ``c*k`` by
+    ADC, then exact-cosine re-rank those against the float vectors —
+    recall rises from ~0.88 toward ~1.0 at the cost of fetching c*k
+    full vectors per query."""
     if codebooks is None:
         codebooks = train_pq_codebooks(
             vectors, dim, m=m, ksub=ksub, vec_col=vec_col
         )
     vq = pq_encode(vectors, codebooks, vec_col, id_col)
     joined = vq.crossJoin(F.broadcast(queries))
-    return _pq_topk(joined, codebooks, id_col, k)
+    if not refine:
+        return _pq_topk(joined, codebooks, id_col, k)
+    cands = _pq_topk(joined, codebooks, id_col, k * refine)
+    return _rerank_exact(cands, vectors, queries, k, vec_col, id_col)
 
 
 def build_ivf_pq_table(
@@ -963,10 +1089,17 @@ def knn_ivf_pq(
     k: int = 5,
     n_probe: int = 2,
     id_col: str = "vec_id",
+    refine: int = 0,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k over a :func:`build_ivf_pq_table` table:
     executor-side probe-cell assignment -> manifest-stats-pruned scan of
-    the probed cells' PQ codes -> shared ADC scoring."""
+    the probed cells' PQ codes -> shared ADC scoring.
+
+    ``refine=c`` re-ranks the top ``c*k`` ADC candidates by exact
+    cosine against ``vectors`` (the float corpus — required when
+    refining; the IVF-PQ table stores only codes)."""
     probes = _probe_cells_df(queries, centroids, n_probe)
     cells = sorted(
         r._cell for r in probes.select("_cell").distinct().collect()
@@ -977,4 +1110,9 @@ def knn_ivf_pq(
     ).filter(F.col("cell").isin(cells))
     q = queries.join(F.broadcast(probes), "query_id")
     joined = v.join(F.broadcast(q), v.cell == q._cell)
-    return _pq_topk(joined, codebooks, id_col, k, distinct=True)
+    if not refine:
+        return _pq_topk(joined, codebooks, id_col, k, distinct=True)
+    if vectors is None:
+        raise ValueError("refine needs the float `vectors` frame")
+    cands = _pq_topk(joined, codebooks, id_col, k * refine, distinct=True)
+    return _rerank_exact(cands, vectors, queries, k, vec_col, id_col)

@@ -16,14 +16,111 @@ def test_stub_magics_still_roundtrip():
         assert (images.decode_image(images.encode_image(px, fmt)) == px).all()
 
 
-def test_real_magic_raises_without_pil():
+def test_real_jpeg_magic_raises_without_pil():
     if images.HAVE_PIL:
         pytest.skip("PIL present: the seam dispatches instead of raising")
-    real_png_head = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
     with pytest.raises(NotImplementedError):
-        images.decode_image(real_png_head)
+        images.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
-        images.encode_image(np.zeros((2, 2, 3), np.uint8), "real-png")
+        images.encode_image(np.zeros((2, 2, 3), np.uint8), "real-jpeg")
+
+
+def test_real_png_roundtrips_in_sandbox():
+    """The dependency-free PNG codec (png_pure.py) closes the lossless
+    half of the seam with NO image library: real \x89PNG bytes decode
+    and fmt='real-png' encodes — bit-exact round trip."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (19, 31, 3), dtype=np.uint8)
+    blob = images.encode_image(px, "real-png")
+    assert blob.startswith(b"\x89PNG\r\n\x1a\n")
+    assert (images.decode_image(blob) == px).all()
+
+
+def test_pure_png_decodes_all_filters_and_color_types():
+    """Hand-built PNGs using Average/Paeth filters and gray/RGBA/
+    palette color types decode correctly (spec-complete unfiltering)."""
+    import struct
+    import zlib
+
+    from btrblocks_spark.functions.png_pure import decode_png
+
+    rng = np.random.default_rng(3)
+    h, w = 5, 7
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    # every scanline filter, reference-filtered by a direct loop
+    img = rng.integers(0, 256, (h, w, 3), np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * 3, np.int32)
+    for y in range(h):
+        rec = img[y].reshape(-1)
+        ftype = [0, 1, 2, 3, 4][y]
+        raw.append(ftype)
+        filt = np.empty(w * 3, np.int32)
+        for x in range(w * 3):
+            a = rec[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+            filt[x] = (rec[x] - pred) & 0xFF
+        raw += filt.astype(np.uint8).tobytes()
+        prev = rec
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == img.astype(np.uint8)).all()
+
+    def mk(ctype, channels, plte=None):
+        body = rng.integers(
+            0, 4 if ctype == 3 else 256, (h, w, channels), np.uint8
+        )
+        raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+        chunks = chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        )
+        if plte is not None:
+            chunks += chunk(b"PLTE", plte.tobytes())
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunks
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""),
+            body,
+        )
+
+    p6, b6 = mk(6, 4)
+    assert (decode_png(p6) == b6[:, :, :3]).all()
+    p0, b0 = mk(0, 1)
+    assert (decode_png(p0) == np.repeat(b0, 3, 2)).all()
+    pal = rng.integers(0, 256, (4, 3), np.uint8)
+    p3, b3 = mk(3, 1, pal)
+    assert (decode_png(p3) == pal[b3[:, :, 0]]).all()
+    # interlaced / 16-bit profiles stay behind the honest boundary
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
 
 
 def test_real_audio_magic_raises_without_soundfile():

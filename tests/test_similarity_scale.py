@@ -197,3 +197,129 @@ def test_knn_ivf_pq_probe_and_code_width(spark, tmp_path):
         qp = probes_of(vecs[row.query_id])
         vc = int(((cents - vecs[row.vec_id]) ** 2).sum(1).argmin())
         assert vc in qp
+
+
+def test_knn_pq_refine_raises_recall(spark):
+    """FAISS IndexRefine analog: exact-cosine re-rank of the top c*k
+    ADC candidates. On the adversarial random corpus plain PQ sits
+    ~0.88; refine=4 must clear 0.9 and dominate the unrefined run."""
+    from btrblocks_spark.functions.similarity import (
+        knn_bruteforce,
+        knn_pq,
+        knn_recall,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    books = train_pq_codebooks(emb, dim, m=32, ksub=64)
+    exact = knn_bruteforce(emb, q, k=5)
+
+    def mean_recall(ann):
+        rs = [r.recall_at_k for r in knn_recall(ann, exact, k=5).collect()]
+        assert len(rs) == 10
+        return sum(rs) / len(rs)
+
+    plain = mean_recall(knn_pq(emb, q, dim=dim, k=5, codebooks=books))
+    refined = mean_recall(
+        knn_pq(emb, q, dim=dim, k=5, codebooks=books, refine=4)
+    )
+    assert refined >= 0.9
+    assert refined >= plain
+
+
+def test_knn_ivf_pq_refine(spark, tmp_path):
+    """IVF-PQ + refine: all-cells probe with exact re-rank must equal
+    brute force exactly (candidates contain the true top-k; exact
+    cosine then ranks them identically)."""
+    from btrblocks_spark.functions.similarity import (
+        build_ivf_pq_table,
+        knn_bruteforce,
+        knn_ivf_pq,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    table, cents, books = build_ivf_pq_table(
+        spark, emb, str(tmp_path / "pqr"), dim=dim,
+        n_centroids=8, m=32, ksub=64,
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="vectors"):
+        knn_ivf_pq(table, q, cents, books, k=5, n_probe=8, refine=20)
+    got = knn_ivf_pq(
+        table, q, cents, books, k=5, n_probe=8, refine=100,
+        vectors=emb,
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = knn_bruteforce(emb, q, k=5).toPandas().sort_values(
+        ["query_id", "rank"]
+    ).reset_index(drop=True)
+    assert (got["vec_id"] == want["vec_id"]).all()
+    assert np.allclose(got["cosine"], want["cosine"])
+
+
+def test_distributed_kmeans_trainer(spark):
+    """Flag-gated full-table trainer: quantization error within 15% of
+    the sampled trainer (here the 'sample' IS the full corpus, so the
+    distributed result should be at least as good), and NO vector rows
+    cross to the driver — the per-iteration collect carries exactly
+    n_partitions x n_centroids partial rows."""
+    from btrblocks_spark.functions.similarity import (
+        train_ivf_centroids,
+        train_kmeans_distributed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    mat = np.vstack(
+        emb.select("embedding").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+
+    def qerr(cents):
+        d = (
+            (mat**2).sum(1)[:, None]
+            - 2 * mat @ cents.T
+            + (cents**2).sum(1)[None, :]
+        )
+        return float(d.min(1).mean())
+
+    samp = train_ivf_centroids(emb, dim, n_centroids=8, seed=42)
+    dist = train_ivf_centroids(
+        emb, dim, n_centroids=8, seed=42, distributed=True
+    )
+    assert dist.shape == samp.shape == (8, dim)
+    assert qerr(dist) <= qerr(samp) * 1.15
+
+    # guard: the trainer's jobs never move a vector column to the
+    # driver — its collect rows are (cell, cnt, s) partials only
+    from pyspark.sql import DataFrame as _DF
+
+    orig = _DF.collect
+    seen = []
+
+    def spy(self):
+        seen.append(self.columns)
+        return orig(self)
+
+    _DF.collect = spy
+    try:
+        train_kmeans_distributed(emb, dim, n_centroids=4, iters=2)
+    finally:
+        _DF.collect = orig
+    for cols in seen:
+        assert "embedding" not in cols, cols
