@@ -144,10 +144,8 @@ def _state_wm(t: BtrTable) -> int | None:
 def _probe(t: BtrTable, col: str, keys: DataFrame, columns: list[str]):
     """State probe: scan pruned to the keys' buckets (advisory, capped)
     then exactly filtered by a semi-join. ``keys`` must be distinct."""
-    vals = None
-    n = keys.limit(_PRUNE_CAP + 1).count()
-    if n <= _PRUNE_CAP:
-        vals = [r[0] for r in keys.collect()]
+    rows = keys.take(_PRUNE_CAP + 1)  # one job: cap signal + values
+    vals = [r[0] for r in rows] if len(rows) <= _PRUNE_CAP else None
     scan = t.scan(
         columns=columns, prune={col: vals} if vals else None
     )
@@ -235,25 +233,75 @@ def refresh_curation(
     table — O(changed docs), result identical to a full re-curation.
     ``benchmark`` must be the same eval set ``init_curation`` saw
     (decontamination is stateless per doc, so only sameness matters).
+
+    Windows are CLAMPED to any intermediate state-table watermark: a
+    crash may have advanced a state table to some snapshot between the
+    curated watermark and the current head, and the replay pre-image
+    reconstruction (``pre = post − inserts + deletes``) is only valid
+    against the exact change window the interrupted run applied — so
+    the retry first replays wm→state_wm, commits the curated table
+    there, then processes state_wm→head as a fresh window.
     """
     job_id = job_id or f"curate-refresh-{uuid.uuid4().hex[:8]}"
     spark = src.spark
-    meta_snap = next(
-        s for s in reversed(out.snapshots())
+    wm = next(
+        int(s["summary"][_WM]) for s in reversed(out.snapshots())
         if (s.get("summary") or {}).get(_WM) is not None
     )
-    wm = int(meta_snap["summary"][_WM])
     p = next(
         s["summary"][_PARAMS] for s in reversed(out.snapshots())
         if (s.get("summary") or {}).get(_PARAMS) is not None
     )
-    id_col, text_col = p["id_col"], p["text_col"]
-    cur = src.current_snapshot_id()
-    if cur == wm:
-        return {"job_id": job_id, "from": wm, "to": cur, "noop": True}
+    head = src.current_snapshot_id()
+    if head == wm:
+        return {"job_id": job_id, "from": wm, "to": head, "noop": True}
 
     hashes = BtrTable(spark, f"{out.root}_state_hashes")
     ptable = BtrTable(spark, f"{out.root}_state_paras")
+    start, windows, upserted, last_sid = wm, 0, 0, None
+    while wm != head:
+        mids = [
+            w
+            for w in (_state_wm(hashes), _state_wm(ptable))
+            if w is not None and wm < w < head
+        ]
+        target = min(mids) if mids else head
+        res = _refresh_window(
+            src, out, hashes, ptable, benchmark, p, wm, target,
+            f"{job_id}-w{windows}" if windows else job_id,
+        )
+        windows += 1
+        upserted += res["upserted_docs"]
+        last_sid = res["snapshot_id"]
+        wm = target
+    return {
+        "job_id": job_id,
+        "from": start,
+        "to": head,
+        "snapshot_id": last_sid,
+        "upserted_docs": upserted,
+        "windows": windows,
+        "noop": False,
+    }
+
+
+def _refresh_window(
+    src: BtrTable,
+    out: BtrTable,
+    hashes: BtrTable,
+    ptable: BtrTable,
+    benchmark: DataFrame | None,
+    p: dict,
+    wm: int,
+    cur: int,
+    job_id: str,
+) -> dict:
+    """One exactly-once refresh window wm→cur (both valid source
+    snapshot ids). Source texts are read AT ``cur`` (time travel) so a
+    clamped window reproduces exactly the state the interrupted run
+    saw, not a later head."""
+    spark = src.spark
+    id_col, text_col = p["id_col"], p["text_col"]
 
     ch = src.scan_changes(wm, cur, columns=[id_col, text_col])
     ins = ch.filter(F.col("_change_type") == "insert").select(
@@ -335,15 +383,16 @@ def refresh_curation(
         their old images."""
         from_ins = ins.join(ids, id_col, "leftsemi")
         rest = ids.join(ins, id_col, "left_anti")
-        n = rest.limit(_PRUNE_CAP + 1).count()
-        if n == 0:
+        rows = rest.take(_PRUNE_CAP + 1)  # one job: cap signal + values
+        if not rows:
             return from_ins
-        vals = None
-        if n <= _PRUNE_CAP:
-            vals = [r[0] for r in rest.collect()]
+        vals = (
+            [r[0] for r in rows] if len(rows) <= _PRUNE_CAP else None
+        )
         old = src.scan(
             columns=[id_col, text_col],
             prune={id_col: vals} if vals else None,
+            snapshot_id=cur,  # window-exact text, not a later head
         ).join(F.broadcast(rest), id_col, "leftsemi")
         return from_ins.unionByName(old)
 
@@ -462,10 +511,6 @@ def refresh_curation(
         extra_summary={_WM: cur, _PARAMS: p},
     )
     return {
-        "job_id": job_id,
-        "from": wm,
-        "to": cur,
         "snapshot_id": res["snapshot_id"],
         "upserted_docs": new_rows.count(),
-        "noop": False,
     }

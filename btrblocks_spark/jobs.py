@@ -91,7 +91,10 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("merge")
     m.add_argument("--table", required=True)
     m.add_argument("--source", required=True, help="parquet path of source")
-    m.add_argument("--on", required=True)
+    m.add_argument(
+        "--on", required=True,
+        help="key column, or comma-separated composite key",
+    )
     m.add_argument("--when-matched", default="update")
     m.add_argument("--when-not-matched", default="insert")
     m.add_argument(
@@ -99,6 +102,18 @@ def main(argv: list[str] | None = None) -> int:
         choices=["staged", "shuffle", "mor"],
         default="staged",
         help="copy-on-write (staged/shuffle) or merge-on-read deletes",
+    )
+
+    ev = sub.add_parser(
+        "evolve-spec",
+        help="replace the hidden-partitioning spec without rewriting "
+        "data (Iceberg partition-spec evolution)",
+    )
+    ev.add_argument("--table", required=True)
+    ev.add_argument(
+        "--partition-by", default="",
+        help="new spec, comma-separated: bucket(N,c) truncate(W,c) "
+        "days(c) or plain columns; empty = unpartitioned",
     )
 
     e = sub.add_parser("expire")
@@ -263,6 +278,29 @@ def main(argv: list[str] | None = None) -> int:
         "output to the result JSON (needs lang/source columns)",
     )
 
+    ci = sub.add_parser(
+        "curate-init",
+        help="batch-bootstrap INCREMENTAL curation: curated table + "
+        "hash/paragraph state tables next to it",
+    )
+    ci.add_argument("--src", required=True, help="source BtrTable root")
+    ci.add_argument("--out", required=True, help="curated BtrTable root")
+    ci.add_argument("--benchmark", default=None, help="eval-set parquet")
+    ci.add_argument("--lang", default="en")
+    ci.add_argument("--min-quality", type=float, default=0.3)
+    ci.add_argument("--max-rep", type=float, default=1.0)
+    ci.add_argument("--rep-n", type=int, default=2)
+    ci.add_argument("--decontam-n", type=int, default=8)
+
+    cr = sub.add_parser(
+        "curate-refresh",
+        help="fold source changes since the watermark into the curated "
+        "table — O(changed docs), result == full re-curation",
+    )
+    cr.add_argument("--src", required=True, help="source BtrTable root")
+    cr.add_argument("--out", required=True, help="curated BtrTable root")
+    cr.add_argument("--benchmark", default=None, help="eval-set parquet")
+
     args = p.parse_args(argv)
     from btrblocks_spark.sources.table import BtrTable
 
@@ -356,11 +394,45 @@ def main(argv: list[str] | None = None) -> int:
         out = merge_into(
             t,
             spark.read.parquet(args.source),
-            on=args.on,
+            on=(args.on.split(",") if "," in args.on else args.on),
             when_matched=args.when_matched,
             when_not_matched=args.when_not_matched,
             strategy=args.strategy,
         )
+    elif args.cmd == "curate-init":
+        from btrblocks_spark.functions.incremental import init_curation
+
+        src_t = BtrTable.load(spark, args.src)
+        bench = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        dst = init_curation(
+            src_t, args.out, benchmark=bench, lang=args.lang,
+            min_quality=args.min_quality, max_rep=args.max_rep,
+            rep_n=args.rep_n, decontam_n=args.decontam_n,
+        )
+        out = {
+            "created": args.out,
+            "docs": sum(r["row_count"] for r in dst.data_files()),
+        }
+    elif args.cmd == "curate-refresh":
+        from btrblocks_spark.functions.incremental import refresh_curation
+
+        src_t = BtrTable.load(spark, args.src)
+        bench = (
+            spark.read.parquet(args.benchmark) if args.benchmark else None
+        )
+        out = refresh_curation(
+            src_t, BtrTable.load(spark, args.out), benchmark=bench,
+        )
+    elif args.cmd == "evolve-spec":
+        t = BtrTable.load(spark, args.table)
+        raw = [
+            c
+            for c in _re.split(r",(?![^(]*\))", args.partition_by or "")
+            if c
+        ]
+        out = t.evolve_partition_spec(raw or None)
     elif args.cmd == "curate":
         from btrblocks_spark.functions.pipeline import curate_corpus
 

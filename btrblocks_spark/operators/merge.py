@@ -174,9 +174,16 @@ _STAGED_MULTIKEY_TYPES = (
 
 def _canon_key(vals) -> str:
     """Canonical string for a composite merge-key tuple. Must agree with
-    the executor-side arrow cast-to-string join in ``_merge_staged`` —
+    the executor's ``str()`` of its ``key_comp`` values — a single key
+    stays its native type there (so plain ``str(v)`` here), a composite
+    is an arrow length-prefixed cast-to-string join ("3:abc\\x1f2:xy",
+    self-delimiting so a string value containing the separator can
+    never alias a different tuple); cross-engine cast agreement is
     guaranteed by the ``_STAGED_MULTIKEY_TYPES`` restriction."""
-    return _KEY_SEP.join(str(v) for v in vals)
+    if len(vals) == 1:
+        return str(vals[0])
+    parts = [str(v) for v in vals]
+    return _KEY_SEP.join(f"{len(sv)}:{sv}" for sv in parts)
 
 
 def merge_into(
@@ -238,10 +245,22 @@ def merge_into(
         # casts on two engines — only types whose python str() and
         # arrow cast-to-string agree are safe; others take the pure-
         # Spark shuffle path (same semantics, no canonicalization).
-        # Delete-mode staged merges match purely arrow-side (self-
-        # consistent casts) and need no restriction.
-        dts = dict(source.select(*keys).dtypes)
-        if any(dts[k] not in _STAGED_MULTIKEY_TYPES for k in keys):
+        # The check runs on the TABLE schema (the owner map's driver
+        # values come from the keyscan and the executor casts the
+        # file's columns — both table-typed), and ALSO requires the
+        # source's key types to match the table's (a bigint source key
+        # against a double table column would canonicalize "5" vs
+        # "5.0"). Delete-mode staged merges match purely arrow-side
+        # (self-consistent casts) and need no restriction.
+        tdts = {
+            f.name: f.dataType.simpleString()
+            for f in table._spark_schema_for(keys).fields
+        }
+        sdts = dict(source.select(*keys).dtypes)
+        if any(
+            tdts[k] not in _STAGED_MULTIKEY_TYPES or sdts[k] != tdts[k]
+            for k in keys
+        ):
             strategy = "shuffle"
 
     import time as _time
@@ -500,16 +519,22 @@ def _merge_staged(
                 pa.py_buffer(bytes.fromhex(schema_hex))
             )
             def key_comp(t):
-                # composite key: cast-to-string join (single key stays
-                # its native type — no canonicalization needed); a NULL
-                # component yields a NULL composite, which never
-                # matches (SQL equality semantics)
+                # composite key: LENGTH-PREFIXED cast-to-string join
+                # ("3:abc\x1f2:xy") — self-delimiting, so a string key
+                # value containing the separator cannot alias another
+                # tuple (single key stays its native type — no
+                # canonicalization needed). A NULL component yields a
+                # NULL composite, which never matches (SQL equality
+                # semantics).
                 if len(keys) == 1:
                     return t.column(keys[0]).combine_chunks()
-                parts_ = [
-                    pc.cast(t.column(c).combine_chunks(), pa.string())
-                    for c in keys
-                ]
+                parts_ = []
+                for c in keys:
+                    sv = pc.cast(t.column(c).combine_chunks(), pa.string())
+                    ln = pc.cast(pc.utf8_length(sv), pa.string())
+                    parts_.append(
+                        pc.binary_join_element_wise(ln, sv, ":")
+                    )
                 return pc.binary_join_element_wise(*parts_, _KEY_SEP)
 
             cached = _merge_mod._SRC_CACHE.get(job_id)

@@ -176,12 +176,11 @@ class BtrTableBatchReader(DataSourceReader):
             )
         self.prune: dict = {}
         # every spec that ever wrote files (partition-spec evolution):
-        # prune translation must cover old-spec layouts too
-        self._transforms = (
-            meta.get("partition_transforms_history")
-            or meta.get("partition_transforms")
-            or []
-        )
+        # prune translation must cover old-spec layouts too — shared
+        # rule with BtrTable.scan so the two paths cannot diverge
+        from btrblocks_spark.sources.table import all_transforms_of
+
+        self._transforms = all_transforms_of(meta)
 
     def partitions(self):
         from btrblocks_spark.sources.table import _translate_prune

@@ -256,6 +256,17 @@ def _transform_arrow(t: dict, tbl: "pa.Table") -> "pa.Array":
     return pa.array(out, pa.int64())
 
 
+def all_transforms_of(meta: dict) -> list[dict]:
+    """Every hidden-partitioning transform that ever wrote files, from
+    a table's metadata dict — the ONE fallback rule (history when
+    present, else the active spec) shared by BtrTable.scan and the
+    Python DataSource reader so their pruning can never diverge."""
+    hist = meta.get("partition_transforms_history")
+    if hist is not None:
+        return hist
+    return meta.get("partition_transforms") or []
+
+
 def recompute_partition_arrow(tbl: "pa.Table", transforms: list[dict]):
     """Recompute every derived ``_p_*`` column present in ``tbl`` from
     its source column (deterministic overwrite). Rewrite kernels decode
@@ -890,6 +901,10 @@ class BtrTable:
     #: manifest-list compaction threshold: when a snapshot would carry
     #: more manifest files than this, the smallest ones are merged.
     MANIFEST_LIST_MAX = 64
+    #: above this many data files, scan planning (stats prune + delete
+    #: association) runs as Catalyst jobs over the manifest DataFrame
+    #: instead of a driver loop — the spec stays a DataFrame end-to-end
+    SCAN_PLAN_DF_MIN = 10_000
 
     #: optimistic concurrency: a committer whose lock acquisition finds
     #: the lock held WAITS (jittered exponential backoff) up to this many
@@ -1093,6 +1108,10 @@ class BtrTable:
                     process(e)
             missing = replaced - found
             if missing:
+                # a true conflict aborts the commit: drop this attempt's
+                # rewritten manifests (referenced by no snapshot)
+                for name in written_names:
+                    fs.delete_file(fs.join(self.root, "manifests", name))
                 raise CommitConflict(
                     f"files vanished from manifest: {missing}"
                 )
@@ -1113,7 +1132,16 @@ class BtrTable:
                             )
                         continue
                     # pure append: rebase onto the new head's list
-                    kept = self._manifest_list(head2)
+                    # (v1 entries lack counts — fill them like the
+                    # optimistic phase does)
+                    kept = [
+                        e
+                        if e["file_count"] is not None
+                        else self._entry_from_rows(
+                            e["name"], self._read_manifest(e["name"])
+                        )
+                        for e in self._manifest_list(head2)
+                    ]
                     current = head2
                 meta = meta2
                 snapshot_id = self._next_snapshot_id(meta)
@@ -1411,7 +1439,7 @@ class BtrTable:
         elif prune:
             entries = self._manifest_list(sid)
             n_files = sum(e["file_count"] or 0 for e in entries)
-            if n_files <= 10_000:
+            if n_files <= self.SCAN_PLAN_DF_MIN:
                 # small table: a Spark job costs more than the loop
                 paths = [
                     (r["file_path"], r.get("seq") or 0)
@@ -1439,7 +1467,7 @@ class BtrTable:
         else:
             entries = self._manifest_list(sid)
             n_files = sum(e["file_count"] or 0 for e in entries)
-            if n_files <= 10_000:
+            if n_files <= self.SCAN_PLAN_DF_MIN:
                 paths = [
                     (r["file_path"], r.get("seq") or 0)
                     for r in rows_once()
@@ -1459,13 +1487,48 @@ class BtrTable:
         del_paths: list[str] = []
         eq_specs: list[tuple[str, int]] = []  # (path, seq) content=2
         eq_key_cols: list[str] = []
+        dels_join = None  # Spark-side per-data-file delete-path lists
         if apply_deletes:
             if paths is None:
-                # big-table branches: delete-file discovery through the
-                # same manifest DataFrame, no driver row materialization
+                # big-table branches: positional delete files are
+                # associated to their data files IN SPARK via the
+                # manifest's `source_files` lineage (explode + equi-
+                # join onto the spec), so the driver never holds the
+                # delete-path list and no task closure carries it —
+                # each task only sees the delete files covering its
+                # own spec rows. The driver collect is limited to
+                # equality-delete rows (bounded: compaction absorbs
+                # them) plus any legacy positional row lacking
+                # lineage (normally none — every writer records it).
+                src_arr = F.from_json(
+                    "source_files", "array<string>"
+                )
+                dels_join = (
+                    mdf.filter(
+                        F.coalesce(F.col("content"), F.lit(0)) == 1
+                    )
+                    .select(
+                        F.col("file_path").alias("_del_path"),
+                        F.explode(src_arr).alias("file_path"),
+                    )
+                    .groupBy("file_path")
+                    .agg(F.collect_set("_del_path").alias("_dels"))
+                )
                 del_rows = (
                     mdf.filter(
-                        F.coalesce(F.col("content"), F.lit(0)).isin(1, 2)
+                        (
+                            F.coalesce(F.col("content"), F.lit(0)) == 2
+                        )
+                        | (
+                            (
+                                F.coalesce(F.col("content"), F.lit(0))
+                                == 1
+                            )
+                            & (
+                                src_arr.isNull()
+                                | (F.size(src_arr) == 0)
+                            )
+                        )
                     )
                     .select("file_path", "content", "seq", "stats")
                     .collect()
@@ -1568,6 +1631,11 @@ class BtrTable:
                 par = 8
             n_tasks = max(1, min(n_paths, par * 4))
             if paths is None:
+                if dels_join is not None:
+                    # per-spec-row delete lists ride the task spec
+                    spec_src = spec_src.join(
+                        dels_join, "file_path", "left"
+                    )
                 spec_df = spec_src.repartition(n_tasks)
             else:
                 spec_df = self.spark.createDataFrame(
@@ -1599,22 +1667,32 @@ class BtrTable:
                     pa.py_buffer(bytes.fromhex(schema_hex))
                 )
                 # task's own file list first, so the delete-file read is
-                # row-group-filtered to exactly these paths
-                task_paths = [
-                    (p, s)
-                    for batch in batch_iter
-                    for p, s in zip(
-                        batch.column("file_path").to_pylist(),
-                        batch.column("seq").to_pylist(),
-                    )
-                ]
+                # row-group-filtered to exactly these paths; the big-
+                # table branch delivers each row's covering delete
+                # files in a `_dels` spec column (Spark-side lineage
+                # join) — the closure's `del_paths` list then only
+                # holds legacy lineage-less files (normally empty)
+                task_paths: list = []
+                task_dels: set = set()
+                for batch in batch_iter:
+                    fps = batch.column("file_path").to_pylist()
+                    seqs = batch.column("seq").to_pylist()
+                    if "_dels" in batch.schema.names:
+                        dls = batch.column("_dels").to_pylist()
+                    else:
+                        dls = [None] * len(fps)
+                    for p, s, d in zip(fps, seqs, dls):
+                        task_paths.append((p, s))
+                        if d:
+                            task_dels.update(d)
                 if not task_paths:
                     return
+                all_dels = sorted(task_dels.union(del_paths))
                 del_index = (
                     load_delete_index(
-                        del_paths, [p for p, _ in task_paths]
+                        all_dels, [p for p, _ in task_paths]
                     )
-                    if del_paths
+                    if all_dels
                     else {}
                 )
                 eq_dels = load_eq_deletes(eq_specs) if eq_specs else []
@@ -1674,7 +1752,14 @@ class BtrTable:
 
             return spec_df.mapInArrow(read_native, out_schema)
 
-        if del_paths or eq_specs:
+        if (
+            del_paths
+            or eq_specs
+            or (
+                dels_join is not None
+                and dels_join.limit(1).count() > 0
+            )
+        ):
             raise ValueError(
                 "snapshot has delete files: the JVM batch "
                 "path cannot merge them (use native_io=True)"
@@ -2026,11 +2111,7 @@ class BtrTable:
         spec that ever wrote files. Prune translation must cover them
         all: old-spec files prune on their own ``_p_*`` stats, files
         lacking a dest column are kept by ``stats_may_match``."""
-        meta = self.metadata()
-        hist = meta.get("partition_transforms_history")
-        if hist is not None:
-            return hist
-        return meta.get("partition_transforms") or []
+        return all_transforms_of(self.metadata())
 
     def evolve_partition_spec(
         self, partition_by: list[str] | None

@@ -172,3 +172,34 @@ def test_replay_exactly_once(spark, setup, monkeypatch):
 def test_noop_refresh(spark, setup):
     src, out, bench = setup
     assert refresh_curation(src, out, benchmark=bench)["noop"]
+
+
+def test_replay_with_moved_head(spark, setup, monkeypatch):
+    """Crash between state and curated commits, THEN the source moves
+    on before the retry: the retry must clamp its first window to the
+    state tables' watermark (replaying exactly the interrupted change
+    set) and process the newer commits as a second window — the
+    re-elected owner must not be lost."""
+    src, out, bench = setup
+    delete_where(src, "doc_id = 'd001'", strategy="mor", job_id="del1")
+    orig = inc.upsert_eq
+
+    def crash_on_final(table, *a, **k):
+        if table.root == out.root:
+            raise RuntimeError("simulated crash before curated commit")
+        return orig(table, *a, **k)
+
+    monkeypatch.setattr(inc, "upsert_eq", crash_on_final)
+    with pytest.raises(RuntimeError, match="simulated"):
+        refresh_curation(src, out, benchmark=bench, job_id="r1")
+    monkeypatch.setattr(inc, "upsert_eq", orig)
+    # the head moves BEFORE the retry
+    src.append(_docs(spark, [
+        ("d030", "the completely fresh words of doc thirty and the rest"),
+    ]), job_id="a2")
+    r = refresh_curation(src, out, benchmark=bench, job_id="r2")
+    assert r["windows"] == 2
+    assert _sorted(out.scan()) == _sorted(_batch(src, bench))
+    ids = {x[0] for x in _sorted(out.scan())}
+    assert "d002" in ids and "d001" not in ids and "d030" in ids
+    assert refresh_curation(src, out, benchmark=bench)["noop"]

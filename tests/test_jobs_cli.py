@@ -176,3 +176,86 @@ def test_cli_curate(spark, tmp_path, capsys):
     assert top and top[0]["n_docs"] == 1
     kept = spark.read.parquet(out).collect()
     assert len(kept) == 1 and kept[0].doc_id == 1
+
+
+def test_cli_multikey_merge_and_evolve_spec(spark, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    base = tmp_path
+    inp = str(base / "in.parquet")
+    pq2.write_table(
+        pa.table({
+            "k1": [1, 1, 2, 2],
+            "k2": [1, 2, 1, 2],
+            "v": ["a", "b", "c", "d"],
+        }),
+        inp,
+    )
+    root = str(base / "t")
+    assert jobs.main(["create", "--table", root, "--input", inp]) == 0
+    src = str(base / "src.parquet")
+    pq2.write_table(
+        pa.table({"k1": [1, 9], "k2": [2, 9], "v": ["B", "NEW"]}), src
+    )
+    rc = jobs.main([
+        "merge", "--table", root, "--source", src, "--on", "k1,k2",
+    ])
+    assert rc == 0
+    from btrblocks_spark.sources.table import BtrTable
+
+    t = BtrTable(spark, root)
+    got = {(r.k1, r.k2): r.v for r in t.scan().collect()}
+    assert got == {(1, 1): "a", (1, 2): "B", (2, 1): "c",
+                   (2, 2): "d", (9, 9): "NEW"}
+
+    rc = jobs.main([
+        "evolve-spec", "--table", root, "--partition-by", "bucket(4, k1)",
+    ])
+    assert rc == 0
+    assert [tf["kind"] for tf in t.metadata()["partition_transforms"]] \
+        == ["bucket"]
+    capsys.readouterr()
+
+
+def test_cli_incremental_curation(spark, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    inp = str(tmp_path / "docs.parquet")
+    pq2.write_table(
+        pa.table({
+            "doc_id": ["a", "b"],
+            "text": [
+                "the quick brown fox and the lazy dog words",
+                "the quick brown fox and the lazy dog words",
+            ],
+        }),
+        inp,
+    )
+    src_root = str(tmp_path / "src")
+    assert jobs.main(["create", "--table", src_root, "--input", inp]) == 0
+    out_root = str(tmp_path / "cur")
+    rc = jobs.main([
+        "curate-init", "--src", src_root, "--out", out_root,
+        "--min-quality", "0.01",
+    ])
+    assert rc == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["docs"] == 1  # exact dup collapsed
+
+    more = str(tmp_path / "more.parquet")
+    pq2.write_table(
+        pa.table({
+            "doc_id": ["c"],
+            "text": ["the completely fresh words of doc c and the rest"],
+        }),
+        more,
+    )
+    assert jobs.main(
+        ["append", "--table", src_root, "--input", more]
+    ) == 0
+    rc = jobs.main(["curate-refresh", "--src", src_root, "--out", out_root])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["upserted_docs"] == 1 and not res["noop"]

@@ -263,3 +263,42 @@ def test_rewrite_position_deletes_noop_below_threshold(spark, tmp_path):
         spark.range(50).select(F.col("id").alias("k")),
     )
     assert rewrite_position_deletes(t)["noop"] is True
+
+
+def test_big_table_scan_branch_applies_deletes(spark, tmp_path, monkeypatch):
+    """Above SCAN_PLAN_DF_MIN files the scan plans through the manifest
+    DataFrame and positional-delete association becomes a Spark-side
+    lineage join (explode source_files -> per-file _dels lists) — the
+    driver must not collect delete rows, and results must equal the
+    small-table branch exactly (incl. a pruned scan and _file/_pos)."""
+    t = _mk_table(spark, str(tmp_path / "tb"), n=500, num_files=5)
+    merge_into(
+        t, _source(spark, [7, 120, 488]), on="id", strategy="mor",
+        when_matched="delete", when_not_matched="ignore", job_id="d1",
+    )
+    merge_into(t, _source(spark, [8, 9], tag="U"), on="id", job_id="u1",
+               strategy="mor")
+    small = sorted(
+        (r.id, r.val) for r in t.scan(columns=["id", "val"]).collect()
+    )
+    small_pruned = sorted(
+        r.id for r in t.scan(
+            columns=["id"], prune={"id": (100, 130)}
+        ).collect()
+    )
+    monkeypatch.setattr(BtrTable, "SCAN_PLAN_DF_MIN", 1)
+    big = sorted(
+        (r.id, r.val) for r in t.scan(columns=["id", "val"]).collect()
+    )
+    assert big == small and 7 not in {i for i, _ in big}
+    assert ("U8" in {v for _, v in big})
+    big_pruned = sorted(
+        r.id for r in t.scan(
+            columns=["id"], prune={"id": (100, 130)}
+        ).collect()
+    )
+    assert big_pruned == small_pruned and 120 not in big_pruned
+    # JVM batch path must still refuse delete-bearing snapshots on the
+    # big branch (delete discovery is join-side there, not a closure)
+    with pytest.raises(ValueError, match="delete files"):
+        t.scan(columns=["id"], native_io=False).collect()
