@@ -223,11 +223,20 @@ def init_curation(
 
 
 # -------------------------------------------------------------- refresh
+#: a state/curated table carrying at least this many equality-delete
+#: files after a refresh is compacted opportunistically — every
+#: ``upsert_eq`` refresh adds delete files, and an unmaintained table's
+#: scans re-apply ALL of them on every probe (read amplification grows
+#: linearly in refresh count at 100 TB)
+MAINTAIN_EQ_DELETES = 8
+
+
 def refresh_curation(
     src: BtrTable,
     out: BtrTable,
     benchmark: DataFrame | None = None,
     job_id: str | None = None,
+    auto_maintain: bool = True,
 ) -> dict:
     """Fold source changes since the last watermark into the curated
     table — O(changed docs), result identical to a full re-curation.
@@ -274,6 +283,17 @@ def refresh_curation(
         upserted += res["upserted_docs"]
         last_sid = res["snapshot_id"]
         wm = target
+    maintained = []
+    if auto_maintain:
+        # bound read amplification: absorb accumulated eq-delete files
+        # once a table crosses the threshold (compaction applies the
+        # deletes and retires them; watermarks live in snapshot
+        # summaries, so maintenance never perturbs replay bookkeeping)
+        from btrblocks_spark.operators.compact import compact
+        for t in (hashes, ptable, out):
+            if len(t.eq_delete_files()) >= MAINTAIN_EQ_DELETES:
+                compact(t, job_id=f"{job_id}-maint")
+                maintained.append(t.root)
     return {
         "job_id": job_id,
         "from": start,
@@ -281,6 +301,7 @@ def refresh_curation(
         "snapshot_id": last_sid,
         "upserted_docs": upserted,
         "windows": windows,
+        "maintained": maintained,
         "noop": False,
     }
 

@@ -140,9 +140,11 @@ class BtrTableDataSource(DataSource):
         # pushFilters while spark.sql.python.filterPushdown.enabled is
         # false, so the capability lives in a subclass selected by
         # .option("pushdown", "true") (set the conf too)
+        sid = self.options.get("snapshotid")
+        sid = int(sid) if sid else None
         if self.options.get("pushdown", "").lower() in ("1", "true"):
-            return BtrTablePushdownReader(self._root())
-        return BtrTableBatchReader(self._root())
+            return BtrTablePushdownReader(self._root(), sid)
+        return BtrTableBatchReader(self._root(), sid)
 
     def streamReader(self, schema: StructType) -> "BtrTableStreamReader":
         cdc = self.options.get("cdc", "").lower() in ("1", "true")
@@ -160,15 +162,20 @@ class BtrTableDataSource(DataSource):
 
 
 class BtrTableBatchReader(DataSourceReader):
-    def __init__(self, root: str):
+    def __init__(self, root: str, snapshot_id: int | None = None):
+        # ``.option("snapshotId", N)`` = time travel: plan files and
+        # deletes AS OF that snapshot (schema stays the current one,
+        # matching BtrTable.scan — old files decode through aliases)
         self.root = root
         t = _table(root)
         meta = t.metadata()
         self.schema_hex = _user_schema_hex(meta)
         self.aliases = meta.get("renames", {})
-        self.rows = t.data_files()
-        self.del_paths = [r["file_path"] for r in t.delete_files()]
-        if t.eq_delete_files():
+        self.rows = t.data_files(snapshot_id)
+        self.del_paths = [
+            r["file_path"] for r in t.delete_files(snapshot_id)
+        ]
+        if t.eq_delete_files(snapshot_id):
             raise RuntimeError(
                 "table carries equality delete files (upsert_eq); the "
                 "Python DataSource reader merges positional deletes "

@@ -203,3 +203,27 @@ def test_replay_with_moved_head(spark, setup, monkeypatch):
     ids = {x[0] for x in _sorted(out.scan())}
     assert "d002" in ids and "d001" not in ids and "d030" in ids
     assert refresh_curation(src, out, benchmark=bench)["noop"]
+
+
+def test_auto_maintain_bounds_eq_deletes(spark, setup, monkeypatch):
+    """Every refresh adds eq-delete files to the state/curated tables;
+    auto-maintenance compacts once a table crosses the threshold, so
+    read amplification stays bounded across many refreshes — and the
+    result still equals the full batch re-curation afterwards."""
+    src, out, bench = setup
+    monkeypatch.setattr(inc, "MAINTAIN_EQ_DELETES", 1)
+    hashes = BtrTable(spark, f"{out.root}_state_hashes")
+    for i, (did, txt) in enumerate([
+        ("d020", "the completely fresh words of doc twenty and the rest"),
+        ("d021", "the surprisingly novel words of doc twentyone and so on"),
+    ]):
+        src.append(
+            _docs(spark, [(did, txt)]), job_id=f"maint-a{i}"
+        )
+        r = refresh_curation(src, out, benchmark=bench)
+        assert r["maintained"]  # threshold 1 -> compacted every time
+    assert len(hashes.eq_delete_files()) == 0
+    assert len(out.eq_delete_files()) == 0
+    assert _sorted(out.scan()) == _sorted(_batch(src, bench))
+    # maintenance snapshots must not confuse watermark discovery
+    assert refresh_curation(src, out, benchmark=bench)["noop"]

@@ -280,3 +280,23 @@ def test_reader_filter_pushdown_prunes_and_stays_correct(
     assert len(rd2.partitions()) == 1
     one = {r.id for r in ds_df.filter(F.col("id") == 7).collect()}
     assert one == {7}
+
+
+def test_batch_read_time_travel(registered, tmp_path):
+    """.option('snapshotId', N) plans files AND deletes as of that
+    snapshot — equal to BtrTable.scan(snapshot_id=N)."""
+    spark = registered
+    root = str(tmp_path / "ds_tt")
+    t = _mk(spark, root, n=100)
+    sid0 = t.current_snapshot_id()
+    src = spark.createDataFrame(
+        [(5, "N5"), (400, "N400")], "id long, val string"
+    )
+    merge_into(t, src, on="id", strategy="mor", job_id="tt1")
+
+    old = spark.read.format("btrtable").option("snapshotId", sid0).load(root)
+    got = {r.id: r.val for r in old.collect()}
+    assert len(got) == 100 and got[5] == "v5" and 400 not in got
+    now = {r.id: r.val for r in
+           spark.read.format("btrtable").load(root).collect()}
+    assert now[5] == "N5" and now[400] == "N400" and len(now) == 101
