@@ -36,12 +36,15 @@ def asof_join(
     by: list[str] | str | None = None,
     direction: str = "backward",
     suffix: str = "_r",
+    tolerance: float | None = None,
 ) -> DataFrame:
     """ASOF join; right value columns come back suffixed.
 
     ``direction="backward"`` (default): latest right with
     right.on <= left.on. ``"forward"``: earliest right with
-    right.on >= left.on."""
+    right.on >= left.on. ``tolerance`` (pandas ``merge_asof``
+    semantics): a match farther than this from ``left.on`` is nulled
+    out — numeric ``on`` in its own units, timestamps in seconds."""
     assert direction in ("backward", "forward")
     by = [by] if isinstance(by, str) else list(by or [])
     keys = by + [on]
@@ -76,4 +79,18 @@ def asof_join(
         )
     for c in out_payload:
         u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    if tolerance is not None:
+        # the matched right row's own `on` rides the same window, so
+        # the gap check needs no extra shuffle or join
+        ton = F.when(F.col("_asof_src") == 1, F.col(on))
+        u = u.withColumn(
+            "_asof_ton", F.last(ton, ignorenulls=True).over(w)
+        )
+        gap = F.col(on).cast("double") - F.col("_asof_ton").cast("double")
+        if direction == "forward":
+            gap = -gap
+        keep = F.col("_asof_ton").isNotNull() & (gap <= F.lit(tolerance))
+        for c in out_payload:
+            u = u.withColumn(c, F.when(keep, F.col(c)))
+        u = u.drop("_asof_ton")
     return u.filter(F.col("_asof_src") == 0).drop("_asof_src")

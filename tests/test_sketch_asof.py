@@ -157,3 +157,51 @@ def test_top_k_per_group(spark):
     got = top_k_per_group(df, "g", "v", k=3)
     assert got.count() == 12
     assert {r.v for r in got.filter(F.col("g") == 0).collect()} == {96, 92, 88}
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    left, right = _rand_events(11)
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by="uid",
+            tolerance=25.0,
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    r = right.groupby(["uid", "ts"], as_index=False).agg(rv=("rv", "max"))
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        r.sort_values("ts").rename(columns={"rv": "rv_r"}),
+        on="ts",
+        by="uid",
+        direction="backward",
+        tolerance=25,
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["rv_r"], exp["rv_r"], check_dtype=False
+    )
+    assert got["rv_r"].isna().any()  # tolerance actually nulls gaps
+
+
+def test_asof_tolerance_forward(spark):
+    left = pd.DataFrame({"ts": [5, 15, 40], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"ts": [10, 50], "rv": [1, 2]})
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            direction="forward",
+            tolerance=8.0,
+        )
+        .toPandas()
+        .sort_values("lid")
+    )
+    assert got["rv_r"].tolist()[0] == 1  # gap 5 <= 8
+    assert pd.isna(got["rv_r"].tolist()[1])  # next at 50, gap 35 > 8
+    assert pd.isna(got["rv_r"].tolist()[2])  # gap 10 > 8
