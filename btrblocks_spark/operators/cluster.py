@@ -134,6 +134,7 @@ def cluster_staged(
     curve: str = "zorder",
     group_bytes: int = 128 * 1024 * 1024,
     max_rows_per_file: int | None = None,
+    only_new: bool = False,
 ) -> dict:
     """Two-phase file-staged range clustering (the 100 TB path).
 
@@ -165,8 +166,16 @@ def cluster_staged(
             "physically)"
         )
     files = table.data_files()
+    if only_new:
+        # incremental clustering (the steady-state 100 TB path): only
+        # files NOT already carrying this sort key are rewritten into a
+        # fresh sorted run — existing sorted files stay byte-identical.
+        # Zone-map pruning is per file, so several sorted runs prune as
+        # well as one; a periodic full cluster() re-merges the runs.
+        sig = f"{curve}({','.join(by)})"
+        files = [r for r in files if (r.get("sort_key") or "") != sig]
     if not files:
-        return {"job_id": job_id, "rewritten_files": 0}
+        return {"job_id": job_id, "rewritten_files": 0, "new_files": 0}
     from btrblocks_spark import PART_SIZE_BYTES
     from btrblocks_spark.sources import fs
 
@@ -175,10 +184,15 @@ def cluster_staged(
     if num_files is None:
         num_files = max(1, min(512, int(total_bytes / PART_SIZE_BYTES) or 1))
 
-    # ---- Phase 0: cuts + hot buckets from a key-only sampled scan
+    # ---- Phase 0: cuts + hot buckets from a key-only sampled scan of
+    # exactly the files being rewritten
     frac = min(1.0, 200_000 / max(total_rows, 1))
     keys_pdf = (
-        table.scan(columns=list(by)).sample(fraction=frac, seed=42).toPandas()
+        table.scan(
+            columns=list(by), files=[r["file_path"] for r in files]
+        )
+        .sample(fraction=frac, seed=42)
+        .toPandas()
     )
     hot: set[int] = set()
     if len(keys_pdf) >= 100 and num_files > 1:
@@ -488,8 +502,14 @@ def cluster(
     max_rows_per_file: int | None = None,
     curve: str = "zorder",
     strategy: str = "staged",
+    only_new: bool = False,
 ) -> dict:
     """Rewrite the whole table in Z-order/Hilbert order; returns metrics.
+
+    ``only_new=True`` (staged only) clusters just the files appended
+    since the last cluster into their own sorted run, leaving already-
+    sorted files untouched — the steady-state incremental maintenance
+    mode at 100 TB.
 
     ``strategy="staged"`` (default) is the scale path: a two-phase
     file-level range exchange where executors read, split, and merge
@@ -500,6 +520,8 @@ def cluster(
     repartitionByRange formulation for comparison.
     """
     assert strategy in ("staged", "shuffle")
+    if only_new and strategy != "staged":
+        raise ValueError("only_new requires strategy='staged'")
     if strategy == "staged":
         return cluster_staged(
             table,
@@ -510,6 +532,7 @@ def cluster(
             hot_share_threshold=hot_share_threshold,
             curve=curve,
             max_rows_per_file=max_rows_per_file,
+            only_new=only_new,
         )
     assert curve in ("zorder", "hilbert")
     job_id = job_id or f"cluster-{uuid.uuid4().hex[:8]}"

@@ -102,15 +102,22 @@ def plan_maintenance(
         frac = clustered / total
         if frac < min_clustered_fraction:
             curve, cols = key.split("(", 1)
+            # moderate dilution -> incremental run over just the new
+            # files (rewrite cost O(new data)); past the half-way mark
+            # the sorted runs themselves are the minority, so a full
+            # re-merge pays off
+            mode = "incremental" if frac >= 0.5 else "full"
             plan.append(
                 {
                     "action": "cluster",
                     "reason": (
                         f"only {frac:.0%} of rows still clustered on "
                         f"{key} (threshold {min_clustered_fraction:.0%})"
+                        f" -> {mode} re-cluster"
                     ),
                     "curve": curve,
                     "by": cols.rstrip(")").split(","),
+                    "mode": mode,
                 }
             )
 
@@ -182,6 +189,7 @@ def maintain(
                 by=tuple(step["by"]),
                 curve=step["curve"],
                 job_id=f"{job_id}-z{i}",
+                only_new=step.get("mode") == "incremental",
             )
         elif act == "rewrite_manifests":
             out["results"][act] = table.rewrite_manifests()

@@ -327,3 +327,39 @@ def test_commit_lock_conflict(spark, tmp_path_factory):
     # lock released -> commits work again
     t.rewrite_manifests()
     assert t.scan().count() == 60
+
+
+def test_cluster_only_new_incremental(spark, tmp_path_factory):
+    """only_new=True rewrites just the files appended since the last
+    cluster into a fresh sorted run; already-sorted files stay
+    byte-identical and the full row set is preserved."""
+    root = str(tmp_path_factory.mktemp("inc_cluster"))
+    df = spark.createDataFrame(image_caption_table(400, seed=71))
+    t = BtrTable.create(spark, root, df, num_files=4, job_id="ic0")
+    cluster(t, job_id="icz1", max_rows_per_file=200)
+    sorted_before = {
+        r["file_path"]
+        for r in t.data_files()
+        if r["sort_key"] == "zorder(phash,w,h)"
+    }
+    assert sorted_before
+    t.append(
+        spark.createDataFrame(image_caption_table(150, seed=72)),
+        job_id="ic_app",
+    )
+    sid_mid = t.current_snapshot_id()
+    res = cluster(t, job_id="icz2", only_new=True, max_rows_per_file=200)
+    assert res["rewritten_files"] >= 1
+    after = {r["file_path"]: r for r in t.data_files()}
+    # old sorted run untouched, appended files rewritten sorted
+    assert sorted_before <= set(after)
+    assert all(
+        r["sort_key"] == "zorder(phash,w,h)" for r in after.values()
+    )
+    chk = verify_snapshots_equal(t, sid_mid, None)
+    assert chk["ok"], chk
+    # converged: a second incremental run is a no-op
+    res2 = cluster(t, job_id="icz3", only_new=True)
+    assert res2["rewritten_files"] == 0
+    with pytest.raises(ValueError, match="only_new"):
+        cluster(t, only_new=True, strategy="shuffle")
