@@ -87,6 +87,11 @@ def main(argv: list[str] | None = None) -> int:
     z.add_argument("--by", default="phash,w,h")
     z.add_argument("--curve", choices=["zorder", "hilbert"], default="zorder")
     z.add_argument("--job-id", default=None)
+    z.add_argument(
+        "--only-new", action="store_true",
+        help="incremental: cluster only files appended since the last "
+        "cluster into a fresh sorted run (O(new data) rewrite)",
+    )
 
     m = sub.add_parser("merge")
     m.add_argument("--table", required=True)
@@ -386,6 +391,7 @@ def main(argv: list[str] | None = None) -> int:
             by=tuple(args.by.split(",")),
             job_id=args.job_id,
             curve=args.curve,
+            only_new=args.only_new,
         )
     elif args.cmd == "merge":
         from btrblocks_spark.operators.merge import merge_into

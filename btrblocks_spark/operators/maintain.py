@@ -39,6 +39,7 @@ def plan_maintenance(
     target_file_bytes: int = PART_SIZE_BYTES,
     min_small_files: int = 8,
     min_clustered_fraction: float = 0.75,
+    max_sorted_runs: int = 8,
     keep_snapshots: int = 20,
     orphans: bool = False,
 ) -> list[dict]:
@@ -100,6 +101,27 @@ def plan_maintenance(
             r["row_count"] for r in data if r["sort_key"] == key
         )
         frac = clustered / total
+        # incremental clustering keeps frac high but accumulates sorted
+        # RUNS (one per only_new job) whose zkey ranges overlap — prune
+        # tightness decays with run count, so past max_sorted_runs a
+        # full re-merge is planned even with zero dilution
+        runs = {
+            r["job_id"] for r in data if r["sort_key"] == key
+        }
+        if frac >= min_clustered_fraction and len(runs) > max_sorted_runs:
+            curve, cols = key.split("(", 1)
+            plan.append(
+                {
+                    "action": "cluster",
+                    "reason": (
+                        f"{len(runs)} overlapping sorted runs on {key} "
+                        f"(threshold {max_sorted_runs}) -> full re-merge"
+                    ),
+                    "curve": curve,
+                    "by": cols.rstrip(")").split(","),
+                    "mode": "full",
+                }
+            )
         if frac < min_clustered_fraction:
             curve, cols = key.split("(", 1)
             # moderate dilution -> incremental run over just the new

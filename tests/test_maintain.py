@@ -118,3 +118,36 @@ def test_plan_only_mode_changes_nothing(spark, table):
     res = maintain(table, apply=False, min_small_files=4)
     assert res["plan"] and res["results"] == {}
     assert table.current_snapshot_id() == sid
+
+
+def test_sorted_run_count_triggers_full_remerge(spark, tmp_path, monkeypatch):
+    """Incremental (only_new) clustering keeps the clustered fraction
+    high but accumulates overlapping sorted runs; past max_sorted_runs
+    the planner asks for a FULL re-merge even with zero dilution."""
+    from btrblocks_spark.operators.cluster import cluster
+
+    df = spark.createDataFrame(image_caption_table(150, seed=81))
+    t = BtrTable.create(
+        spark, str(tmp_path / "runs"), df, num_files=1, job_id="r0"
+    )
+    cluster(t, job_id="rz0", max_rows_per_file=200)
+    for i in range(2):
+        t.append(
+            spark.createDataFrame(image_caption_table(60, seed=90 + i)),
+            job_id=f"ra{i}",
+        )
+        cluster(t, job_id=f"rz{i + 1}", only_new=True,
+                max_rows_per_file=200)
+    _no_data_reads(monkeypatch)
+    # 3 sorted runs, 100% clustered: under the default threshold no
+    # cluster action; with max_sorted_runs=2 a full re-merge is planned
+    assert not any(
+        s["action"] == "cluster" for s in plan_maintenance(t)
+    )
+    plan = plan_maintenance(t, max_sorted_runs=2)
+    step = next(s for s in plan if s["action"] == "cluster")
+    assert step["mode"] == "full" and "sorted runs" in step["reason"]
+    monkeypatch.undo()
+    maintain(t, max_sorted_runs=2)
+    runs = {r["job_id"] for r in t.data_files() if r["sort_key"]}
+    assert len(runs) == 1  # one merged run again
