@@ -50,7 +50,7 @@ import zlib as _zlib
 
 import pyarrow as pa
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from btrblocks_spark import PART_SIZE_BYTES
@@ -3376,6 +3376,109 @@ class BtrTable:
             "file_bytes",
             "raw_bytes",
             "sort_key",
+        )
+
+    def net_changes(
+        self,
+        from_snapshot_id: int | str,
+        to_snapshot_id: int | str | None = None,
+        keys: list[str] | str = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Net row-level changes per key over ``(from, to]`` — the
+        Iceberg ``create_changelog_view(net_changes=true)`` analog on
+        top of :meth:`scan_changes`.
+
+        A key touched by several commits collapses to its LAST effect:
+        the event with the highest ``_change_snapshot_id``, inserts
+        winning over deletes within one snapshot (an update commit
+        emits both; the insert is the final state). Applying the result
+        to a downstream copy (delete where ``_change_type='delete'``,
+        upsert the rest) reproduces applying the full changelog in
+        order. A key inserted AND deleted inside the window nets to a
+        delete event for a row the consumer never saw — a no-op on
+        apply, kept because dropping it would need a pre-window
+        existence probe.
+        """
+        if not keys:
+            raise ValueError("net_changes needs the key column(s)")
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        want = columns
+        if want is not None:
+            want = list(dict.fromkeys(list(want) + keys))
+        ch = self.scan_changes(
+            from_snapshot_id, to_snapshot_id, columns=want
+        )
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(
+                F.col("_change_snapshot_id").desc(),
+                (F.col("_change_type") == "insert").cast("int").desc(),
+            )
+        )
+        return (
+            ch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def snapshots_df(self) -> DataFrame:
+        """The snapshot log as a DataFrame (Iceberg ``table.snapshots``
+        metadata-table analog): one row per snapshot with its summary as
+        a string map. Metadata only — the list is bounded by snapshot
+        retention, never by table size."""
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            MapType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType([
+            StructField("snapshot_id", LongType()),
+            StructField("parent_id", LongType()),
+            StructField("committed_at", DoubleType()),
+            StructField("operation", StringType()),
+            StructField("manifest_count", LongType()),
+            StructField("summary", MapType(StringType(), StringType())),
+        ])
+        rows = [
+            (
+                int(s["snapshot_id"]),
+                int(s["parent"]) if s.get("parent") is not None else None,
+                float(s.get("ts") or 0.0),
+                s.get("operation"),
+                len(s.get("manifests") or ([1] if s.get("manifest") else [])),
+                {k: str(v) for k, v in (s.get("summary") or {}).items()},
+            )
+            for s in self.snapshots()
+        ]
+        return self.spark.createDataFrame(rows, schema)
+
+    def history_df(self) -> DataFrame:
+        """Iceberg ``table.history`` analog: the snapshot log annotated
+        with ``is_current_ancestor`` — whether each snapshot is on the
+        parent chain of the current head. Staged write-audit-publish
+        snapshots that were never published are not (a rollback here
+        commits a NEW snapshot, so unlike Iceberg's ref rewind it keeps
+        the abandoned lineage on the chain)."""
+        ancestors: set[int] = set()
+        by_id = {s["snapshot_id"]: s for s in self.snapshots()}
+        cur = self.current_snapshot_id()
+        while cur is not None and cur in by_id:
+            ancestors.add(cur)
+            cur = by_id[cur].get("parent")
+        df = self.snapshots_df()
+        return df.select(
+            "committed_at",
+            "snapshot_id",
+            "parent_id",
+            "operation",
+            F.col("snapshot_id")
+            .isin(sorted(ancestors))
+            .alias("is_current_ancestor"),
         )
 
 

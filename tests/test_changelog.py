@@ -153,3 +153,65 @@ def test_scan_planning_never_materializes_big_path_lists(spark, tmp_path):
         spark.createDataFrame = real_create
     assert df1 is not None and df2 is not None
     assert max(sizes, default=0) < 10_000
+
+
+def test_net_changes_collapses_to_last_effect(spark, tmp_path):
+    """A key touched by several commits nets to its final state;
+    applying the net view equals applying the ordered changelog."""
+    root = str(tmp_path / "net1")
+    t = BtrTable.create(spark, root, _df(spark, 0, 300), num_files=2,
+                        job_id="n0")
+    s0 = t.current_snapshot_id()
+    # commit 1: update ids 5, 6 (MOR -> delete old + insert new)
+    merge_into(t, _df(spark, 5, 2, tag="u1_"), on="id", strategy="mor",
+               job_id="n1")
+    # commit 2: update id 5 again, insert id 400
+    src2 = _df(spark, 5, 1, tag="u2_").unionByName(
+        _df(spark, 400, 1, tag="new_")
+    )
+    merge_into(t, src2, on="id", strategy="mor", job_id="n2")
+    # commit 3: delete id 6
+    merge_into(t, _df(spark, 6, 1), on="id", strategy="mor",
+               when_matched="delete", when_not_matched="ignore",
+               job_id="n3")
+    net = {
+        r.id: (r._change_type, r.val)
+        for r in t.net_changes(s0, keys="id").collect()
+    }
+    assert net[5] == ("insert", "u2_5")      # last of three events
+    assert net[6][0] == "delete"             # updated then deleted
+    assert net[400] == ("insert", "new_400")
+    assert set(net) == {5, 6, 400}
+    # apply net view to a copy at s0 == current state
+    base = {r.id: r.val for r in t.scan(snapshot_id=s0).collect()}
+    for k, (op, val) in net.items():
+        if op == "delete":
+            base.pop(k, None)
+        else:
+            base[k] = val
+    now = {r.id: r.val for r in t.scan().collect()}
+    assert base == now
+    with pytest.raises(ValueError, match="key column"):
+        t.net_changes(s0)
+
+
+def test_snapshots_and_history_df(spark, tmp_path):
+    root = str(tmp_path / "meta1")
+    t = BtrTable.create(spark, root, _df(spark, 0, 100), num_files=1,
+                        job_id="h0")
+    t.append(_df(spark, 100, 50), job_id="h1")
+    sid_keep = t.current_snapshot_id()
+    # a staged (write-audit-publish) snapshot that is never published
+    # stays OFF the current parent chain
+    t.append(_df(spark, 150, 50), job_id="h2", stage=True)
+    abandoned = t.staged_snapshots()[-1]["snapshot_id"]
+    t.append(_df(spark, 200, 50), job_id="h3")
+    sdf = t.snapshots_df()
+    rows = {r.snapshot_id: r for r in sdf.collect()}
+    assert rows[sid_keep].operation == "append"
+    assert rows[sid_keep].parent_id == sid_keep - 1
+    assert int(rows[sid_keep].summary["added_files"]) >= 1
+    hist = {r.snapshot_id: r for r in t.history_df().collect()}
+    assert hist[sid_keep].is_current_ancestor
+    assert hist[t.current_snapshot_id()].is_current_ancestor
+    assert not hist[abandoned].is_current_ancestor
