@@ -228,6 +228,15 @@ def main(argv: list[str] | None = None) -> int:
     dc.add_argument("--table", required=True)
     dc.add_argument("--name", required=True)
 
+    wc = sub.add_parser(
+        "widen-column",
+        help="schema evolution: promote a column to a wider type "
+        "(int->bigint, float->double; metadata-only)",
+    )
+    wc.add_argument("--table", required=True)
+    wc.add_argument("--name", required=True)
+    wc.add_argument("--type", required=True, help="target Spark DDL type")
+
     st = sub.add_parser(
         "stats",
         help="metadata-only COUNT/MIN/MAX aggregates (zero data I/O)",
@@ -571,6 +580,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "drop-column":
         t = BtrTable.load(spark, args.table)
         out = t.drop_column(args.name)
+    elif args.cmd == "widen-column":
+        t = BtrTable.load(spark, args.table)
+        out = t.widen_column(args.name, args.type)
     elif args.cmd == "stats":
         t = BtrTable.load(spark, args.table)
         specs = []

@@ -2095,6 +2095,81 @@ class BtrTable:
         finally:
             fs.delete_file(lock)
 
+    #: legal type promotions (Iceberg schema-evolution set): widening
+    #: only — every stored value remains exactly representable, so old
+    #: blocks decode and CAST losslessly (the decode kernel already
+    #: casts each block to the logical type)
+    _WIDEN_OK = {
+        "tinyint": {"smallint", "int", "bigint"},
+        "smallint": {"int", "bigint"},
+        "int": {"bigint"},
+        "float": {"double"},
+    }
+
+    def widen_column(self, name: str, spark_ddl_type: str) -> dict:
+        """Schema evolution: promote a column to a wider type
+        (Iceberg ``update_column`` type promotion: int→long,
+        float→double). Metadata-only — existing files keep their
+        narrower blocks; the decode kernel casts every block to the
+        logical type, so old and new files scan uniformly.
+
+        Refused while equality-delete files exist (their stored key
+        values would probe data columns at a different type) — run
+        ``compact()`` first.
+        """
+        import json as _json
+
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        lock = fs.join(self.root, "_commit.lock")
+        self._acquire_commit_lock(lock)
+        try:
+            meta = self.metadata()
+            spark_schema = StructType.fromJson(
+                _json.loads(meta["spark_schema_json"])
+            )
+            if name not in spark_schema.names:
+                raise KeyError(f"no column {name}")
+            if name.startswith("_p_"):
+                raise ValueError("derived partition columns cannot widen")
+            old_f = spark_schema[name]
+            old_t = old_f.dataType.simpleString()
+            new_t = _parse_datatype_string(spark_ddl_type)
+            if new_t.simpleString() not in self._WIDEN_OK.get(old_t, ()):
+                raise ValueError(
+                    f"cannot widen {name}: {old_t} -> "
+                    f"{new_t.simpleString()} is not a lossless promotion"
+                )
+            if self.eq_delete_files():
+                raise RuntimeError(
+                    "table carries equality delete files; compact() to "
+                    "absorb them before widening a column"
+                )
+            from pyspark.sql.types import StructField
+
+            spark_schema = StructType(
+                [
+                    StructField(name, new_t, nullable=f.nullable)
+                    if f.name == name
+                    else f
+                    for f in spark_schema.fields
+                ]
+            )
+            self._schema_evolution_commit(
+                meta,
+                spark_schema,
+                "widen-column",
+                {
+                    "column": name,
+                    "from": old_t,
+                    "to": new_t.simpleString(),
+                },
+            )
+            return {"column": name, "from": old_t,
+                    "to": new_t.simpleString()}
+        finally:
+            fs.delete_file(lock)
+
     @staticmethod
     def _retired_names(meta: dict) -> set[str]:
         """Column names that still have physical blobs in old files:
@@ -3156,7 +3231,7 @@ class BtrTable:
             sid = snap["snapshot_id"]
             if op in ("compact", "cluster", "rewrite-manifests",
                       "create-empty", "add-column", "rename-column",
-                      "drop-column"):
+                      "drop-column", "widen-column"):
                 # physical rewrites and metadata-only schema evolution:
                 # no row-level change events (changelog rows always use
                 # the CURRENT schema)

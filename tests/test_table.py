@@ -478,3 +478,51 @@ def test_expire_older_than_age_retention(spark, tmp_path):
     t.expire_snapshots(keep_last=1, older_than=0)
     assert len(t.metadata()["snapshots"]) < n0
     assert t.scan().count() == 25
+
+
+def test_widen_column_int_to_bigint(spark, tmp_path):
+    """Type promotion is metadata-only: old int32 blocks cast at decode,
+    new files carry bigint natively, compaction migrates physically."""
+    from pyspark.sql import functions as F
+
+    from btrblocks_spark.operators.compact import compact
+    from btrblocks_spark.operators.upsert import upsert_eq
+
+    df = spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+    )
+    t = BtrTable.create(spark, str(tmp_path / "w"), df, num_files=2,
+                        job_id="w0")
+    with pytest.raises(ValueError, match="lossless"):
+        t.widen_column("k", "string")
+    with pytest.raises(ValueError, match="lossless"):
+        t.widen_column("val", "bigint")
+    # eq-delete guard
+    upsert_eq(
+        t,
+        spark.createDataFrame([(5, "u5")], "k int, val string"),
+        on="k",
+        job_id="wu",
+    )
+    with pytest.raises(RuntimeError, match="equality delete"):
+        t.widen_column("k", "bigint")
+    compact(t, job_id="wc0")
+    res = t.widen_column("k", "bigint")
+    assert res == {"column": "k", "from": "int", "to": "bigint"}
+    assert dict(t.scan().dtypes)["k"] == "bigint"
+    big = 2**40
+    t.append(
+        spark.createDataFrame([(big, "huge")], "k long, val string"),
+        job_id="w1",
+    )
+    got = {r.k: r.val for r in t.scan().collect()}
+    assert got[big] == "huge" and got[5] == "u5" and len(got) == 101
+    # prune on the widened column still works across old+new files
+    assert {r.k for r in t.scan(prune={"k": (big, big)}).collect()} == {big}
+    # changelog ignores the metadata-only op; compaction migrates blocks
+    sid_before = t.current_snapshot_id()
+    compact(t, target_file_bytes=1, min_input_files=1, job_id="wc1")
+    assert t.scan_changes(sid_before).count() == 0  # compact-only window
+    got2 = {r.k: r.val for r in t.scan().collect()}
+    assert got2 == got
