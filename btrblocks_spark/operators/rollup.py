@@ -40,23 +40,25 @@ _WATERMARK = "rollup_src_snapshot"
 
 
 def _norm_aggs(aggs: dict) -> dict[str, tuple[str, str | None]]:
-    """{out: ("sum"|"count", in_col|None)} — only decomposable aggs.
+    """{out: (fn, in_col|None)} with fn in sum/count/min/max.
 
-    min/max are rejected: they are not maintainable under deletes
-    without re-reading the group (a shrinking max needs the runner-up).
+    sum/count are decomposable (insert adds, delete old-image
+    subtracts). min/max fold incrementally for insert-only windows;
+    any delete event forces an exact per-group recompute in
+    ``refresh_rollup`` (a shrinking max needs the runner-up).
     """
     out: dict[str, tuple[str, str | None]] = {}
     for name, spec in aggs.items():
         fn, col = (spec, None) if isinstance(spec, str) else tuple(spec)
-        if fn not in ("sum", "count"):
+        if fn not in ("sum", "count", "min", "max"):
             raise ValueError(
-                f"rollup agg {name!r}: only sum/count are incrementally "
-                f"maintainable under deletes (got {fn!r})"
+                f"rollup agg {name!r}: supported fns are "
+                f"sum/count/min/max (got {fn!r})"
             )
         if fn == "count" and col is not None:
             raise ValueError(f"rollup agg {name!r}: count takes no column")
-        if fn == "sum" and col is None:
-            raise ValueError(f"rollup agg {name!r}: sum needs a column")
+        if fn in ("sum", "min", "max") and col is None:
+            raise ValueError(f"rollup agg {name!r}: {fn} needs a column")
         out[name] = (fn, col)
     if _COUNT_COL in out and out[_COUNT_COL] != ("count", None):
         raise ValueError(f"{_COUNT_COL!r} is reserved for the row count")
@@ -64,12 +66,25 @@ def _norm_aggs(aggs: dict) -> dict[str, tuple[str, str | None]]:
     return out
 
 
+def _split(norm: dict):
+    """(additive sum/count entries, min/max entries)."""
+    add = {n: v for n, v in norm.items() if v[0] in ("sum", "count")}
+    mm = {n: v for n, v in norm.items() if v[0] in ("min", "max")}
+    return add, mm
+
+
 def _signed_aggs(norm: dict, sign) -> list:
+    add, mm = _split(norm)
     return [
         F.sum(
             sign * (F.lit(1) if col is None else F.col(col))
         ).alias(name)
-        for name, (fn, col) in norm.items()
+        for name, (fn, col) in add.items()
+    ] + [
+        (F.min(F.col(col)) if fn == "min" else F.max(F.col(col))).alias(
+            name
+        )
+        for name, (fn, col) in mm.items()
     ]
 
 
@@ -163,7 +178,30 @@ def refresh_rollup(
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
-    delta = changes.groupBy(*keys).agg(*_signed_aggs(norm, sign))
+    add, mm = _split(norm)
+    is_ins = F.col("_change_type") == "insert"
+    agg_exprs = [
+        F.sum(
+            sign * (F.lit(1) if col is None else F.col(col))
+        ).alias(name)
+        for name, (fn, col) in add.items()
+    ]
+    if mm:
+        # min/max fold from INSERT images only; any delete event marks
+        # the group dirty — its extrema must be recomputed exactly (the
+        # deleted row may have held them and the runner-up is unknown)
+        agg_exprs += [
+            (
+                F.min(F.when(is_ins, F.col(col)))
+                if fn == "min"
+                else F.max(F.when(is_ins, F.col(col)))
+            ).alias(name)
+            for name, (fn, col) in mm.items()
+        ]
+        agg_exprs.append(
+            F.max((~is_ins).cast("int")).alias("_mm_dirty")
+        )
+    delta = changes.groupBy(*keys).agg(*agg_exprs)
 
     olds = dst.scan(columns=keys + list(norm))
     renamed = olds.select(
@@ -178,15 +216,87 @@ def refresh_rollup(
     cond = F.lit(True)
     for k in keys:
         cond = cond & F.col(f"_d.{k}").eqNullSafe(F.col(f"_r.{k}"))
-    merged = d.join(r, on=cond, how="left").select(
-        *[F.col(f"_d.{k}").alias(k) for k in keys],
-        *[
-            (F.coalesce(F.col(f"_old_{n}"), F.lit(0)) + F.col(n))
-            .cast(dict(olds.dtypes)[n])
-            .alias(n)
-            for n in norm
-        ],
-    )
+    old_types = dict(olds.dtypes)
+    out_cols = [F.col(f"_d.{k}").alias(k) for k in keys]
+    out_cols += [
+        (F.coalesce(F.col(f"_old_{n}"), F.lit(0)) + F.col(n))
+        .cast(old_types[n])
+        .alias(n)
+        for n in add
+    ]
+    out_cols += [
+        (
+            F.least(F.col(f"_old_{n}"), F.col(n))
+            if fn == "min"
+            else F.greatest(F.col(f"_old_{n}"), F.col(n))
+        )
+        .cast(old_types[n])
+        .alias(n)
+        for n, (fn, col) in mm.items()
+    ]
+    if mm:
+        out_cols.append(F.col("_mm_dirty"))
+    merged = d.join(r, on=cond, how="left").select(*out_cols)
+    if mm:
+        # exact per-group recompute for delete-touched groups, at the
+        # window's own snapshot (time travel keeps replays exact); the
+        # dirty set is O(changed groups), broadcast into a null-safe
+        # semijoin, and only those groups are re-read from the source
+        dirty = merged.filter(F.col("_mm_dirty") == 1).select(*keys)
+        mm_in = list(
+            dict.fromkeys(keys + [c for _, (_, c) in mm.items()])
+        )
+        # advisory file prune when the dirty key set is small and the
+        # rollup has a single key (the exact semijoin below stays the
+        # correctness filter): one take() both caps and fetches
+        prune = None
+        if len(keys) == 1:
+            rows_ = dirty.take(1001)
+            if len(rows_) <= 1000 and all(
+                r[0] is not None for r in rows_
+            ):
+                # a NULL dirty key disables pruning entirely: its rows
+                # live in files a value-set prune could skip
+                vals = [r[0] for r in rows_]
+                if vals:
+                    prune = {keys[0]: vals}
+        srcscan = src.scan(columns=mm_in, snapshot_id=cur, prune=prune)
+        jc = F.lit(True)
+        for k in keys:
+            jc = jc & F.col(f"_s.{k}").eqNullSafe(F.col(f"_k.{k}"))
+        exact = (
+            srcscan.alias("_s")
+            .join(F.broadcast(dirty.alias("_k")), on=jc, how="leftsemi")
+            .groupBy(*keys)
+            .agg(
+                *[
+                    (
+                        F.min(F.col(col))
+                        if fn == "min"
+                        else F.max(F.col(col))
+                    ).alias(f"_x_{n}")
+                    for n, (fn, col) in mm.items()
+                ]
+            )
+            .withColumn("_x_hit", F.lit(True))
+        )
+        m, x = merged.alias("_m"), exact.alias("_x")
+        xc = F.lit(True)
+        for k in keys:
+            xc = xc & F.col(f"_m.{k}").eqNullSafe(F.col(f"_x.{k}"))
+        merged = m.join(x, on=xc, how="left").select(
+            *[F.col(f"_m.{k}").alias(k) for k in keys],
+            *[F.col(f"_m.{n}").alias(n) for n in add],
+            *[
+                F.when(
+                    F.col("_x_hit"), F.col(f"_x_{n}")
+                )
+                .otherwise(F.col(f"_m.{n}"))
+                .cast(old_types[n])
+                .alias(n)
+                for n in mm
+            ],
+        )
     merged = merged.localCheckpoint(eager=False)
     alive = merged.filter(F.col(_COUNT_COL) > 0)
     vanished = merged.filter(F.col(_COUNT_COL) <= 0).select(*keys)

@@ -91,11 +91,80 @@ def test_multiple_windows_accumulate(spark, src, tmp_path):
     assert _actual(dst) == _expected(src)
 
 
-def test_rejects_non_decomposable_aggs(spark, src, tmp_path):
-    with pytest.raises(ValueError, match="sum/count"):
+def test_rejects_unsupported_aggs(spark, src, tmp_path):
+    with pytest.raises(ValueError, match="sum/count/min/max"):
         create_rollup(
-            src, str(tmp_path / "dst"), KEYS, {"m": ("max", "value")}
+            src, str(tmp_path / "dst"), KEYS, {"m": ("avg", "value")}
         )
+
+
+MM_AGGS = {
+    "total": ("sum", "value"),
+    "lo": ("min", "value"),
+    "hi": ("max", "value"),
+}
+
+
+def _mm_expected(src):
+    return {
+        r.grp: (r.total, r.lo, r.hi, r.n_rows)
+        for r in src.scan()
+        .groupBy("grp")
+        .agg(
+            F.sum("value").alias("total"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    }
+
+
+def _mm_actual(dst):
+    return {
+        r.grp: (r.total, r.lo, r.hi, r.n_rows)
+        for r in dst.scan().collect()
+    }
+
+
+def test_minmax_insert_only_folds(spark, src, tmp_path):
+    dst = create_rollup(src, str(tmp_path / "dst"), KEYS, MM_AGGS,
+                        job_id="m0")
+    assert _mm_actual(dst) == _mm_expected(src)
+    src.append(_src_df(spark, [(100, 1, -5), (101, 9, 999)]), job_id="a1")
+    refresh_rollup(src, dst, KEYS, MM_AGGS, job_id="m1")
+    got = _mm_actual(dst)
+    assert got == _mm_expected(src)
+    assert got[1][1] == -5 and got[9] == (999, 999, 999, 1)
+
+
+def test_minmax_delete_recomputes_group(spark, src, tmp_path):
+    """Deleting the extremum row must surface the runner-up (exact
+    per-group recompute), while untouched groups fold incrementally."""
+    dst = create_rollup(src, str(tmp_path / "dst"), KEYS, MM_AGGS,
+                        job_id="m0")
+    # grp 4 holds ids 4,9,...,49: max value 490 (id 49), min 40 (id 4)
+    delete_where(src, "id = 49", strategy="mor", job_id="d1")
+    src.append(_src_df(spark, [(200, 0, 123)]), job_id="a2")
+    refresh_rollup(src, dst, KEYS, MM_AGGS, job_id="m2")
+    got = _mm_actual(dst)
+    assert got == _mm_expected(src)
+    assert got[4][2] == 440  # runner-up max after deleting id 49
+    # update (delete+insert) of a min row: new extremum exact
+    upsert_eq(
+        src, _src_df(spark, [(4, 4, 9999)]).withColumn(
+            "id", F.col("id")
+        ), on="id", job_id="u1",
+    )
+    refresh_rollup(src, dst, KEYS, MM_AGGS, job_id="m3")
+    got = _mm_actual(dst)
+    assert got == _mm_expected(src)
+    assert got[4][1] == 90  # old min 40 replaced; next-lowest is 90
+    # vanished group removal still works with mm aggs
+    delete_where(src, "grp = 9", strategy="mor", job_id="d2")
+    refresh_rollup(src, dst, KEYS, MM_AGGS, job_id="m4")
+    assert 9 not in _mm_actual(dst)
+    assert _mm_actual(dst) == _mm_expected(src)
 
 
 def test_watermark_requires_rollup_table(spark, src):
