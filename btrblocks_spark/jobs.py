@@ -306,6 +306,30 @@ def main(argv: list[str] | None = None) -> int:
     ci.add_argument("--rep-n", type=int, default=2)
     ci.add_argument("--decontam-n", type=int, default=8)
 
+    rc2 = sub.add_parser(
+        "rollup-create",
+        help="materialize an incremental rollup table from a source "
+        "BtrTable (sum/count/min/max)",
+    )
+    rc2.add_argument("--src", required=True)
+    rc2.add_argument("--out", required=True)
+    rc2.add_argument("--keys", required=True, help="comma-separated")
+    rc2.add_argument(
+        "--aggs", required=True,
+        help="out=fn:col pairs, comma-separated; count takes no col "
+        "(e.g. total=sum:bytes,lo=min:w,n=count)",
+    )
+
+    rr = sub.add_parser(
+        "rollup-refresh",
+        help="fold source changes since the watermark into the rollup "
+        "(O(changed rows), exactly-once)",
+    )
+    rr.add_argument("--src", required=True)
+    rr.add_argument("--out", required=True)
+    rr.add_argument("--keys", required=True)
+    rr.add_argument("--aggs", required=True)
+
     cr = sub.add_parser(
         "curate-refresh",
         help="fold source changes since the watermark into the curated "
@@ -430,6 +454,33 @@ def main(argv: list[str] | None = None) -> int:
             "created": args.out,
             "docs": sum(r["row_count"] for r in dst.data_files()),
         }
+    elif args.cmd in ("rollup-create", "rollup-refresh"):
+        from btrblocks_spark.operators.rollup import (
+            create_rollup,
+            refresh_rollup,
+        )
+
+        aggs = {}
+        for part in args.aggs.split(","):
+            name, spec = part.split("=", 1)
+            fn, _, col = spec.partition(":")
+            aggs[name.strip()] = (
+                fn.strip() if not col else (fn.strip(), col.strip())
+            )
+        keys = [k.strip() for k in args.keys.split(",")]
+        src_t = BtrTable.load(spark, args.src)
+        if args.cmd == "rollup-create":
+            dst = create_rollup(src_t, args.out, keys, aggs)
+            out = {
+                "created": args.out,
+                "groups": sum(
+                    r["row_count"] for r in dst.data_files()
+                ),
+            }
+        else:
+            out = refresh_rollup(
+                src_t, BtrTable.load(spark, args.out), keys, aggs
+            )
     elif args.cmd == "curate-refresh":
         from btrblocks_spark.functions.incremental import refresh_curation
 

@@ -259,3 +259,42 @@ def test_cli_incremental_curation(spark, tmp_path, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["upserted_docs"] == 1 and not res["noop"]
+
+
+def test_cli_rollup_create_refresh(spark, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    inp = str(tmp_path / "ev.parquet")
+    pq2.write_table(
+        pa.table({
+            "grp": [1, 1, 2],
+            "value": [10, 20, 5],
+        }),
+        inp,
+    )
+    src_root = str(tmp_path / "src")
+    assert jobs.main(["create", "--table", src_root, "--input", inp]) == 0
+    out_root = str(tmp_path / "roll")
+    rc = jobs.main([
+        "rollup-create", "--src", src_root, "--out", out_root,
+        "--keys", "grp", "--aggs", "total=sum:value,hi=max:value,n=count",
+    ])
+    assert rc == 0
+    created = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert created["groups"] == 2
+
+    more = str(tmp_path / "more.parquet")
+    pq2.write_table(pa.table({"grp": [2], "value": [99]}), more)
+    assert jobs.main(["append", "--table", src_root, "--input", more]) == 0
+    rc = jobs.main([
+        "rollup-refresh", "--src", src_root, "--out", out_root,
+        "--keys", "grp", "--aggs", "total=sum:value,hi=max:value,n=count",
+    ])
+    assert rc == 0
+    from btrblocks_spark.sources.table import BtrTable
+
+    dst = BtrTable(spark, out_root)
+    got = {r.grp: (r.total, r.hi, r.n) for r in dst.scan().collect()}
+    assert got == {1: (30, 20, 2), 2: (104, 99, 2)}
+    capsys.readouterr()
