@@ -248,6 +248,13 @@ def main(argv: list[str] | None = None) -> int:
         required=True,
         help="fn:col[:alias], e.g. count:*  min:o_orderkey:mn  approx_quantile:0.5:v:p50",
     )
+    st.add_argument(
+        "--partition",
+        action="append",
+        default=None,
+        help="col=value partition scope (repeatable; exact per-file "
+        "manifest partition match)",
+    )
 
     ch = sub.add_parser(
         "changes", help="snapshot-diff changelog between two snapshots"
@@ -655,7 +662,13 @@ def main(argv: list[str] | None = None) -> int:
                     f"{fn}_{col}".replace("*", "all")
                 )
             specs.append((fn, col, alias))
-        out = t.stats_agg(specs).collect()[0].asDict()
+        part = None
+        if args.partition:
+            part = {}
+            for kv in args.partition:
+                k, _, v = kv.partition("=")
+                part[k] = int(v) if v.lstrip("-").isdigit() else v
+        out = t.stats_agg(specs, partition=part).collect()[0].asDict()
     elif args.cmd == "export":
         t = BtrTable.load(spark, args.table)
         cols = [c for c in args.columns.split(",") if c] or None

@@ -2830,6 +2830,7 @@ class BtrTable:
         self,
         aggs: list[tuple[str, str, str]],
         snapshot_id: int | str | None = None,
+        partition: dict | None = None,
     ) -> DataFrame:
         """Answer COUNT/MIN/MAX aggregates from manifest stats alone —
         zero data-file I/O (Iceberg's metadata-table trick; the
@@ -2840,6 +2841,10 @@ class BtrTable:
         ``aggs``: list of ``(fn, col, alias)`` with ``fn`` in
         ``{"count", "min", "max", "null_count"}``; ``col="*"`` with
         ``count`` is the table row count. Returns a one-row DataFrame.
+        ``partition={col: value}`` scopes the fold to that partition's
+        files EXACTLY (the manifest partition spec is per-file truth,
+        unlike advisory stats pruning); keys must be declared partition
+        columns — plain or derived ``_p_*``.
 
         The per-file stats are exact (computed over every value at
         encode time, not sampled), so the folded answers are exact —
@@ -2886,12 +2891,33 @@ class BtrTable:
                     f"({self.ndv_cols()}); declare it at create()"
                 )
         sid = self._resolve_sid(snapshot_id)
+        if partition:
+            # exact partition scoping: keys must be declared partition
+            # columns (plain or derived _p_*) — the manifest partition
+            # spec records them per file EXACTLY, so the metadata fold
+            # stays exact (unlike advisory stats pruning)
+            bad = [k for k in partition if k not in self.partition_by()]
+            if bad:
+                raise KeyError(
+                    f"not partition column(s): {bad} "
+                    f"(declared: {self.partition_by()})"
+                )
+            if any(v is None for v in partition.values()):
+                raise ValueError("partition scoping takes non-null values")
         need = sorted({c for _, c, _ in aggs if c != "*"})
         missing = [c for c in need if c not in self.schema_arrow().names]
         if missing:
             raise KeyError(f"no column(s) {missing}")
         if self.delete_files(sid) or self.eq_delete_files(sid):
-            df = self.scan(columns=need or None, snapshot_id=sid)
+            scan_cols = need or None
+            if partition:
+                scan_cols = sorted(
+                    set(need or self.user_columns()) | set(partition)
+                )
+            df = self.scan(columns=scan_cols, snapshot_id=sid)
+            if partition:
+                for k, v in partition.items():
+                    df = df.filter(F.col(k) == F.lit(v))
             exprs = []
             for fn, col, alias in aggs:
                 if fn == "count" and col == "*":
@@ -2938,7 +2964,13 @@ class BtrTable:
             rows = self.data_files(sid)
             mdf = self.spark.createDataFrame(
                 [
-                    (r["file_path"], r["row_count"], r["stats"], 0)
+                    (
+                        r["file_path"],
+                        r["row_count"],
+                        r["stats"],
+                        r.get("partition") or "{}",
+                        0,
+                    )
                     for r in rows
                 ],
                 StructType(
@@ -2946,11 +2978,19 @@ class BtrTable:
                         StructField("file_path", StringType()),
                         StructField("row_count", LongType()),
                         StructField("stats", StringType()),
+                        StructField("partition", StringType()),
                         StructField("content", LongType()),
                     ]
                 ),
             )
         mdf = mdf.filter(F.coalesce(F.col("content"), F.lit(0)) == 0)
+        for k, v in (partition or {}).items():
+            # JSON scalars stringify the same way python str() does for
+            # the int/string/date types partition columns allow
+            mdf = mdf.filter(
+                F.get_json_object(F.col("partition"), f"$.{k}")
+                == F.lit(str(v))
+            )
         renames = self.metadata().get("renames", {})
         spark_schema = self._spark_schema_for(need) if need else None
 

@@ -298,3 +298,30 @@ def test_cli_rollup_create_refresh(spark, tmp_path, capsys):
     got = {r.grp: (r.total, r.hi, r.n) for r in dst.scan().collect()}
     assert got == {1: (30, 20, 2), 2: (104, 99, 2)}
     capsys.readouterr()
+
+
+def test_cli_stats_partition_scope(spark, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    inp = str(tmp_path / "in.parquet")
+    pq2.write_table(
+        pa.table({
+            "k": [1, 2, 3, 4],
+            "fmt": ["png", "png", "jpeg", "jpeg"],
+            "w": [10, 20, 30, 40],
+        }),
+        inp,
+    )
+    root = str(tmp_path / "t")
+    assert jobs.main([
+        "create", "--table", root, "--input", inp,
+        "--partition-by", "fmt",
+    ]) == 0
+    rc = jobs.main([
+        "stats", "--table", root, "--agg", "count:*:n",
+        "--agg", "max:w:mw", "--partition", "fmt=png",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"n": 2, "mw": 20}

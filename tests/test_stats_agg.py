@@ -336,3 +336,41 @@ def test_approx_quantile_missing_hist_errors(spark, tmp_path):
         t.stats_agg([("approx_quantile:0.5", "v", "p50")])
     with _pt.raises(ValueError, match="suffix"):
         t.stats_agg([("approx_quantile", "v", "x")])
+
+
+def test_partition_scoped_stats(spark, tmp_path, monkeypatch):
+    """partition= scopes the fold to files of that partition EXACTLY
+    (manifest partition spec, not advisory stats) — zero data I/O on
+    the clean path, row-filtered scan fallback under MOR deletes."""
+    from btrblocks_spark.operators.rowops import delete_where
+
+    pdf = image_caption_table(N, seed=33)
+    df = spark.createDataFrame(pdf)
+    t = BtrTable.create(
+        spark, str(tmp_path / "p"), df, partition_by=["fmt"],
+        num_files=2, job_id="ps0",
+    )
+    _no_data_reads(monkeypatch)
+    got = t.stats_agg(
+        [("count", "*", "n"), ("max", "w", "max_w")],
+        partition={"fmt": "png"},
+    ).collect()[0]
+    exp = (
+        df.filter(F.col("fmt") == "png")
+        .agg(F.count("*").alias("n"), F.max("w").alias("max_w"))
+        .collect()[0]
+    )
+    assert (got.n, got.max_w) == (exp.n, exp.max_w)
+    with pytest.raises(KeyError, match="not partition"):
+        t.stats_agg([("count", "*", "n")], partition={"w": 1})
+    monkeypatch.undo()
+    # MOR deletes -> exact scan fallback, still partition-scoped
+    delete_where(
+        t, f"image_id = '{pdf['image_id'][0]}'", strategy="mor",
+        job_id="psd",
+    )
+    got2 = t.stats_agg(
+        [("count", "*", "n")], partition={"fmt": "png"}
+    ).collect()[0]
+    exp2 = t.scan().filter(F.col("fmt") == "png").count()
+    assert got2.n == exp2
