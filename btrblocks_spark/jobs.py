@@ -237,6 +237,23 @@ def main(argv: list[str] | None = None) -> int:
     wc.add_argument("--name", required=True)
     wc.add_argument("--type", required=True, help="target Spark DDL type")
 
+    hi = sub.add_parser(
+        "history",
+        help="snapshot log with is_current_ancestor (metadata only)",
+    )
+    hi.add_argument("--table", required=True)
+
+    nc = sub.add_parser(
+        "net-changes",
+        help="net row-level changes per key over (from, to] — last "
+        "effect per key, apply-equivalent to the ordered changelog",
+    )
+    nc.add_argument("--table", required=True)
+    nc.add_argument("--from", dest="from_sid", type=int, required=True)
+    nc.add_argument("--to", dest="to_sid", type=int, default=None)
+    nc.add_argument("--keys", required=True, help="comma-separated")
+    nc.add_argument("--out", required=True, help="parquet output path")
+
     st = sub.add_parser(
         "stats",
         help="metadata-only COUNT/MIN/MAX aggregates (zero data I/O)",
@@ -641,6 +658,20 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "widen-column":
         t = BtrTable.load(spark, args.table)
         out = t.widen_column(args.name, args.type)
+    elif args.cmd == "history":
+        t = BtrTable.load(spark, args.table)
+        out = [r.asDict() for r in t.history_df().collect()]
+    elif args.cmd == "net-changes":
+        t = BtrTable.load(spark, args.table)
+        df = t.net_changes(
+            args.from_sid, args.to_sid,
+            keys=[k.strip() for k in args.keys.split(",")],
+        )
+        df.write.mode("overwrite").parquet(args.out)
+        out = {
+            "out": args.out,
+            "rows": spark.read.parquet(args.out).count(),
+        }
     elif args.cmd == "stats":
         t = BtrTable.load(spark, args.table)
         specs = []

@@ -325,3 +325,32 @@ def test_cli_stats_partition_scope(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"n": 2, "mw": 20}
+
+
+def test_cli_history_and_net_changes(spark, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    inp = str(tmp_path / "in.parquet")
+    pq2.write_table(pa.table({"id": [1, 2], "v": ["a", "b"]}), inp)
+    root = str(tmp_path / "t")
+    assert jobs.main(["create", "--table", root, "--input", inp]) == 0
+    more = str(tmp_path / "m.parquet")
+    pq2.write_table(pa.table({"id": [3], "v": ["c"]}), more)
+    assert jobs.main(["append", "--table", root, "--input", more]) == 0
+
+    assert jobs.main(["history", "--table", root]) == 0
+    hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # CLI create commits create(+append); exact count is incidental
+    assert len(hist) >= 2 and all(r["is_current_ancestor"] for r in hist)
+
+    out = str(tmp_path / "net")
+    rc = jobs.main([
+        "net-changes", "--table", root, "--from", "1",
+        "--keys", "id", "--out", out,
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 1
+    rows = spark.read.parquet(out).collect()
+    assert rows[0].id == 3 and rows[0]._change_type == "insert"
