@@ -192,3 +192,35 @@ def test_null_group_key_refresh(spark, tmp_path):
     got = _actual(dst)
     assert None not in got
     assert got == _expected(src)
+
+
+def test_minmax_multikey_delete(spark, tmp_path):
+    """Multi-key rollups skip the advisory prune (semijoin-only path);
+    extremum deletes still recompute exactly per composite group."""
+    df = spark.createDataFrame(
+        [(i, i % 2, i % 3, i * 10) for i in range(30)],
+        "id long, a long, b long, value long",
+    )
+    src = BtrTable.create(
+        spark, str(tmp_path / "src"), df, num_files=2, job_id="mk0"
+    )
+    keys = ["a", "b"]
+    aggs = {"hi": ("max", "value"), "n_rows": "count"}
+    dst = create_rollup(src, str(tmp_path / "dst"), keys, aggs,
+                        job_id="mk1")
+
+    def expected():
+        return {
+            (r.a, r.b): (r.hi, r.n_rows)
+            for r in src.scan()
+            .groupBy("a", "b")
+            .agg(F.max("value").alias("hi"), F.count("*").alias("n_rows"))
+            .collect()
+        }
+
+    # id 29 holds the max of group (a=1, b=2): value 290
+    delete_where(src, "id = 29", strategy="mor", job_id="mkd")
+    refresh_rollup(src, dst, keys, aggs, job_id="mk2")
+    got = {(r.a, r.b): (r.hi, r.n_rows) for r in dst.scan().collect()}
+    assert got == expected()
+    assert got[(1, 2)][0] == 230  # runner-up in that composite group
