@@ -9,8 +9,11 @@ the union-window formulation, one shuffle total:
 2. window ``partitionBy(by).orderBy(on, _asof_src DESC)`` — at equal
    timestamps right rows sort BEFORE left rows, giving inclusive
    (right.ts <= left.ts) semantics, same as ANSI/DuckDB ASOF JOIN;
-3. every right payload column is carried forward with
-   ``last(col, ignorenulls=True)`` over unbounded-preceding..current;
+3. ONE struct of (right ``on``, all right payload columns) is carried
+   forward with ``last(struct, ignorenulls=True)`` over
+   unbounded-preceding..current — the nearest right row travels whole,
+   so a NULL field never backfills from a farther row and the
+   tolerance gap check reads the same matched row;
 4. keep only left rows.
 
 Cost: ONE hash shuffle on ``by`` + per-partition sort — identical shape
@@ -77,20 +80,31 @@ def asof_join(
             .orderBy(F.col(on).desc(), F.col("_asof_src").desc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-    for c in out_payload:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    # forward-fill ONE struct of (right.on, all payload columns): the
+    # struct is non-null exactly on right rows, so last(ignorenulls)
+    # carries the nearest right row WHOLE — a NULL field in the matched
+    # row stays NULL instead of leaking a value from a farther row
+    # (pandas merge_asof whole-row semantics; also keeps the tolerance
+    # gap check and the values on the same single row)
+    m = F.when(
+        F.col("_asof_src") == 1,
+        F.struct(
+            F.col(on).alias("_ton"),
+            *[F.col(c) for c in out_payload],
+        ),
+    )
+    u = u.withColumn("_asof_m", F.last(m, ignorenulls=True).over(w))
+    keep = F.col("_asof_m").isNotNull()
     if tolerance is not None:
-        # the matched right row's own `on` rides the same window, so
+        # the matched right row's own `on` rides the same struct, so
         # the gap check needs no extra shuffle or join
-        ton = F.when(F.col("_asof_src") == 1, F.col(on))
-        u = u.withColumn(
-            "_asof_ton", F.last(ton, ignorenulls=True).over(w)
-        )
-        gap = F.col(on).cast("double") - F.col("_asof_ton").cast("double")
+        gap = F.col(on).cast("double") - F.col(
+            "_asof_m._ton"
+        ).cast("double")
         if direction == "forward":
             gap = -gap
-        keep = F.col("_asof_ton").isNotNull() & (gap <= F.lit(tolerance))
-        for c in out_payload:
-            u = u.withColumn(c, F.when(keep, F.col(c)))
-        u = u.drop("_asof_ton")
+        keep = keep & (gap <= F.lit(tolerance))
+    for c in out_payload:
+        u = u.withColumn(c, F.when(keep, F.col(f"_asof_m.{c}")))
+    u = u.drop("_asof_m")
     return u.filter(F.col("_asof_src") == 0).drop("_asof_src")

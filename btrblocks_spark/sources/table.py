@@ -2909,42 +2909,72 @@ class BtrTable:
         if missing:
             raise KeyError(f"no column(s) {missing}")
         if self.delete_files(sid) or self.eq_delete_files(sid):
-            scan_cols = need or None
-            if partition:
-                scan_cols = sorted(
-                    set(need or self.user_columns()) | set(partition)
-                )
-            df = self.scan(columns=scan_cols, snapshot_id=sid)
-            if partition:
-                for k, v in partition.items():
-                    df = df.filter(F.col(k) == F.lit(v))
-            exprs = []
-            for fn, col, alias in aggs:
-                if fn == "count" and col == "*":
-                    exprs.append(F.count(F.lit(1)).alias(alias))
-                elif fn == "count":
-                    exprs.append(F.count(F.col(col)).alias(alias))
-                elif fn == "null_count":
-                    exprs.append(
-                        F.sum(
-                            F.col(col).isNull().cast("long")
-                        ).alias(alias)
-                    )
-                elif fn == "approx_ndv":
-                    # fallback gives the EXACT distinct count — a legal
-                    # answer for an approximate aggregate
-                    exprs.append(F.countDistinct(F.col(col)).alias(alias))
-                elif fn.startswith("approx_quantile:"):
-                    qv = float(fn.split(":", 1)[1])
-                    exprs.append(
-                        F.expr(f"percentile({col}, {qv})")
-                        .cast("double")
-                        .alias(alias)
-                    )
-                else:
-                    exprs.append(getattr(F, fn)(F.col(col)).alias(alias))
-            return df.agg(*exprs)
+            return self._stats_scan_fold(aggs, sid, partition, need)
+        return self._stats_meta_fold(aggs, sid, partition, need)
 
+    def _stats_scan_fold(
+        self,
+        aggs: list[tuple[str, str, str]],
+        sid: int,
+        partition: dict | None,
+        need: list[str],
+    ) -> DataFrame:
+        """Real-scan fold for :meth:`stats_agg` — used when positional/
+        equality deletes shadow rows, or when partition scoping touches
+        files written before the current spec. Partition keys that are
+        derived ``_p_*`` columns are RECOMPUTED from their source
+        column (value-identical to the stored column for current-spec
+        files by the three-impl parity invariant), so pre-spec files —
+        which decode the dest as all-NULL — still filter exactly."""
+        tmap = {
+            t["dest"]: t
+            for t in (self.metadata().get("partition_transforms") or [])
+        }
+        scan_cols = need or None
+        if partition:
+            srcs = {
+                tmap[k]["col"] if k in tmap else k for k in partition
+            }
+            scan_cols = sorted(set(need or self.user_columns()) | srcs)
+        df = self.scan(columns=scan_cols, snapshot_id=sid)
+        for k, v in (partition or {}).items():
+            t = tmap.get(k)
+            expr = _transform_column(t, df) if t else F.col(k)
+            df = df.filter(expr == F.lit(v))
+        exprs = []
+        for fn, col, alias in aggs:
+            if fn == "count" and col == "*":
+                exprs.append(F.count(F.lit(1)).alias(alias))
+            elif fn == "count":
+                exprs.append(F.count(F.col(col)).alias(alias))
+            elif fn == "null_count":
+                exprs.append(
+                    F.sum(
+                        F.col(col).isNull().cast("long")
+                    ).alias(alias)
+                )
+            elif fn == "approx_ndv":
+                # fallback gives the EXACT distinct count — a legal
+                # answer for an approximate aggregate
+                exprs.append(F.countDistinct(F.col(col)).alias(alias))
+            elif fn.startswith("approx_quantile:"):
+                qv = float(fn.split(":", 1)[1])
+                exprs.append(
+                    F.expr(f"percentile({col}, {qv})")
+                    .cast("double")
+                    .alias(alias)
+                )
+            else:
+                exprs.append(getattr(F, fn)(F.col(col)).alias(alias))
+        return df.agg(*exprs)
+
+    def _stats_meta_fold(
+        self,
+        aggs: list[tuple[str, str, str]],
+        sid: int,
+        partition: dict | None,
+        need: list[str],
+    ) -> DataFrame:
         # metadata-only path: ONE Spark aggregation over the manifest
         # rows (tiny driver DataFrame below DISTRIBUTED_META_MIN files,
         # the distributed manifest DataFrame above it — stats of 10^6+
@@ -2984,6 +3014,22 @@ class BtrTable:
                 ),
             )
         mdf = mdf.filter(F.coalesce(F.col("content"), F.lit(0)) == 0)
+        if partition:
+            # files written BEFORE the current spec (e.g. before
+            # evolve_partition_spec) carry a partition JSON without the
+            # key — get_json_object extracts NULL there, and an
+            # equality filter would silently DROP those files from the
+            # documented-exact fold. Detect them and route the whole
+            # call through the scan fold, which recomputes the
+            # transform from the source column per row and so answers
+            # exactly for every file regardless of its write-time spec.
+            pre_spec = F.lit(False)
+            for k in partition:
+                pre_spec = pre_spec | F.get_json_object(
+                    F.col("partition"), f"$.{k}"
+                ).isNull()
+            if mdf.filter(pre_spec).limit(1).count() > 0:
+                return self._stats_scan_fold(aggs, sid, partition, need)
         for k, v in (partition or {}).items():
             # JSON scalars stringify the same way python str() does for
             # the int/string/date types partition columns allow
@@ -3505,15 +3551,18 @@ class BtrTable:
         top of :meth:`scan_changes`.
 
         A key touched by several commits collapses to its LAST effect:
-        the event with the highest ``_change_snapshot_id``, inserts
-        winning over deletes within one snapshot (an update commit
-        emits both; the insert is the final state). Applying the result
-        to a downstream copy (delete where ``_change_type='delete'``,
-        upsert the rest) reproduces applying the full changelog in
-        order. A key inserted AND deleted inside the window nets to a
-        delete event for a row the consumer never saw — a no-op on
-        apply, kept because dropping it would need a pre-window
-        existence probe.
+        ALL events of its highest ``_change_snapshot_id``, inserts
+        winning over deletes within that snapshot (an update commit
+        emits both; the inserts are the final state). Keys need NOT be
+        unique — a key with several live rows keeps every sibling
+        insert event of the winning snapshot, so applying the result to
+        a downstream copy (delete all rows of keys whose events are
+        ``_change_type='delete'``, replace the rows of the other keys
+        with their insert events) reproduces applying the full
+        changelog in order. A key inserted AND deleted inside the
+        window nets to a delete event for a row the consumer never saw
+        — a no-op on apply, kept because dropping it would need a
+        pre-window existence probe.
         """
         if not keys:
             raise ValueError("net_changes needs the key column(s)")
@@ -3524,17 +3573,20 @@ class BtrTable:
         ch = self.scan_changes(
             from_snapshot_id, to_snapshot_id, columns=want
         )
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(
-                F.col("_change_snapshot_id").desc(),
-                (F.col("_change_type") == "insert").cast("int").desc(),
-            )
-        )
+        # one shuffle: both windows share the key partitioning
+        w = Window.partitionBy(*keys)
+        is_ins = (F.col("_change_type") == "insert").cast("int")
         return (
-            ch.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            ch.withColumn(
+                "_max_sid", F.max("_change_snapshot_id").over(w)
+            )
+            .filter(F.col("_change_snapshot_id") == F.col("_max_sid"))
+            .withColumn("_has_ins", F.max(is_ins).over(w))
+            .filter(
+                (F.col("_change_type") == "insert")
+                | (F.col("_has_ins") == 0)
+            )
+            .drop("_max_sid", "_has_ins")
         )
 
     def snapshots_df(self) -> DataFrame:

@@ -215,3 +215,23 @@ def test_snapshots_and_history_df(spark, tmp_path):
     assert hist[sid_keep].is_current_ancestor
     assert hist[t.current_snapshot_id()].is_current_ancestor
     assert not hist[abandoned].is_current_ancestor
+
+
+def test_net_changes_keeps_sibling_rows_per_key(spark, tmp_path):
+    """Keys need not be unique: a key with several live rows keeps ALL
+    its winning-snapshot insert events instead of a row_number()==1
+    pick silently dropping siblings (ADVICE r5)."""
+    root = str(tmp_path / "net2")
+    t = BtrTable.create(spark, root, _df(spark, 0, 10), num_files=1,
+                        job_id="m0")
+    s0 = t.current_snapshot_id()
+    # one commit appends THREE rows sharing key 7 (plain appends do not
+    # enforce uniqueness)
+    sib = _df(spark, 7, 1, tag="a_").unionByName(
+        _df(spark, 7, 1, tag="b_")
+    ).unionByName(_df(spark, 7, 1, tag="c_"))
+    t.append(sib, job_id="m1")
+    net = t.net_changes(s0, keys="id").collect()
+    vals = sorted(r.val for r in net if r.id == 7)
+    assert vals == ["a_7", "b_7", "c_7"]
+    assert all(r._change_type == "insert" for r in net)

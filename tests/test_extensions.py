@@ -147,3 +147,42 @@ def test_rollback_and_orphans(spark, tmp_path):
     assert not any(p.endswith("livejob-bin00000.parquet")
                    for p in dry["paths"])
     fs.delete_file(live)
+
+
+def test_remove_orphans_sweeps_crashed_rebase_manifests(spark, tmp_path):
+    """A crash in _commit's optimistic phase (manifest processing runs
+    OUTSIDE the lock) leaves manifest-<token>-r*/-a.parquet files that
+    no snapshot references; remove_orphan_files must sweep manifests/
+    with the same age guard it applies to data/ (ADVICE r5)."""
+    import shutil
+    import time as _time
+
+    from btrblocks_spark.sources import fs
+
+    root = str(tmp_path / "om")
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = BtrTable.create(spark, root, df, job_id="om0")
+    mdir = fs.join(root, "manifests")
+    src = fs.join(mdir, fs.list_files(mdir)[0])
+    crashed = [
+        fs.join(mdir, "manifest-deadbeef-r0.parquet"),
+        fs.join(mdir, "manifest-deadbeef-a.parquet"),
+    ]
+    for p in crashed:
+        shutil.copy(src, p)
+    # age guard: fresh leftovers survive (a racing writer may still
+    # publish them)
+    kept = t.remove_orphan_files()
+    assert all(fs.exists(p) for p in crashed) and kept["removed"] == 0
+    old = _time.time() - 10 * 24 * 3600
+    import os as _os
+
+    for p in crashed:
+        _os.utime(p, (old, old))
+    res = t.remove_orphan_files()
+    assert res["removed"] == 2
+    assert not any(fs.exists(p) for p in crashed)
+    # referenced manifests untouched, table still reads
+    assert t.scan().count() == 50

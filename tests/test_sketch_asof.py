@@ -205,3 +205,44 @@ def test_asof_tolerance_forward(spark):
     assert got["rv_r"].tolist()[0] == 1  # gap 5 <= 8
     assert pd.isna(got["rv_r"].tolist()[1])  # next at 50, gap 35 > 8
     assert pd.isna(got["rv_r"].tolist()[2])  # gap 10 > 8
+
+
+def test_asof_null_payload_travels_whole_row(spark):
+    """A NULL field in the matched right row must STAY NULL — the fill
+    carries the nearest right row whole, never mixing a farther row's
+    value into one column (pandas merge_asof whole-row semantics,
+    ADVICE r5)."""
+    left = pd.DataFrame({"uid": [1, 1], "ts": [10.0, 20.0],
+                         "lid": [0, 1]})
+    right = pd.DataFrame({
+        "uid": [1, 1],
+        "ts": [5.0, 18.0],
+        "a": [100.0, None],     # nearest row (ts=18) is NULL in a
+        "b": [7.0, 8.0],
+    })
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by="uid",
+            tolerance=5.0,
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # lid=0: nearest right is ts=5 (gap 5 <= tol): whole row (100, 7)
+    assert got.loc[0, "a_r"] == 100.0 and got.loc[0, "b_r"] == 7.0
+    # lid=1: nearest right is ts=18 (gap 2 <= tol): row (NULL, 8) —
+    # a_r must NOT backfill 100.0 from the farther ts=5 row
+    assert pd.isna(got.loc[1, "a_r"]) and got.loc[1, "b_r"] == 8.0
+    exp = pd.merge_asof(
+        left.sort_values("ts"), 
+        right.sort_values("ts").rename(columns={"a": "a_r", "b": "b_r"}),
+        on="ts", by="uid", direction="backward", tolerance=5,
+    ).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_series_equal(got["a_r"], exp["a_r"],
+                                   check_dtype=False)
+    pd.testing.assert_series_equal(got["b_r"], exp["b_r"],
+                                   check_dtype=False)

@@ -374,3 +374,41 @@ def test_partition_scoped_stats(spark, tmp_path, monkeypatch):
     ).collect()[0]
     exp2 = t.scan().filter(F.col("fmt") == "png").count()
     assert got2.n == exp2
+
+
+def test_partition_scoped_stats_pre_spec_files(spark, tmp_path):
+    """Files written BEFORE evolve_partition_spec carry a partition
+    JSON without the new key — the fold must route them through the
+    exact scan fallback (recomputing the transform from the source
+    column) instead of silently dropping them (ADVICE r5 high)."""
+    pdf = image_caption_table(100, seed=44)
+    df = spark.createDataFrame(pdf)
+    root = str(tmp_path / "ev")
+    t = BtrTable.create(spark, root, df, num_files=3, job_id="pre0")
+    t.evolve_partition_spec(["bucket(4, fmt)"])
+    more = spark.createDataFrame(image_caption_table(20, seed=45))
+    t.append(more, job_id="post0")
+
+    import zlib
+
+    for fmt in ("png", "jpeg"):
+        b = zlib.crc32(fmt.encode()) % 4
+        got = t.stats_agg(
+            [("count", "*", "n"), ("max", "w", "max_w")],
+            partition={"_p_bucket_fmt": b},
+        ).collect()[0]
+        union = df.unionByName(more)
+        exp = (
+            union.filter(
+                (F.crc32(F.col("fmt").cast("binary")) % 4) == b
+            )
+            .agg(F.count("*").alias("n"), F.max("w").alias("max_w"))
+            .collect()[0]
+        )
+        assert (got.n, got.max_w) == (exp.n, exp.max_w), fmt
+
+    # plain-column scoping on a current-spec table stays exact too
+    got3 = t.stats_agg(
+        [("count", "*", "n")], partition={"_p_bucket_fmt": 99}
+    ).collect()[0]
+    assert got3.n == 0
