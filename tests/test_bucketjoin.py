@@ -1,0 +1,138 @@
+"""Storage-partitioned bucket join: shuffle-free, delete-aware, and
+refusing inputs it cannot join correctly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from btrblocks_spark.operators.bucketjoin import bucket_join
+from btrblocks_spark.sources.table import BtrTable
+
+
+def _orders(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("okey"),
+        (F.col("id") % 37).alias("custkey"),
+        (F.col("id") * 1.5).alias("total"),
+    )
+
+
+def _custs(spark, n=37):
+    return spark.range(n).select(
+        F.col("id").alias("ckey"),
+        F.concat(F.lit("cust_"), F.col("id")).alias("cname"),
+        (F.col("id") % 5).alias("segment"),
+    )
+
+
+@pytest.fixture()
+def tables(spark, tmp_path):
+    ta = BtrTable.create(
+        spark, str(tmp_path / "a"), _orders(spark),
+        partition_by=["bucket(8, custkey)"], num_files=2, job_id="bja",
+    )
+    tb = BtrTable.create(
+        spark, str(tmp_path / "b"), _custs(spark),
+        partition_by=["bucket(8, ckey)"], num_files=2, job_id="bjb",
+    )
+    return ta, tb
+
+
+def test_inner_matches_spark_join(spark, tables):
+    ta, tb = tables
+    got = bucket_join(ta, tb, on=("custkey", "ckey")).toPandas()
+    exp = (
+        _orders(spark)
+        .join(_custs(spark), F.col("custkey") == F.col("ckey"), "inner")
+        .drop("ckey")
+        .toPandas()
+    )
+    cols = sorted(exp.columns)
+    key = ["okey"]
+    got_s = got[cols].sort_values(key).reset_index(drop=True)
+    exp_s = exp[cols].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(exp_s.astype(got_s.dtypes.to_dict()))
+
+
+def test_left_join_and_column_projection(spark, tables):
+    ta, tb = tables
+    # drop some customers so left rows go unmatched
+    small = _custs(spark).filter(F.col("ckey") < 20)
+    tb2 = BtrTable.create(
+        spark, tb.root + "2", small,
+        partition_by=["bucket(8, ckey)"], num_files=1, job_id="bjc",
+    )
+    got = bucket_join(
+        ta, tb2, on=("custkey", "ckey"), how="left",
+        columns=["okey", "custkey"], columns_b=["cname"],
+    ).toPandas()
+    assert len(got) == 400
+    assert set(got.columns) == {"okey", "custkey", "cname"}
+    unmatched = got[got["custkey"] >= 20]
+    assert len(unmatched) > 0 and unmatched["cname"].isna().all()
+    matched = got[got["custkey"] < 20]
+    assert (matched["cname"] == "cust_" + matched["custkey"].astype(str)).all()
+
+
+def test_no_join_or_data_shuffle_in_plan(spark, tables):
+    ta, tb = tables
+    df = bucket_join(ta, tb, on=("custkey", "ckey"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the join happens inside mapInArrow: Catalyst sees NO join operator
+    # and the only exchange moves the N spec rows, never data
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan
+
+
+def test_mor_deletes_are_applied(spark, tables):
+    ta, tb = tables
+    from btrblocks_spark.operators.rowops import delete_where
+
+    delete_where(ta, "okey < 50", strategy="mor", job_id="bjd")
+    got = bucket_join(ta, tb, on=("custkey", "ckey")).toPandas()
+    assert (got["okey"] >= 50).all()
+    assert len(got) == 350
+
+
+def test_refusals(spark, tables, tmp_path):
+    ta, tb = tables
+    # bucket-count mismatch
+    tb16 = BtrTable.create(
+        spark, str(tmp_path / "b16"), _custs(spark),
+        partition_by=["bucket(16, ckey)"], num_files=1, job_id="bje",
+    )
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        bucket_join(ta, tb16, on=("custkey", "ckey"))
+    # unbucketed side
+    plain = BtrTable.create(
+        spark, str(tmp_path / "plain"), _custs(spark), job_id="bjf",
+    )
+    with pytest.raises(ValueError, match="no active bucket"):
+        bucket_join(ta, plain, on=("custkey", "ckey"))
+    # pre-spec files must be migrated first
+    pre = BtrTable.create(
+        spark, str(tmp_path / "pre"), _custs(spark), job_id="bjg",
+    )
+    pre.evolve_partition_spec(["bucket(8, ckey)"])
+    with pytest.raises(ValueError, match="predate the"):
+        bucket_join(ta, pre, on=("custkey", "ckey"))
+
+
+def test_same_key_name_and_suffix(spark, tmp_path):
+    a = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    b = spark.range(80).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    ta = BtrTable.create(
+        spark, str(tmp_path / "sa"), a,
+        partition_by=["bucket(4, k)"], num_files=1, job_id="bjh",
+    )
+    tb = BtrTable.create(
+        spark, str(tmp_path / "sb"), b,
+        partition_by=["bucket(4, k)"], num_files=1, job_id="bji",
+    )
+    got = bucket_join(ta, tb, on="k").toPandas()
+    assert set(got.columns) == {"k", "v", "v_r"}
+    assert len(got) == 80
+    assert (got["v_r"] == got["k"] * 3).all()
