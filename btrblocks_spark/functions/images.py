@@ -15,6 +15,11 @@ only lossy formats (JPEG) keep the NotImplementedError boundary:
 - ``png``  — zlib-compressed pixels (lossless)
 - ``jpeg`` — quantized (step 4) + zlib (LOSSY — round-trip PSNR ≈ 48 dB,
   exercising the PSNR >= 40 dB acceptance gate from the input_hint)
+- ``jpd``  — the REAL lossy transform pipeline, dependency-free: 8x8
+  DCT + quality-scaled quantization + DC prediction in pure numpy
+  (:mod:`btrblocks_spark.functions.jpeg_pure`); default quality 98
+  keeps PSNR >= 43 dB on any input, so the lossy acceptance gate runs
+  against genuine transform-coding error in this sandbox
 
 Every kernel is numpy-vectorized per image and Arrow-batched across rows
 (``mapInArrow``); a real libjpeg-turbo binding drops in behind
@@ -98,6 +103,11 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "jpeg":
         q = (pixels.astype(np.int16) // _JPEG_QSTEP).astype(np.uint8)
         return MAGIC_JPG + head + zlib.compress(q.tobytes(), 1)
+    if fmt == "jpd":
+        # real DCT transform coding, dependency-free (jpeg_pure)
+        from btrblocks_spark.functions.jpeg_pure import encode_jpd
+
+        return encode_jpd(pixels)
     if fmt in ("real-png", "real-jpeg"):
         return _encode_real(pixels, fmt)
     raise ValueError(f"unknown fmt {fmt}")
@@ -107,6 +117,10 @@ def decode_image(data) -> np.ndarray:
     """encoded bytes/memoryview -> (h, w, 3) uint8 pixels."""
     magic = bytes(data[:4])
     if magic not in (MAGIC_BMP, MAGIC_PNG, MAGIC_JPG):
+        if magic == b"FJPD":
+            from btrblocks_spark.functions.jpeg_pure import decode_jpd
+
+            return decode_jpd(data)
         if any(magic.startswith(m) for m in _REAL_MAGICS):
             return _decode_real(data)  # PIL seam (or NotImplementedError)
         raise NotImplementedError(

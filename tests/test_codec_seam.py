@@ -159,3 +159,53 @@ def test_unknown_magic_still_raises():
         images.decode_image(b"XXXX" + b"\x00" * 16)
     with pytest.raises(NotImplementedError):
         media.decode_audio(b"ZZZZ" + b"\x00" * 16)
+
+
+def test_jpd_dct_codec_clears_psnr_gate_on_any_input():
+    """The dependency-free DCT codec (jpeg_pure.py) makes the lossy
+    half of the input_hint's PSNR >= 40 dB gate REAL in-sandbox:
+    quantization error is content-independent, so even a pure-noise
+    image (the adversarial case) clears the gate at default quality."""
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(0, 256, (37, 53, 3), dtype=np.uint8),  # noise
+        np.tile(
+            np.linspace(0, 255, 64, dtype=np.uint8)[None, :, None],
+            (48, 1, 3),
+        ),  # smooth gradient
+        np.zeros((8, 8, 3), np.uint8),  # flat
+    ]
+    for px in cases:
+        blob = images.encode_image(px, "jpd")
+        assert blob.startswith(b"FJPD")
+        out = images.decode_image(blob)
+        assert out.shape == px.shape
+        assert images.psnr(px, out) >= 40.0
+    # deterministic: same pixels -> same bytes (oracle/replay safety)
+    assert images.encode_image(cases[0], "jpd") == images.encode_image(
+        cases[0], "jpd"
+    )
+
+
+def test_jpd_through_reencode_check_kernel():
+    """fmt='jpd' rows flow through the PSNR verify kernel as a lossy
+    format (not byte-equality) and pass the 40 dB gate."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for i in range(4):
+        px = rng.integers(0, 256, (16 + 8 * i, 24, 3), dtype=np.uint8)
+        rows.append(
+            {
+                "image_id": f"im{i}",
+                "bytes": images.encode_image(px, "jpd"),
+                "fmt": "jpd",
+            }
+        )
+    batch = pa.RecordBatch.from_pylist(rows)
+    out = list(images.reencode_check_batches(iter([batch])))
+    tbl = pa.Table.from_batches(out)
+    assert tbl.num_rows == 4
+    assert all(tbl.column("ok").to_pylist())
+    assert all(p >= 40.0 for p in tbl.column("psnr").to_pylist())
