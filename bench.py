@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "event_copresence",  # binned range join (r4)
     "dedup_paragraphs",  # sub-document dedup: digest window + reassembly
     "pii_scrub",  # regexp redaction — pure narrow projection
+    "bucket_join_agg",  # r6: shuffle-free co-bucketed join (incl. build)
 ]
 
 

@@ -101,6 +101,7 @@ def bucket_join(
     suffix: str = "_r",
     snapshot_id_a: int | str | None = None,
     snapshot_id_b: int | str | None = None,
+    max_files_per_task: int = 64,
 ) -> DataFrame:
     """Shuffle-free equi-join of two tables bucketed on the join key.
 
@@ -140,6 +141,23 @@ def bucket_join(
     ]
     out_b = [c + suffix if c in want_a else c for c in want_b]
 
+    # join-key type parity: Arrow's hash join refuses mixed-width keys;
+    # promote both integer keys to int64 in the kernel (the bucket
+    # function already hashes the STRING form, so int32 5 and int64 5
+    # land in the same bucket and must join)
+    sa_, sb_ = ta.schema_arrow(), tb.schema_arrow()
+    ka_t = sa_.field(sa_.get_field_index(key_a)).type
+    kb_t = sb_.field(sb_.get_field_index(key_b)).type
+    promote_keys = False
+    if not ka_t.equals(kb_t):
+        if pa.types.is_integer(ka_t) and pa.types.is_integer(kb_t):
+            promote_keys = True
+        else:
+            raise TypeError(
+                f"join key types differ: {key_a}: {ka_t} vs "
+                f"{key_b}: {kb_t}"
+            )
+
     fa = _files_by_bucket(ta, tra["dest"], sid_a)
     fb = _files_by_bucket(tb, trb["dest"], sid_b)
     dels_a = sorted(r["file_path"] for r in ta.delete_files(sid_a))
@@ -149,11 +167,17 @@ def bucket_join(
     )
 
     spark = ta.spark
-    spec_rows = [
-        (b, fa.get(b, []), fb.get(b, [])) for b in buckets
-    ]
-    if not spec_rows:
-        spec_rows = []  # empty intersection: empty result frame below
+    # skew defense: a hot bucket (many A files) must not pin one task —
+    # split its A-file list into chunks of max_files_per_task; every
+    # chunk re-reads the bucket's (small) B side, so per-task memory
+    # stays bounded by chunk size + one B bucket regardless of skew.
+    # Each A row still appears in exactly ONE chunk, so inner AND left
+    # results are unchanged.
+    spec_rows = []
+    for b in buckets:
+        af, bf = fa.get(b, []), fb.get(b, [])
+        for i in range(0, max(len(af), 1), max_files_per_task):
+            spec_rows.append((b, af[i: i + max_files_per_task], bf))
     schema_a_hex = bytes(ta.schema_arrow().serialize()).hex()
     schema_b_hex = bytes(tb.schema_arrow().serialize()).hex()
 
@@ -236,6 +260,21 @@ def bucket_join(
                 # pre-rename B payload to the output names so the
                 # Arrow hash join emits them directly
                 btab = btab.rename_columns([kb] + ob)
+                if promote_keys:
+                    import pyarrow.compute as _pc
+
+                    i_a = at.schema.get_field_index(key_a)
+                    at = at.set_column(
+                        i_a,
+                        pa.field(key_a, pa.int64()),
+                        _pc.cast(at[key_a], pa.int64()),
+                    )
+                    i_b = btab.schema.get_field_index(kb)
+                    btab = btab.set_column(
+                        i_b,
+                        pa.field(kb, pa.int64()),
+                        _pc.cast(btab[kb], pa.int64()),
+                    )
                 jt = at.join(
                     btab,
                     keys=[key_a],

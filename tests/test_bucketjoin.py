@@ -136,3 +136,33 @@ def test_same_key_name_and_suffix(spark, tmp_path):
     assert set(got.columns) == {"k", "v", "v_r"}
     assert len(got) == 80
     assert (got["v_r"] == got["k"] * 3).all()
+
+
+def test_hot_bucket_splits_across_tasks(spark, tmp_path):
+    """A skewed bucket (many A files) is split into several spec rows
+    (each re-reading the bucket's small B side) so one hot bucket never
+    pins a single task; results are unchanged."""
+    a = spark.range(300).select(
+        F.lit(5).alias("k"), F.col("id").alias("v")  # ONE hot key
+    )
+    b = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("p")
+    )
+    ta = BtrTable.create(
+        spark, str(tmp_path / "hot_a"), a,
+        partition_by=["bucket(4, k)"], num_files=6, job_id="bjs0",
+    )
+    tb = BtrTable.create(
+        spark, str(tmp_path / "hot_b"), b,
+        partition_by=["bucket(4, k)"], num_files=1, job_id="bjs1",
+    )
+    got = bucket_join(
+        ta, tb, on="k", max_files_per_task=2
+    ).toPandas()
+    assert len(got) == 300
+    assert (got["p"] == 35).all()
+    # left join across chunks keeps every A row exactly once
+    left = bucket_join(
+        ta, tb, on="k", how="left", max_files_per_task=2
+    ).toPandas()
+    assert len(left) == 300
