@@ -150,7 +150,27 @@ def resolve(path: str) -> tuple[pafs.FileSystem, str]:
             key = (scheme, authority)
             f = _FS_CACHE.get(key)
             if f is None:
-                f, _ = pafs.FileSystem.from_uri(path)
+                endpoint = os.environ.get("BTRSPARK_S3_ENDPOINT")
+                if scheme in ("s3", "s3a") and endpoint:
+                    # alternate S3-compatible endpoint (minio, the
+                    # tools/mini_s3.py wire-protocol server in tests):
+                    # same real AWS-SDK client, different host
+                    f = pafs.S3FileSystem(
+                        endpoint_override=endpoint,
+                        scheme=os.environ.get(
+                            "BTRSPARK_S3_SCHEME", "http"
+                        ),
+                        access_key=os.environ.get(
+                            "AWS_ACCESS_KEY_ID", "btr"
+                        ),
+                        secret_key=os.environ.get(
+                            "AWS_SECRET_ACCESS_KEY", "btr"
+                        ),
+                        allow_bucket_creation=True,
+                        allow_bucket_deletion=True,
+                    )
+                else:
+                    f, _ = pafs.FileSystem.from_uri(path)
                 _FS_CACHE[key] = f
             return f, rest
         f, p = pafs.FileSystem.from_uri(path)

@@ -9,6 +9,11 @@ os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
 # route mem:// through LocalFileSystem in every process (see sources/fs.py);
 # must be set before the JVM starts so executor workers inherit it
 os.environ.setdefault("BTRSPARK_FS_SCHEME_MAP", '{"mem": "local", "s3like": "s3like"}')
+# endpoint of the in-process S3 wire-protocol server (tools/mini_s3) —
+# must be in the env BEFORE the JVM starts so executor-side Python
+# workers inherit it; the s3 tests bind the server to this fixed port.
+# Only consulted when an s3:// path is actually resolved.
+os.environ.setdefault("BTRSPARK_S3_ENDPOINT", "127.0.0.1:39411")
 
 
 @pytest.fixture(scope="session")
