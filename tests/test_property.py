@@ -207,3 +207,50 @@ def test_days_transform_literal_matches_arrow(dts):
     tbl = pa.table({"c": pa.array(dts, pa.timestamp("us"))})
     got = _transform_arrow(t, tbl).to_pylist()
     assert got == [_transform_literal(t, d) for d in dts]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=40),
+    w=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    quality=st.integers(min_value=90, max_value=100),
+)
+def test_jpd_psnr_gate_any_shape(h, w, seed, quality):
+    """The DCT codec clears PSNR >= 40 dB for ANY image shape (incl.
+    non-multiple-of-8 edges, 1-pixel strips) at quality >= 98, and its
+    quantization error stays bounded at every quality >= 90."""
+    from btrblocks_spark.functions.images import psnr
+    from btrblocks_spark.functions.jpeg_pure import decode_jpd, encode_jpd
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_jpd(encode_jpd(px, quality))
+    assert out.shape == px.shape
+    p = psnr(px, out)
+    if quality >= 98:
+        assert p >= 40.0
+    else:
+        assert p >= 25.0  # bounded error even at q90 on pure noise
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=300),
+    dup=st.integers(min_value=1, max_value=5),
+)
+def test_hilbert_key_bijective_on_coords(n, dup):
+    """Distinct (a,b,c) coordinates map to distinct Hilbert keys (the
+    transform is a bijection), repeated coordinates to equal keys."""
+    from btrblocks_spark.operators.cluster import hilbert3
+
+    rng = np.random.default_rng(n * 7 + dup)
+    a = rng.integers(0, 1 << 21, n).astype(np.int64)
+    b = rng.integers(0, 1 << 21, n).astype(np.int64)
+    c = rng.integers(0, 1 << 21, n).astype(np.int64)
+    ar = np.tile(a, dup)
+    br = np.tile(b, dup)
+    cr = np.tile(c, dup)
+    k = hilbert3(ar, br, cr)
+    coords = set(zip(a.tolist(), b.tolist(), c.tolist()))
+    assert len(set(k.tolist())) == len(coords)
