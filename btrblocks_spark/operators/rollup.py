@@ -39,25 +39,34 @@ _COUNT_COL = "n_rows"
 _WATERMARK = "rollup_src_snapshot"
 
 
+#: bottom-k size of the per-group KMV distinct sketch (state column)
+KMV_K = 256
+
+
 def _norm_aggs(aggs: dict) -> dict[str, tuple[str, str | None]]:
-    """{out: (fn, in_col|None)} with fn in sum/count/min/max.
+    """{out: (fn, in_col|None)} with fn in sum/count/min/max/
+    approx_distinct.
 
     sum/count are decomposable (insert adds, delete old-image
     subtracts). min/max fold incrementally for insert-only windows;
     any delete event forces an exact per-group recompute in
     ``refresh_rollup`` (a shrinking max needs the runner-up).
+    approx_distinct keeps a mergeable bottom-k KMV hash sketch per
+    group in a companion ``_kmv_<name>`` state column: inserts union
+    into the sketch (decomposable), deletes dirty the group exactly
+    like min/max (a sketch cannot forget).
     """
     out: dict[str, tuple[str, str | None]] = {}
     for name, spec in aggs.items():
         fn, col = (spec, None) if isinstance(spec, str) else tuple(spec)
-        if fn not in ("sum", "count", "min", "max"):
+        if fn not in ("sum", "count", "min", "max", "approx_distinct"):
             raise ValueError(
                 f"rollup agg {name!r}: supported fns are "
-                f"sum/count/min/max (got {fn!r})"
+                f"sum/count/min/max/approx_distinct (got {fn!r})"
             )
         if fn == "count" and col is not None:
             raise ValueError(f"rollup agg {name!r}: count takes no column")
-        if fn in ("sum", "min", "max") and col is None:
+        if fn in ("sum", "min", "max", "approx_distinct") and col is None:
             raise ValueError(f"rollup agg {name!r}: {fn} needs a column")
         out[name] = (fn, col)
     if _COUNT_COL in out and out[_COUNT_COL] != ("count", None):
@@ -67,14 +76,45 @@ def _norm_aggs(aggs: dict) -> dict[str, tuple[str, str | None]]:
 
 
 def _split(norm: dict):
-    """(additive sum/count entries, min/max entries)."""
+    """(additive sum/count entries, min/max entries, kmv entries)."""
     add = {n: v for n, v in norm.items() if v[0] in ("sum", "count")}
     mm = {n: v for n, v in norm.items() if v[0] in ("min", "max")}
-    return add, mm
+    kmv = {n: v for n, v in norm.items() if v[0] == "approx_distinct"}
+    return add, mm, kmv
+
+
+def _kmv_state(n: str) -> str:
+    return f"_kmv_{n}"
+
+
+def _kmv_hash(col: str):
+    # deterministic 63-bit non-negative hash; nulls drop out of the
+    # sketch (collect_set ignores them)
+    return F.abs(F.xxhash64(F.col(col).cast("string")))
+
+
+def _kmv_collect(expr):
+    """bottom-k of a hash expression, as a sorted array<bigint>."""
+    return F.slice(
+        F.array_sort(F.collect_set(expr)), 1, KMV_K
+    )
+
+
+def _kmv_est(state):
+    """KMV estimate from a sorted bottom-k state array: exact below k,
+    else (k-1) * range / kth-smallest-hash."""
+    full = F.lit(float(KMV_K - 1)) * F.lit(float(1 << 63))
+    return (
+        F.when(F.size(state) < KMV_K, F.size(state).cast("bigint"))
+        .otherwise(
+            F.floor(full / F.element_at(state, -1).cast("double"))
+        )
+        .cast("bigint")
+    )
 
 
 def _signed_aggs(norm: dict, sign) -> list:
-    add, mm = _split(norm)
+    add, mm, kmv = _split(norm)
     return [
         F.sum(
             sign * (F.lit(1) if col is None else F.col(col))
@@ -85,6 +125,9 @@ def _signed_aggs(norm: dict, sign) -> list:
             name
         )
         for name, (fn, col) in mm.items()
+    ] + [
+        _kmv_collect(_kmv_hash(col)).alias(_kmv_state(name))
+        for name, (_, col) in kmv.items()
     ]
 
 
@@ -119,6 +162,9 @@ def create_rollup(
         .groupBy(*keys)
         .agg(*_signed_aggs(norm, F.lit(1)))
     )
+    for n, (fn, _) in norm.items():
+        if fn == "approx_distinct":
+            full = full.withColumn(n, _kmv_est(F.col(_kmv_state(n))))
     int_keys = [
         k for k in keys
         if dict(full.dtypes)[k] in ("int", "bigint", "smallint", "tinyint")
@@ -178,7 +224,7 @@ def refresh_rollup(
     sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
         F.lit(-1)
     )
-    add, mm = _split(norm)
+    add, mm, kmv = _split(norm)
     is_ins = F.col("_change_type") == "insert"
     agg_exprs = [
         F.sum(
@@ -198,14 +244,27 @@ def refresh_rollup(
             ).alias(name)
             for name, (fn, col) in mm.items()
         ]
+    if kmv:
+        # sketch union from INSERT images only; deletes dirty the
+        # group (a bottom-k sketch cannot forget a hash)
+        agg_exprs += [
+            _kmv_collect(
+                F.when(is_ins, _kmv_hash(col))
+            ).alias(_kmv_state(name))
+            for name, (_, col) in kmv.items()
+        ]
+    if mm or kmv:
         agg_exprs.append(
             F.max((~is_ins).cast("int")).alias("_mm_dirty")
         )
     delta = changes.groupBy(*keys).agg(*agg_exprs)
 
-    olds = dst.scan(columns=keys + list(norm))
+    state_cols = [_kmv_state(n) for n in kmv]
+    olds = dst.scan(columns=keys + list(norm) + state_cols)
     renamed = olds.select(
-        *keys, *[F.col(n).alias(f"_old_{n}") for n in norm]
+        *keys,
+        *[F.col(n).alias(f"_old_{n}") for n in norm],
+        *[F.col(s).alias(f"_old_{s}") for s in state_cols],
     )
     # null-SAFE key join: a NULL grouping key is a legitimate group
     # (groupBy emits it); plain equality would never match the existing
@@ -234,17 +293,35 @@ def refresh_rollup(
         .alias(n)
         for n, (fn, col) in mm.items()
     ]
-    if mm:
+    empty_state = F.array().cast("array<bigint>")
+    out_cols += [
+        F.slice(
+            F.array_sort(
+                F.array_union(
+                    F.coalesce(F.col(f"_old_{s}"), empty_state),
+                    F.coalesce(F.col(s), empty_state),
+                )
+            ),
+            1,
+            KMV_K,
+        ).alias(s)
+        for s in state_cols
+    ]
+    if mm or kmv:
         out_cols.append(F.col("_mm_dirty"))
     merged = d.join(r, on=cond, how="left").select(*out_cols)
-    if mm:
+    if mm or kmv:
         # exact per-group recompute for delete-touched groups, at the
         # window's own snapshot (time travel keeps replays exact); the
         # dirty set is O(changed groups), broadcast into a null-safe
         # semijoin, and only those groups are re-read from the source
         dirty = merged.filter(F.col("_mm_dirty") == 1).select(*keys)
         mm_in = list(
-            dict.fromkeys(keys + [c for _, (_, c) in mm.items()])
+            dict.fromkeys(
+                keys
+                + [c for _, (_, c) in mm.items()]
+                + [c for _, (_, c) in kmv.items()]
+            )
         )
         # advisory file prune when the dirty key set is small and the
         # rollup has a single key (the exact semijoin below stays the
@@ -276,7 +353,13 @@ def refresh_rollup(
                         else F.max(F.col(col))
                     ).alias(f"_x_{n}")
                     for n, (fn, col) in mm.items()
-                ]
+                ],
+                *[
+                    _kmv_collect(_kmv_hash(col)).alias(
+                        f"_x_{_kmv_state(n)}"
+                    )
+                    for n, (_, col) in kmv.items()
+                ],
             )
             .withColumn("_x_hit", F.lit(True))
         )
@@ -296,6 +379,20 @@ def refresh_rollup(
                 .alias(n)
                 for n in mm
             ],
+            *[
+                F.when(
+                    F.col("_x_hit"), F.col(f"_x_{s}")
+                )
+                .otherwise(F.col(f"_m.{s}"))
+                .alias(s)
+                for s in state_cols
+            ],
+        )
+    # estimates derive from the FINAL per-group sketch (merged or
+    # exactly recomputed), never folded arithmetically
+    for n in kmv:
+        merged = merged.withColumn(
+            n, _kmv_est(F.col(_kmv_state(n)))
         )
     merged = merged.localCheckpoint(eager=False)
     alive = merged.filter(F.col(_COUNT_COL) > 0)

@@ -224,3 +224,82 @@ def test_minmax_multikey_delete(spark, tmp_path):
     got = {(r.a, r.b): (r.hi, r.n_rows) for r in dst.scan().collect()}
     assert got == expected()
     assert got[(1, 2)][0] == 230  # runner-up in that composite group
+
+
+def test_approx_distinct_insert_fold_and_delete_recompute(
+    spark, tmp_path
+):
+    """approx_distinct keeps a mergeable bottom-k KMV sketch per group:
+    insert-only refreshes union sketches; a delete dirties the group
+    and recomputes its sketch exactly — refresh == full recompute on
+    both the estimate and the state array."""
+    from btrblocks_spark.operators.merge import merge_into
+
+    df = _src_df(
+        spark, [(i, i % 3, (i * 7) % 11) for i in range(60)]
+    )
+    src = BtrTable.create(
+        spark, str(tmp_path / "asrc"), df, num_files=2, job_id="ks0"
+    )
+    aggs = {
+        "total": ("sum", "value"),
+        "uniq_vals": ("approx_distinct", "value"),
+    }
+    dst = create_rollup(src, str(tmp_path / "adst"), KEYS, aggs,
+                        job_id="kr0")
+
+    def expected():
+        return {
+            r.grp: (r.uniq, r.n)
+            for r in src.scan()
+            .groupBy("grp")
+            .agg(
+                F.countDistinct("value").alias("uniq"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            r.grp: (r.uniq_vals, r.n_rows)
+            for r in dst.scan().collect()
+        }
+
+    # below k=256 distinct per group the KMV estimate is EXACT
+    assert got() == expected()
+
+    # window 1: inserts with new + overlapping values -> sketch union
+    src.append(
+        _src_df(spark, [(100 + i, i % 3, 50 + i) for i in range(20)]),
+        job_id="ks1",
+    )
+    refresh_rollup(src, dst, KEYS, aggs, job_id="kr1")
+    assert got() == expected()
+
+    # window 2: delete rows (MOR) -> dirty groups recompute exactly
+    dels = src.scan(columns=["id", "grp", "value"]).filter(
+        F.col("id") % 4 == 0
+    )
+    merge_into(src, dels, on="id", strategy="mor",
+               when_matched="delete", when_not_matched="ignore",
+               job_id="ks2")
+    refresh_rollup(src, dst, KEYS, aggs, job_id="kr2")
+    assert got() == expected()
+
+    # state parity with a from-scratch rollup at the same snapshot
+    fresh = create_rollup(src, str(tmp_path / "afresh"), KEYS, aggs,
+                          job_id="kr3")
+    inc_state = {
+        r.grp: list(r["_kmv_uniq_vals"])
+        for r in dst.scan(
+            columns=["grp", "_kmv_uniq_vals"]
+        ).collect()
+    }
+    full_state = {
+        r.grp: list(r["_kmv_uniq_vals"])
+        for r in fresh.scan(
+            columns=["grp", "_kmv_uniq_vals"]
+        ).collect()
+    }
+    assert inc_state == full_state
