@@ -186,3 +186,55 @@ def test_remove_orphans_sweeps_crashed_rebase_manifests(spark, tmp_path):
     assert not any(fs.exists(p) for p in crashed)
     # referenced manifests untouched, table still reads
     assert t.scan().count() == 50
+
+
+def test_resize_area_antialiased():
+    """Area-average resize: block means exact on integer factors, flat
+    stays flat, and a checkerboard averages to mid-gray instead of the
+    aliased extremes nearest-neighbor picks."""
+    from btrblocks_spark.functions.images import (
+        resize_area,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 4, 0), 4, 1)
+    assert (resize_area(img, 10, 8) == base).all()
+    cb = np.zeros((16, 16, 3), np.uint8)
+    cb[::2, 1::2] = 255
+    cb[1::2, ::2] = 255
+    assert abs(resize_area(cb, 8, 8).mean() - 127.5) < 2.0
+    assert resize_nearest(cb, 8, 8).mean() in (0.0, 255.0)
+    # ragged factors + degenerate shapes stay well-formed
+    assert resize_area(
+        rng.integers(0, 256, (37, 53, 3), dtype=np.uint8), 7, 5
+    ).shape == (5, 7, 3)
+    assert resize_area(
+        rng.integers(0, 256, (100, 3, 3), dtype=np.uint8), 2, 99
+    ).shape == (99, 2, 3)
+
+
+def test_resize_batches_area_filter(spark):
+    import pyarrow as pa
+
+    from btrblocks_spark.functions import images
+
+    rng = np.random.default_rng(10)
+    rows = []
+    for i in range(3):
+        px = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+        rows.append(
+            {
+                "image_id": f"i{i}",
+                "bytes": images.encode_image(px, "png"),
+                "fmt": "png",
+            }
+        )
+    batch = pa.RecordBatch.from_pylist(rows)
+    out = pa.Table.from_batches(
+        list(images.resize_batches(iter([batch]), 16, 8))
+    )
+    assert out.num_rows == 3
+    th = images.decode_image(out.column("thumb")[0].as_py())
+    assert th.shape == (8, 16, 3)
