@@ -344,6 +344,22 @@ def main(argv: list[str] | None = None) -> int:
         "(e.g. total=sum:bytes,lo=min:w,n=count)",
     )
 
+    bj = sub.add_parser(
+        "bucket-join",
+        help="shuffle-free join of two co-bucketed tables; writes the "
+        "result as plain parquet",
+    )
+    bj.add_argument("--left", required=True, help="left table root")
+    bj.add_argument("--right", required=True, help="right table root")
+    bj.add_argument(
+        "--on", required=True,
+        help="join key, or left_key,right_key when names differ",
+    )
+    bj.add_argument("--how", default="inner", choices=["inner", "left"])
+    bj.add_argument("--output", required=True, help="parquet output dir")
+    bj.add_argument("--columns", default="", help="left-side subset")
+    bj.add_argument("--columns-b", default="", help="right-side subset")
+
     rr = sub.add_parser(
         "rollup-refresh",
         help="fold source changes since the watermark into the rollup "
@@ -477,6 +493,34 @@ def main(argv: list[str] | None = None) -> int:
         out = {
             "created": args.out,
             "docs": sum(r["row_count"] for r in dst.data_files()),
+        }
+    elif args.cmd == "bucket-join":
+        from btrblocks_spark.operators.bucketjoin import bucket_join
+
+        keys = [k.strip() for k in args.on.split(",")]
+        on = keys[0] if len(keys) == 1 else (keys[0], keys[1])
+        df = bucket_join(
+            BtrTable.load(spark, args.left),
+            BtrTable.load(spark, args.right),
+            on=on,
+            how=args.how,
+            columns=(
+                [c.strip() for c in args.columns.split(",") if c.strip()]
+                or None
+            ),
+            columns_b=(
+                [
+                    c.strip()
+                    for c in args.columns_b.split(",")
+                    if c.strip()
+                ]
+                or None
+            ),
+        )
+        df.write.mode("overwrite").parquet(args.output)
+        out = {
+            "output": args.output,
+            "rows": spark.read.parquet(args.output).count(),
         }
     elif args.cmd in ("rollup-create", "rollup-refresh"):
         from btrblocks_spark.operators.rollup import (

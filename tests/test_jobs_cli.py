@@ -354,3 +354,43 @@ def test_cli_history_and_net_changes(spark, tmp_path, capsys):
     assert res["rows"] == 1
     rows = spark.read.parquet(out).collect()
     assert rows[0].id == 3 and rows[0]._change_type == "insert"
+
+
+def test_cli_bucket_join(spark, tmp_path, capsys):
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    a_in = str(tmp_path / "a.parquet")
+    pq2.write_table(
+        pa.table({
+            "k": [1, 2, 3, 4, 5],
+            "v": [10, 20, 30, 40, 50],
+        }),
+        a_in,
+    )
+    b_in = str(tmp_path / "b.parquet")
+    pq2.write_table(
+        pa.table({"k": [2, 4], "name": ["two", "four"]}), b_in
+    )
+    ra, rb = str(tmp_path / "ta"), str(tmp_path / "tb")
+    assert jobs.main([
+        "create", "--table", ra, "--input", a_in,
+        "--partition-by", "bucket(4, k)",
+    ]) == 0
+    assert jobs.main([
+        "create", "--table", rb, "--input", b_in,
+        "--partition-by", "bucket(4, k)",
+    ]) == 0
+    out_dir = str(tmp_path / "joined")
+    rc = jobs.main([
+        "bucket-join", "--left", ra, "--right", rb, "--on", "k",
+        "--output", out_dir,
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 2
+    back = {
+        r.k: (r.v, r.name)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert back == {2: (20, "two"), 4: (40, "four")}
