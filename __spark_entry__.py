@@ -395,6 +395,50 @@ def _ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rollup_distinct_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup with a mergeable KMV distinct sketch
+    (operators/rollup.py approx_distinct): materialize over half the
+    events, append the rest, refresh from the changelog — the refreshed
+    estimates equal a full COUNT(DISTINCT) because the per-group
+    distinct count stays below the sketch size (150 users < k=256),
+    where the KMV bottom-k is the exact hash set."""
+    import tempfile
+
+    from btrblocks_spark.operators.rollup import (
+        create_rollup,
+        refresh_rollup,
+    )
+    from btrblocks_spark.sources.table import BtrTable
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="btr_rds_")
+    src = BtrTable.create(
+        spark, base + "/src",
+        events.filter(F.col("event_id") % 2 == 0),
+        num_files=2, job_id="rds0",
+    )
+    aggs = {
+        "uniq_users": ("approx_distinct", "user_id"),
+        "total_value": ("sum", "value"),
+    }
+    dst = create_rollup(
+        src, base + "/roll", ["event_type"], aggs, job_id="rds1"
+    )
+    src.append(
+        events.filter(F.col("event_id") % 2 == 1), job_id="rds2"
+    )
+    refresh_rollup(src, dst, ["event_type"], aggs, job_id="rds3")
+    return (
+        dst.scan(columns=["event_type", "uniq_users", "n_rows"])
+        .withColumn(
+            "uniq_users", F.col("uniq_users").cast("bigint")
+        )
+        .orderBy("event_type")
+    )
+
+
 def _upsert_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-v2 equality-delete upsert (operators/upsert.py): write
     new versions of every 10th order key + their key list in ONE
@@ -1152,11 +1196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hidden_partition_scan": _hidden_partition_scan,
         "point_lookup": _point_lookup,
         "stats_only_agg": _stats_only_agg,  # zero-data-I/O metadata agg
-        "ndv_stats": _ndv_stats,  # KMV distinct sketch fold (exact < k)
         "upsert_scan": _upsert_scan,  # equality-delete upsert (O(change))
         "merge_multikey_scan": _merge_multikey_scan,  # composite-key MERGE
         "spec_evolution_scan": _spec_evolution_scan,  # partition-spec evolution
         "bucket_join_agg": _bucket_join_agg,  # shuffle-free co-bucketed join
+        "rollup_distinct_scan": _rollup_distinct_scan,  # KMV rollup refresh
         "token_search": _token_search,  # token-bloom file skipping
         # composite training-data curation pipeline
         "corpus_filter": _corpus_filter,
@@ -1188,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and (b) rows-only fast paths whose deterministic oracle
         # twin IS driver-checked. tools/check_oracle.py covers all
         # of them; its full-gate output is committed per round.
+        "ndv_stats": _ndv_stats,  # KMV distinct sketch fold (exact < k)
         "curated_corpus_incremental": _curated_corpus_incremental,  # CDC refresh == batch
         "one_value_guard": cq.one_value_guard,
         "days_partition_scan": _days_partition_scan,
@@ -1415,6 +1460,14 @@ def _oracle_sql_entries() -> dict[str, str]:
         "spec_evolution_scan": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders WHERE o_custkey = 7
+        """,
+        "rollup_distinct_scan": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "bucket_join_agg": """
             SELECT c_mktsegment,
