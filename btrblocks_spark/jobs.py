@@ -498,6 +498,11 @@ def main(argv: list[str] | None = None) -> int:
         from btrblocks_spark.operators.bucketjoin import bucket_join
 
         keys = [k.strip() for k in args.on.split(",")]
+        if len(keys) > 2:
+            p.error(
+                "--on takes one key name, or left_key,right_key — "
+                "composite bucket-join keys are not supported"
+            )
         on = keys[0] if len(keys) == 1 else (keys[0], keys[1])
         df = bucket_join(
             BtrTable.load(spark, args.left),

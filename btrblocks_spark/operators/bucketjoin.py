@@ -140,6 +140,15 @@ def bucket_join(
         if c != key_b
     ]
     out_b = [c + suffix if c in want_a else c for c in want_b]
+    dupes = [
+        c for c in set(out_b) if out_b.count(c) > 1 or c in want_a
+    ]
+    if dupes:
+        raise ValueError(
+            f"output column collision {sorted(dupes)}: a B-side column "
+            f"clashes with another output name even after the "
+            f"{suffix!r} suffix — project or rename it"
+        )
 
     # join-key type parity: Arrow's hash join refuses mixed-width keys;
     # promote both integer keys to int64 in the kernel (the bucket
@@ -204,7 +213,20 @@ def bucket_join(
 
     kb, wa, wb, ob = key_b, list(want_a), list(want_b), list(out_b)
 
-    def _read_side(paths, dels, schema_hex, cols):
+    # pre-rename files store columns under their OLD names — the same
+    # alias chains scan() resolves (table.py read_native) apply here
+    aliases_a = {
+        c: ta.metadata().get("renames", {}).get(c, [])
+        for c in want_a
+        if c in ta.metadata().get("renames", {})
+    }
+    aliases_b = {
+        c: tb.metadata().get("renames", {}).get(c, [])
+        for c in [key_b] + want_b
+        if c in tb.metadata().get("renames", {})
+    }
+
+    def _read_side(paths, dels, schema_hex, cols, aliases):
         from btrblocks_spark.sources import fs as _fs
         from btrblocks_spark.sources.blockfile import (
             decode_batches,
@@ -218,6 +240,9 @@ def bucket_join(
             load_delete_index(dels, paths) if dels and paths else {}
         )
         bcols = ["tuple_count"] + [f"b_{c}" for c in cols]
+        alias_bcols = [
+            f"b_{a}" for c in cols for a in (aliases or {}).get(c, [])
+        ]
         tabs = []
         for path in paths:
             try:
@@ -225,7 +250,10 @@ def bucket_join(
             except Exception:
                 names = set(_fs.read_parquet_schema(path).names)
                 bt = _fs.read_parquet(
-                    path, columns=[c for c in bcols if c in names]
+                    path,
+                    columns=[
+                        c for c in bcols + alias_bcols if c in names
+                    ],
                 )
             batches = list(
                 decode_batches(
@@ -233,6 +261,7 @@ def bucket_join(
                     logical,
                     cols,
                     deletes=del_index.get(path),
+                    aliases=aliases,
                 )
             )
             if batches:
@@ -251,11 +280,14 @@ def bucket_join(
             for _b, af, bf in zip(bks, afs, bfs):
                 if not af:
                     continue
-                at = _read_side(af or [], dels_a, schema_a_hex, wa)
+                at = _read_side(
+                    af or [], dels_a, schema_a_hex, wa, aliases_a
+                )
                 if how == "inner" and not bf:
                     continue
                 btab = _read_side(
-                    bf or [], dels_b, schema_b_hex, [kb] + wb
+                    bf or [], dels_b, schema_b_hex, [kb] + wb,
+                    aliases_b,
                 )
                 # pre-rename B payload to the output names so the
                 # Arrow hash join emits them directly

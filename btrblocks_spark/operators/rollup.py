@@ -94,10 +94,42 @@ def _kmv_hash(col: str):
 
 
 def _kmv_collect(expr):
-    """bottom-k of a hash expression, as a sorted array<bigint>."""
+    """bottom-k of a hash expression, as a sorted array<bigint>.
+
+    The collect_set buffer is O(distinct-in-group) — safe ONLY when the
+    group is bounded (one input partition's slice of it); every rollup
+    aggregation containing a sketch therefore goes through
+    :func:`_grouped`'s two-stage plan, never a direct groupBy."""
     return F.slice(
         F.array_sort(F.collect_set(expr)), 1, KMV_K
     )
+
+
+def _kmv_fold(state_col):
+    """Merge partial bottom-k sketch arrays into one bottom-k."""
+    return F.slice(
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list(state_col)))
+        ),
+        1,
+        KMV_K,
+    )
+
+
+def _grouped(df, keys: list[str], s1: list, s2: list | None):
+    """groupBy(keys).agg(s1) — but when ``s2`` is given (sketch aggs
+    present), run TWO stages: partials per (keys, input partition),
+    then a fold per keys. Per-group aggregation state is then bounded
+    by one input partition (collect_set of a 10^9-NDV group would
+    otherwise hold the full distinct hash set in one executor buffer);
+    the stage-2 buffers hold <= k * n_partials elements. sum/count/
+    min/max/dirty-flag partials re-fold losslessly."""
+    if s2 is None:
+        return df.groupBy(*keys).agg(*s1)
+    p = df.groupBy(
+        *keys, F.spark_partition_id().alias("_pid")
+    ).agg(*s1)
+    return p.groupBy(*keys).agg(*s2)
 
 
 def _kmv_est(state):
@@ -157,14 +189,28 @@ def create_rollup(
     norm = _norm_aggs(aggs)
     job_id = job_id or f"rollup-{uuid.uuid4().hex[:8]}"
     watermark = src.current_snapshot_id()
-    full = (
-        src.scan(columns=_input_cols(keys, norm))
-        .groupBy(*keys)
-        .agg(*_signed_aggs(norm, F.lit(1)))
+    add, mm, kmv = _split(norm)
+    s2 = None
+    if kmv:
+        s2 = (
+            [F.sum(n).alias(n) for n in add]
+            + [
+                (F.min(n) if fn == "min" else F.max(n)).alias(n)
+                for n, (fn, _) in mm.items()
+            ]
+            + [
+                _kmv_fold(_kmv_state(n)).alias(_kmv_state(n))
+                for n in kmv
+            ]
+        )
+    full = _grouped(
+        src.scan(columns=_input_cols(keys, norm)),
+        keys,
+        _signed_aggs(norm, F.lit(1)),
+        s2,
     )
-    for n, (fn, _) in norm.items():
-        if fn == "approx_distinct":
-            full = full.withColumn(n, _kmv_est(F.col(_kmv_state(n))))
+    for n in kmv:
+        full = full.withColumn(n, _kmv_est(F.col(_kmv_state(n))))
     int_keys = [
         k for k in keys
         if dict(full.dtypes)[k] in ("int", "bigint", "smallint", "tinyint")
@@ -257,7 +303,21 @@ def refresh_rollup(
         agg_exprs.append(
             F.max((~is_ins).cast("int")).alias("_mm_dirty")
         )
-    delta = changes.groupBy(*keys).agg(*agg_exprs)
+    s2 = None
+    if kmv:
+        s2 = (
+            [F.sum(n).alias(n) for n in add]
+            + [
+                (F.min(n) if fn == "min" else F.max(n)).alias(n)
+                for n, (fn, _) in mm.items()
+            ]
+            + [
+                _kmv_fold(_kmv_state(n)).alias(_kmv_state(n))
+                for n in kmv
+            ]
+            + [F.max("_mm_dirty").alias("_mm_dirty")]
+        )
+    delta = _grouped(changes, keys, agg_exprs, s2)
 
     state_cols = [_kmv_state(n) for n in kmv]
     olds = dst.scan(columns=keys + list(norm) + state_cols)
@@ -341,28 +401,36 @@ def refresh_rollup(
         jc = F.lit(True)
         for k in keys:
             jc = jc & F.col(f"_s.{k}").eqNullSafe(F.col(f"_k.{k}"))
-        exact = (
-            srcscan.alias("_s")
-            .join(F.broadcast(dirty.alias("_k")), on=jc, how="leftsemi")
-            .groupBy(*keys)
-            .agg(
-                *[
-                    (
-                        F.min(F.col(col))
-                        if fn == "min"
-                        else F.max(F.col(col))
-                    ).alias(f"_x_{n}")
-                    for n, (fn, col) in mm.items()
-                ],
-                *[
-                    _kmv_collect(_kmv_hash(col)).alias(
-                        f"_x_{_kmv_state(n)}"
-                    )
-                    for n, (_, col) in kmv.items()
-                ],
-            )
-            .withColumn("_x_hit", F.lit(True))
-        )
+        x_s1 = [
+            (
+                F.min(F.col(col)) if fn == "min" else F.max(F.col(col))
+            ).alias(f"_x_{n}")
+            for n, (fn, col) in mm.items()
+        ] + [
+            _kmv_collect(_kmv_hash(col)).alias(f"_x_{_kmv_state(n)}")
+            for n, (_, col) in kmv.items()
+        ]
+        x_s2 = None
+        if kmv:
+            x_s2 = [
+                (
+                    F.min(f"_x_{n}") if fn == "min" else F.max(f"_x_{n}")
+                ).alias(f"_x_{n}")
+                for n, (fn, _) in mm.items()
+            ] + [
+                _kmv_fold(f"_x_{_kmv_state(n)}").alias(
+                    f"_x_{_kmv_state(n)}"
+                )
+                for n in kmv
+            ]
+        exact = _grouped(
+            srcscan.alias("_s").join(
+                F.broadcast(dirty.alias("_k")), on=jc, how="leftsemi"
+            ),
+            keys,
+            x_s1,
+            x_s2,
+        ).withColumn("_x_hit", F.lit(True))
         m, x = merged.alias("_m"), exact.alias("_x")
         xc = F.lit(True)
         for k in keys:

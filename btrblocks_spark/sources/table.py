@@ -2992,6 +2992,17 @@ class BtrTable:
             )
 
             rows = self.data_files(sid)
+            if partition:
+                import json as _json
+
+                # pre-spec detection stays driver-side here: the rows
+                # are already in memory, no Spark job needed
+                for r in rows:
+                    pj = _json.loads(r.get("partition") or "{}")
+                    if any(pj.get(k) is None for k in partition):
+                        return self._stats_scan_fold(
+                            aggs, sid, partition, need
+                        )
             mdf = self.spark.createDataFrame(
                 [
                     (
@@ -3014,7 +3025,7 @@ class BtrTable:
                 ),
             )
         mdf = mdf.filter(F.coalesce(F.col("content"), F.lit(0)) == 0)
-        if partition:
+        if partition and n_files >= self.DISTRIBUTED_META_MIN:
             # files written BEFORE the current spec (e.g. before
             # evolve_partition_spec) carry a partition JSON without the
             # key — get_json_object extracts NULL there, and an
@@ -3023,6 +3034,7 @@ class BtrTable:
             # call through the scan fold, which recomputes the
             # transform from the source column per row and so answers
             # exactly for every file regardless of its write-time spec.
+            # (The driver-local path above did this check in Python.)
             pre_spec = F.lit(False)
             for k in partition:
                 pre_spec = pre_spec | F.get_json_object(

@@ -12,7 +12,9 @@ os.environ.setdefault("BTRSPARK_FS_SCHEME_MAP", '{"mem": "local", "s3like": "s3l
 # endpoint of the in-process S3 wire-protocol server (tools/mini_s3) —
 # must be in the env BEFORE the JVM starts so executor-side Python
 # workers inherit it; the s3 tests bind the server to this fixed port.
-# Only consulted when an s3:// path is actually resolved.
+# Only consulted when an s3:// path is actually resolved. Fixed port =
+# serial-pytest assumption; two concurrent sessions on one host would
+# collide on the bind (accepted: the suite runs serially here).
 os.environ.setdefault("BTRSPARK_S3_ENDPOINT", "127.0.0.1:39411")
 
 

@@ -166,3 +166,20 @@ def test_hot_bucket_splits_across_tasks(spark, tmp_path):
         ta, tb, on="k", how="left", max_files_per_task=2
     ).toPandas()
     assert len(left) == 300
+
+
+def test_renamed_payload_column_decodes_from_old_files(spark, tables):
+    """Files written before a rename store the column under its OLD
+    name; the kernel resolves the same alias chains scan() uses, so
+    pre-rename files must not decode the renamed column as NULL."""
+    ta, tb = tables
+    tb.rename_column("cname", "display_name")
+    got = bucket_join(
+        ta, tb, on=("custkey", "ckey"),
+        columns=["okey", "custkey"], columns_b=["display_name"],
+    ).toPandas()
+    assert len(got) == 400
+    assert got["display_name"].notna().all()
+    assert (
+        got["display_name"] == "cust_" + got["custkey"].astype(str)
+    ).all()

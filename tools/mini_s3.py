@@ -138,8 +138,13 @@ class _Handler(http.server.BaseHTTPRequestHandler):
         rng = self.headers.get("Range")
         if rng and rng.startswith("bytes="):
             lo_s, hi_s = rng[6:].split("-", 1)
-            lo = int(lo_s) if lo_s else max(0, len(data) - int(hi_s))
-            hi = min(int(hi_s), len(data) - 1) if hi_s else len(data) - 1
+            if lo_s:
+                lo = int(lo_s)
+                hi = min(int(hi_s), len(data) - 1) if hi_s else len(data) - 1
+            else:
+                # suffix range bytes=-N: the LAST N bytes
+                lo = max(0, len(data) - int(hi_s))
+                hi = len(data) - 1
             part = data[lo: hi + 1]
             return self._reply(
                 206,
@@ -265,13 +270,14 @@ class _Handler(http.server.BaseHTTPRequestHandler):
             bk = self.store.buckets.setdefault(bucket, {})
             if not key and "delete" in q:  # DeleteObjects batch
                 import re
+                from xml.sax.saxutils import unescape as _unescape
 
                 deleted = re.findall(
                     r"<Key>(.*?)</Key>", body.decode(), re.S
                 )
                 for k in deleted:
-                    bk.pop(urllib.parse.unquote(escape(k)), None)
-                    bk.pop(k, None)
+                    # keys arrive XML-escaped (&amp; etc.), nothing else
+                    bk.pop(_unescape(k), None)
                 xml = "".join(
                     f"<Deleted><Key>{k}</Key></Deleted>" for k in deleted
                 )
