@@ -412,3 +412,35 @@ def test_partition_scoped_stats_pre_spec_files(spark, tmp_path):
         [("count", "*", "n")], partition={"_p_bucket_fmt": 99}
     ).collect()[0]
     assert got3.n == 0
+
+
+def test_partition_scoped_stats_pre_spec_distributed_path(
+    spark, tmp_path, monkeypatch
+):
+    """Same pre-spec detection on the distributed manifest-DataFrame
+    branch (>= DISTRIBUTED_META_MIN files): the Spark-side NULL probe
+    must route to the scan fold too."""
+    monkeypatch.setattr(BtrTable, "DISTRIBUTED_META_MIN", 1)
+    pdf = image_caption_table(60, seed=46)
+    df = spark.createDataFrame(pdf)
+    t = BtrTable.create(
+        spark, str(tmp_path / "evd"), df, num_files=2, job_id="pred0"
+    )
+    t.evolve_partition_spec(["bucket(4, fmt)"])
+    t.append(
+        spark.createDataFrame(image_caption_table(15, seed=47)),
+        job_id="pred1",
+    )
+    import zlib
+
+    b = zlib.crc32(b"png") % 4
+    got = t.stats_agg(
+        [("count", "*", "n")], partition={"_p_bucket_fmt": b}
+    ).collect()[0]
+    union = df.unionByName(
+        spark.createDataFrame(image_caption_table(15, seed=47))
+    )
+    exp = union.filter(
+        (F.crc32(F.col("fmt").cast("binary")) % 4) == b
+    ).count()
+    assert got.n == exp
