@@ -1,13 +1,15 @@
-"""Storage-partitioned bucket join — join two co-bucketed BtrTables
-with ZERO data shuffle.
+"""Storage-partitioned join — join two co-partitioned BtrTables with
+ZERO data shuffle.
 
 Spark's own storage-partitioned join (SPARK-37375) needs a DataSource
 V2 that reports its partitioning, which the Python DataSource API
 cannot do — so the engine provides the same contract directly: when
-both tables carry an active ``bucket(N, key)`` transform with the SAME
-``N``, every pair of matching rows lives in the same bucket number on
-both sides (the crc32 bucket function is engine-wide identical), so the
-join runs bucket-by-bucket inside ONE ``mapInArrow`` pass:
+both tables carry the SAME active transform over their join key
+(``bucket(N)`` the common case; ``truncate(W)`` and ``days()`` work
+identically — key equality implies equal transform value for any
+deterministic transform), every pair of matching rows lives in the
+same partition value on both sides, so the join runs
+partition-by-partition inside ONE ``mapInArrow`` pass:
 
 1. group each side's data files by their manifest ``partition`` bucket
    value (a metadata-only Spark job past ``DISTRIBUTED_META_MIN``
@@ -44,19 +46,27 @@ from btrblocks_spark.sources.table import BtrTable
 
 
 def _bucket_transform(t: BtrTable, key: str) -> dict:
+    """Active partition transform over ``key`` — ANY kind qualifies:
+    key equality implies equal transform value for every deterministic
+    transform (bucket/truncate/days), so co-located joins work on all
+    of them (e.g. two days(ts)-partitioned event tables join
+    day-by-day)."""
     for tr in t.metadata().get("partition_transforms") or []:
-        if tr["kind"] == "bucket" and tr["col"] == key:
+        if tr["col"] == key:
             return tr
     raise ValueError(
-        f"table {t.root} has no active bucket(N, {key}) transform — "
-        "bucket_join needs both sides bucketed on the join key "
-        "(create(partition_by=['bucket(N, key)']) or "
+        f"table {t.root} has no active partition transform over "
+        f"{key!r} — bucket_join needs both sides co-partitioned on the "
+        "join key (create(partition_by=['bucket(N, key)']) or "
         "evolve_partition_spec + compact)"
     )
 
 
-def _files_by_bucket(t: BtrTable, dest: str, sid: int) -> dict[int, list[str]]:
-    """{bucket value: [file paths]} from manifest metadata only."""
+def _files_by_bucket(t: BtrTable, dest: str, sid: int) -> dict[str, list[str]]:
+    """{partition value (JSON string form): [file paths]} from manifest
+    metadata only — string keys cover every transform kind (bucket ints,
+    truncate prefixes, days ordinals) since both sides stringify
+    identically (_transform_literal parity)."""
     entries = t._manifest_list(sid)
     n_files = sum(e["file_count"] or 0 for e in entries)
     if n_files >= t.DISTRIBUTED_META_MIN:
@@ -79,15 +89,15 @@ def _files_by_bucket(t: BtrTable, dest: str, sid: int) -> dict[int, list[str]]:
             b = _json.loads(r.get("partition") or "{}").get(dest)
             acc.setdefault(b, []).append(r["file_path"])
         pairs = list(acc.items())
-    out: dict[int, list[str]] = {}
+    out: dict[str, list[str]] = {}
     for b, fps in pairs:
         if b is None:
             raise ValueError(
                 f"{len(fps)} data file(s) in {t.root} predate the "
-                f"bucket spec ({dest!r} missing from their partition "
+                f"partition spec ({dest!r} missing from their partition "
                 "metadata) — run compact() to migrate them, then join"
             )
-        out[int(b)] = sorted(fps)
+        out[str(b)] = sorted(fps)
     return out
 
 
@@ -116,11 +126,12 @@ def bucket_join(
     key_a, key_b = (on, on) if isinstance(on, str) else on
     tra = _bucket_transform(ta, key_a)
     trb = _bucket_transform(tb, key_b)
-    if tra["param"] != trb["param"]:
+    if (tra["kind"], tra["param"]) != (trb["kind"], trb["param"]):
         raise ValueError(
-            f"bucket counts differ: {key_a} has bucket({tra['param']}) "
-            f"vs {key_b} bucket({trb['param']}) — evolve one side and "
-            "compact to co-bucket them"
+            f"partition transforms differ: {key_a} has "
+            f"{tra['kind']}({tra['param']}) vs {key_b} "
+            f"{trb['kind']}({trb['param']}) — evolve one side and "
+            "compact to co-partition them"
         )
     sid_a = ta._resolve_sid(snapshot_id_a)
     sid_b = tb._resolve_sid(snapshot_id_b)
@@ -208,7 +219,7 @@ def bucket_join(
     n_tasks = max(1, min(len(spec_rows) or 1, par * 4))
     spec_df = spark.createDataFrame(
         spec_rows,
-        "bucket int, a_files array<string>, b_files array<string>",
+        "bucket string, a_files array<string>, b_files array<string>",
     ).repartition(n_tasks)
 
     kb, wa, wb, ob = key_b, list(want_a), list(want_b), list(out_b)

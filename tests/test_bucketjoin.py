@@ -100,13 +100,13 @@ def test_refusals(spark, tables, tmp_path):
         spark, str(tmp_path / "b16"), _custs(spark),
         partition_by=["bucket(16, ckey)"], num_files=1, job_id="bje",
     )
-    with pytest.raises(ValueError, match="bucket counts differ"):
+    with pytest.raises(ValueError, match="transforms differ"):
         bucket_join(ta, tb16, on=("custkey", "ckey"))
     # unbucketed side
     plain = BtrTable.create(
         spark, str(tmp_path / "plain"), _custs(spark), job_id="bjf",
     )
-    with pytest.raises(ValueError, match="no active bucket"):
+    with pytest.raises(ValueError, match="no active partition transform"):
         bucket_join(ta, plain, on=("custkey", "ckey"))
     # pre-spec files must be migrated first
     pre = BtrTable.create(
@@ -182,4 +182,35 @@ def test_renamed_payload_column_decodes_from_old_files(spark, tables):
     assert got["display_name"].notna().all()
     assert (
         got["display_name"] == "cust_" + got["custkey"].astype(str)
+    ).all()
+
+
+def test_days_copartition_join(spark, tmp_path):
+    """Any matching transform co-locates: two days(ts)-partitioned
+    event tables join day-by-day with zero shuffle (the time-series
+    case; truncate() works identically)."""
+    import datetime as dt
+
+    rows_a = [
+        (i, dt.datetime(2024, 1, 1 + i % 5, 10, 0), i * 1.0)
+        for i in range(200)
+    ]
+    rows_b = [
+        (dt.datetime(2024, 1, 1 + d, 10, 0), f"day{d}")
+        for d in range(5)
+    ]
+    a = spark.createDataFrame(rows_a, "eid long, ts timestamp, v double")
+    b = spark.createDataFrame(rows_b, "ts timestamp, label string")
+    ta = BtrTable.create(
+        spark, str(tmp_path / "da"), a,
+        partition_by=["days(ts)"], num_files=2, job_id="dj0",
+    )
+    tb = BtrTable.create(
+        spark, str(tmp_path / "db"), b,
+        partition_by=["days(ts)"], num_files=1, job_id="dj1",
+    )
+    got = bucket_join(ta, tb, on="ts").toPandas()
+    assert len(got) == 200
+    assert (
+        got["label"] == "day" + (got["eid"] % 5).astype(str)
     ).all()
