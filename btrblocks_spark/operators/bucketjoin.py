@@ -118,11 +118,16 @@ def bucket_join(
     ``on``: the join key column name, or ``(key_a, key_b)`` when the
     two tables name it differently. ``columns`` / ``columns_b`` project
     each side (defaults: all user columns). B-side columns colliding
-    with A-side output names come back suffixed. ``how``: ``"inner"``
-    or ``"left"``.
+    with A-side output names come back suffixed. ``how``: ``"inner"``,
+    ``"left"``, ``"leftsemi"``, or ``"leftanti"`` — the semi/anti modes
+    are shuffle-free membership filtering (keep/drop A rows whose key
+    exists in B), the decontaminate-against-a-reference-set shape at
+    10^12 rows.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(f"how must be inner|left, got {how!r}")
+    if how not in ("inner", "left", "leftsemi", "leftanti"):
+        raise ValueError(
+            f"how must be inner|left|leftsemi|leftanti, got {how!r}"
+        )
     key_a, key_b = (on, on) if isinstance(on, str) else on
     tra = _bucket_transform(ta, key_a)
     trb = _bucket_transform(tb, key_b)
@@ -150,6 +155,9 @@ def bucket_join(
         for c in (columns_b or tb.user_columns())
         if c != key_b
     ]
+    if how in ("leftsemi", "leftanti"):
+        # membership filtering: B contributes only its key
+        want_b = []
     out_b = [c + suffix if c in want_a else c for c in want_b]
     dupes = [
         c for c in set(out_b) if out_b.count(c) > 1 or c in want_a
@@ -182,9 +190,11 @@ def bucket_join(
     fb = _files_by_bucket(tb, trb["dest"], sid_b)
     dels_a = sorted(r["file_path"] for r in ta.delete_files(sid_a))
     dels_b = sorted(r["file_path"] for r in tb.delete_files(sid_b))
-    buckets = sorted(set(fa) | set(fb)) if how == "left" else sorted(
-        set(fa) & set(fb)
-    )
+    if how in ("left", "leftanti"):
+        # A rows with no B bucket still produce output
+        buckets = sorted(set(fa) | set(fb))
+    else:
+        buckets = sorted(set(fa) & set(fb))
 
     spark = ta.spark
     # skew defense: a hot bucket (many A files) must not pin one task —
@@ -294,7 +304,14 @@ def bucket_join(
                 at = _read_side(
                     af or [], dels_a, schema_a_hex, wa, aliases_a
                 )
-                if how == "inner" and not bf:
+                if how in ("inner", "leftsemi") and not bf:
+                    continue
+                if how == "leftanti" and not bf:
+                    # no B rows in this bucket: every A row survives
+                    for rb in at.select(wa).cast(out_arrow).to_batches(
+                        max_chunksize=65536
+                    ):
+                        yield rb
                     continue
                 btab = _read_side(
                     bf or [], dels_b, schema_b_hex, [kb] + wb,
@@ -322,9 +339,12 @@ def bucket_join(
                     btab,
                     keys=[key_a],
                     right_keys=[kb],
-                    join_type=(
-                        "inner" if how == "inner" else "left outer"
-                    ),
+                    join_type={
+                        "inner": "inner",
+                        "left": "left outer",
+                        "leftsemi": "left semi",
+                        "leftanti": "left anti",
+                    }[how],
                 )
                 jt = jt.select(wa + ob)
                 # align field order AND exact types to the declared

@@ -214,3 +214,38 @@ def test_days_copartition_join(spark, tmp_path):
     assert (
         got["label"] == "day" + (got["eid"] % 5).astype(str)
     ).all()
+
+
+def test_semi_and_anti_membership(spark, tmp_path):
+    """leftsemi keeps A rows whose key exists in B, leftanti drops them
+    — including A buckets with NO B files at all (anti keeps them
+    whole) — with zero shuffle."""
+    a = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    b = spark.range(30).select((F.col("id") * 3).alias("k"))
+    ta = BtrTable.create(
+        spark, str(tmp_path / "ma"), a,
+        partition_by=["bucket(4, k)"], num_files=2, job_id="sm0",
+    )
+    tb = BtrTable.create(
+        spark, str(tmp_path / "mb"), b,
+        partition_by=["bucket(4, k)"], num_files=1, job_id="sm1",
+    )
+    semi = bucket_join(ta, tb, on="k", how="leftsemi").toPandas()
+    anti = bucket_join(ta, tb, on="k", how="leftanti").toPandas()
+    member = {i * 3 for i in range(30)}
+    assert set(semi["k"]) == {k for k in range(100) if k in member}
+    assert set(anti["k"]) == {k for k in range(100) if k not in member}
+    assert len(semi) + len(anti) == 100
+    assert set(semi.columns) == set(anti.columns) == {"k", "v"}
+    # anti with an entirely absent B table side
+    empty_b = BtrTable.create(
+        spark, str(tmp_path / "me"),
+        spark.range(0).select(F.col("id").alias("k")),
+        partition_by=["bucket(4, k)"], num_files=1, job_id="sm2",
+    )
+    anti_all = bucket_join(
+        ta, empty_b, on="k", how="leftanti"
+    ).toPandas()
+    assert len(anti_all) == 100
