@@ -355,7 +355,10 @@ def main(argv: list[str] | None = None) -> int:
         "--on", required=True,
         help="join key, or left_key,right_key when names differ",
     )
-    bj.add_argument("--how", default="inner", choices=["inner", "left"])
+    bj.add_argument(
+        "--how", default="inner",
+        choices=["inner", "left", "leftsemi", "leftanti"],
+    )
     bj.add_argument("--output", required=True, help="parquet output dir")
     bj.add_argument("--columns", default="", help="left-side subset")
     bj.add_argument("--columns-b", default="", help="right-side subset")
