@@ -199,6 +199,23 @@ def main(argv: list[str] | None = None) -> int:
         help="materialize from scratch (otherwise refresh from watermark)",
     )
 
+    th = sub.add_parser(
+        "thumbs",
+        help="materialize or refresh a derived thumbnail table "
+        "(decode -> antialiased resize -> re-encode, O(new images) "
+        "per refresh)",
+    )
+    th.add_argument("--src", required=True, help="image table root")
+    th.add_argument("--dst", required=True, help="thumbnail table root")
+    th.add_argument("--width", type=int, default=64)
+    th.add_argument("--height", type=int, default=64)
+    th.add_argument("--fmt", default="png")
+    th.add_argument(
+        "--create", action="store_true",
+        help="materialize from scratch (otherwise refresh from "
+        "watermark)",
+    )
+
     vc = sub.add_parser("vacuum", help="remove orphan data/staging files")
     vc.add_argument("--table", required=True)
     vc.add_argument("--dry-run", action="store_true")
@@ -497,6 +514,26 @@ def main(argv: list[str] | None = None) -> int:
             "created": args.out,
             "docs": sum(r["row_count"] for r in dst.data_files()),
         }
+    elif args.cmd == "thumbs":
+        from btrblocks_spark.operators.derive import (
+            materialize_thumbnails,
+            refresh_thumbnails,
+        )
+
+        src_t = BtrTable.load(spark, args.src)
+        if args.create:
+            dst = materialize_thumbnails(
+                src_t, args.dst, out_w=args.width, out_h=args.height,
+                fmt=args.fmt,
+            )
+            out = {
+                "created": args.dst,
+                "rows": sum(r["row_count"] for r in dst.data_files()),
+            }
+        else:
+            out = refresh_thumbnails(
+                src_t, BtrTable.load(spark, args.dst)
+            )
     elif args.cmd == "bucket-join":
         from btrblocks_spark.operators.bucketjoin import bucket_join
 

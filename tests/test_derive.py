@@ -79,3 +79,41 @@ def test_thumbnails_compose_with_bucket_ops(spark, src, tmp_path):
         "image_id string, pixel_mean double, pixel_std double",
     )
     assert stats.count() == 40
+
+
+def test_cli_thumbs_create_refresh(spark, tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq2
+
+    from btrblocks_spark import jobs
+
+    inp = str(tmp_path / "imgs.parquet")
+    pq2.write_table(image_caption_table(20, seed=53), inp)
+    src_root = str(tmp_path / "csrc")
+    assert jobs.main(["create", "--table", src_root, "--input", inp]) == 0
+    dst_root = str(tmp_path / "cthumbs")
+    rc = jobs.main([
+        "thumbs", "--src", src_root, "--dst", dst_root, "--create",
+        "--width", "8", "--height", "8",
+    ])
+    assert rc == 0
+    created = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert created["rows"] == 20
+
+    more = str(tmp_path / "more.parquet")
+    import pyarrow as pa
+
+    t2 = image_caption_table(5, seed=54)
+    t2 = t2.set_column(
+        t2.schema.get_field_index("image_id"),
+        "image_id",
+        pa.array([f"m-{v}" for v in t2.column("image_id").to_pylist()]),
+    )
+    pq2.write_table(t2, more)
+    assert jobs.main(["append", "--table", src_root, "--input", more]) == 0
+    rc = jobs.main(["thumbs", "--src", src_root, "--dst", dst_root])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["new_rows"] == 5
+    assert BtrTable(spark, dst_root).scan().count() == 25
