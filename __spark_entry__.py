@@ -536,6 +536,40 @@ def _bucket_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bucket_anti_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free membership filtering (bucket_join how='leftanti'):
+    parts never ordered, discovered by anti-joining part against
+    lineitem co-bucketed on partkey — the decontaminate-against-a-
+    reference-set shape, zero data exchange."""
+    import tempfile
+
+    from btrblocks_spark.operators.bucketjoin import bucket_join
+    from btrblocks_spark.sources.table import BtrTable
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type", "p_retailprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey"
+    )
+    base = tempfile.mkdtemp(prefix="btr_baj_")
+    ta = BtrTable.create(
+        spark, base + "/p", part,
+        partition_by=["bucket(8, p_partkey)"], num_files=2, job_id="aj0",
+    )
+    tb = BtrTable.create(
+        spark, base + "/l", li,
+        partition_by=["bucket(8, l_partkey)"], num_files=4, job_id="aj1",
+    )
+    unordered = bucket_join(
+        ta, tb, on=("p_partkey", "l_partkey"), how="leftanti"
+    )
+    return unordered.agg(
+        F.count("*").alias("n_unordered"),
+        F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+    )
+
+
 def _merge_multikey_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite-key MERGE INTO (operators/merge.py): lineitem's natural
     key is the TUPLE (l_orderkey, l_linenumber) — one staged CoW merge
@@ -1232,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and (b) rows-only fast paths whose deterministic oracle
         # twin IS driver-checked. tools/check_oracle.py covers all
         # of them; its full-gate output is committed per round.
+        "bucket_anti_join_agg": _bucket_anti_join_agg,  # leftanti membership
         "ndv_stats": _ndv_stats,  # KMV distinct sketch fold (exact < k)
         "curated_corpus_incremental": _curated_corpus_incremental,  # CDC refresh == batch
         "one_value_guard": cq.one_value_guard,
@@ -1468,6 +1503,12 @@ def _oracle_sql_entries() -> dict[str, str]:
             FROM events
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "bucket_anti_join_agg": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_unordered,
+                   ROUND(SUM(p_retailprice), 2) AS sum_price
+            FROM part
+            WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
         """,
         "bucket_join_agg": """
             SELECT c_mktsegment,
