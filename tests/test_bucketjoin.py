@@ -249,3 +249,21 @@ def test_semi_and_anti_membership(spark, tmp_path):
         ta, empty_b, on="k", how="leftanti"
     ).toPandas()
     assert len(anti_all) == 100
+
+
+def test_mor_deletes_on_right_side(spark, tables):
+    """Positional deletes on the B side are merged at decode time too:
+    deleted customers stop matching (inner) and null out (left)."""
+    ta, tb = tables
+    from btrblocks_spark.operators.rowops import delete_where
+
+    delete_where(tb, "ckey < 10", strategy="mor", job_id="bjr0")
+    inner = bucket_join(ta, tb, on=("custkey", "ckey")).toPandas()
+    assert (inner["custkey"] >= 10).all()
+    left = bucket_join(
+        ta, tb, on=("custkey", "ckey"), how="left",
+        columns=["okey", "custkey"], columns_b=["cname"],
+    ).toPandas()
+    assert len(left) == 400
+    assert left[left["custkey"] < 10]["cname"].isna().all()
+    assert left[left["custkey"] >= 10]["cname"].notna().all()
