@@ -184,8 +184,13 @@ def _corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from btrblocks_spark.functions.text import corpus_features
+    from btrblocks_spark.functions.util import widen
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # widen: the documents file is a single row group, so the heavy
+    # regex feature stage would otherwise run as ONE task
+    docs = widen(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "doc_id"
+    )
     feats = corpus_features(docs)
     w = Window.partitionBy("content_hash")
     return (

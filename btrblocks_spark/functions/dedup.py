@@ -209,15 +209,35 @@ def minhash_signatures_fast(
 ) -> DataFrame:
     """Production MinHash: xxhash64(shingle, seed_i) — no global dictionary.
 
-    One explode + K column-wise mins in a single groupBy (map-side partial
-    aggregation); scales to arbitrary corpora with one shuffle.
+    Signatures are computed ROW-LOCALLY: a doc's minhash over its
+    distinct shingles equals the min over all shingle occurrences (min
+    is duplicate-insensitive), so each signature column is
+    ``array_min(transform(shingles, s -> xxhash64(s, i)))`` on the doc's
+    own row — ZERO shuffles and no explode (the former explode +
+    distinct + groupBy shape paid two full shuffles of the shingle
+    stream). ``widen`` buys scan parallelism on low-split inputs; at
+    real scale the input is already wide and it is a no-op.
     """
-    sh = shingles(df, text_col, k)
-    aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-        for i in range(MINHASH_K)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    from btrblocks_spark.functions.util import widen
+
+    norm = _norm_text(text_col)
+    base = df.select("doc_id", norm.alias("_norm")).filter(
+        F.length("_norm") >= k
+    )
+    base = widen(base, "doc_id")
+    shingle_arr = F.expr(
+        f"transform(sequence(1, length(_norm) - {k - 1}),"
+        f" i -> substring(_norm, i, {k}))"
+    )
+
+    def _mh(i: int):
+        return F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"mh_{i}")
+
+    return base.withColumn("_sh", shingle_arr).select(
+        "doc_id", *[_mh(i) for i in range(MINHASH_K)]
+    )
 
 
 def lsh_candidate_pairs(
@@ -239,6 +259,10 @@ def lsh_candidate_pairs(
     buckets = signatures.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
+    # materialize the (tiny: bands rows/doc) bucket table once — the
+    # self-join below would otherwise recompute the whole signature
+    # pipeline in BOTH branches of the join
+    buckets = buckets.localCheckpoint(eager=True)
     return (
         buckets.alias("a")
         .join(buckets.alias("b"), on=["band", "bucket"])
@@ -276,6 +300,8 @@ def lsh_candidate_pairs_det(
             ).alias("bucket")
         )
     )
+    # same single-computation trick as lsh_candidate_pairs
+    buckets = buckets.localCheckpoint(eager=True)
     return (
         buckets.alias("a")
         .join(buckets.alias("b"), on=["band", "bucket"])
@@ -354,6 +380,9 @@ def simhash_near_pairs_det(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("bv"),
     ).select("doc_id", "simhash", "bv.blk", "bv.val")
+    # materialize once: the self-join would recompute the upstream
+    # simhash pipeline in both branches otherwise
+    blocks = blocks.localCheckpoint(eager=True)
     cand = (
         blocks.alias("a")
         .join(blocks.alias("b"), on=["blk", "val"])
@@ -377,6 +406,9 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     sim bit b = sign of sum over tokens of (2*bit_b(hash(token)) - 1).
     """
+    from btrblocks_spark.functions.util import widen
+
+    df = widen(df.select("doc_id", text_col), "doc_id")
     toks = df.select(
         "doc_id",
         F.explode(
@@ -422,6 +454,9 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("bv"),
     ).select("doc_id", "simhash", "bv.blk", "bv.val")
+    # materialize once: the self-join would recompute the upstream
+    # simhash pipeline in both branches otherwise
+    blocks = blocks.localCheckpoint(eager=True)
     cand = (
         blocks.alias("a")
         .join(blocks.alias("b"), on=["blk", "val"])

@@ -112,36 +112,47 @@ def corpus_features(
     needs: token count, quality, predicted language, and the exact-dedup
     content hash — a single scan with zero shuffles, so the composite
     filter downstream needs only ONE shuffle (the dedup window on the
-    hash) instead of separate scans + joins per feature."""
+    hash) instead of separate scans + joins per feature.
+
+    The token split is materialized ONCE in an inner projection (the
+    expensive ``split(lower(text))`` used to be inlined 5x: token count
+    plus the four language hit-counts; HOF expressions run interpreted,
+    so Catalyst's codegen-level subexpression elimination never merged
+    them). CollapseProject keeps the two projections separate because
+    the array is referenced many times and is not a cheap expression."""
     n = F.length(F.col(text_col))
     alpha = F.length(F.regexp_replace(text_col, "[^A-Za-z]", ""))
-    toks = _tokens(text_col)
-    ntok = F.size(toks)
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    pre = df.select(
+        id_col,
+        _tokens(text_col).alias("_toks"),
+        alpha.alias("_alpha"),
+        n.alias("_n"),
+        F.md5(norm).alias("content_hash"),
+        *[F.col(c) for c in (keep or [])],
+    )
+    ntok = F.size(F.col("_toks"))
     quality = F.round(
-        (alpha / F.greatest(n, F.lit(1)))
+        (F.col("_alpha") / F.greatest(F.col("_n"), F.lit(1)))
         * F.least(ntok / F.lit(100.0), F.lit(1.0)),
         6,
     )
     hits = {}
     for lang, words in STOPWORDS.items():
         lst = ",".join(f"'{w}'" for w in words)
-        hits[lang] = F.expr(
-            f"size(filter(filter(split(lower({text_col}), '[^a-z0-9]+'),"
-            f" x -> x != ''), x -> x in ({lst})))"
-        )
+        hits[lang] = F.expr(f"size(filter(_toks, x -> x in ({lst})))")
     langs = list(STOPWORDS)
     best = F.greatest(*[hits[lang] for lang in langs])
     pred = F.lit("und")
     for lang in reversed(langs):
         pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best <= 0, F.lit("und")).otherwise(pred)
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    return df.select(
+    return pre.select(
         id_col,
         ntok.alias("n_tokens"),
         quality.alias("quality"),
         pred.alias("pred_lang"),
-        F.md5(norm).alias("content_hash"),
+        F.col("content_hash"),
         *[F.col(c) for c in (keep or [])],
     )
 
