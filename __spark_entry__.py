@@ -518,13 +518,16 @@ def _bucket_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     base = tempfile.mkdtemp(prefix="btr_bj_")
+    # fan the encode out wider than the old 4/2: the write is one task
+    # per output file, so tiny num_files serialized the fixture build
+    # on any multi-core runner (results are independent of file count)
     ta = BtrTable.create(
         spark, base + "/o", orders,
-        partition_by=["bucket(8, o_custkey)"], num_files=4, job_id="bj0",
+        partition_by=["bucket(8, o_custkey)"], num_files=16, job_id="bj0",
     )
     tb = BtrTable.create(
         spark, base + "/c", cust,
-        partition_by=["bucket(8, c_custkey)"], num_files=2, job_id="bj1",
+        partition_by=["bucket(8, c_custkey)"], num_files=8, job_id="bj1",
     )
     j = bucket_join(
         ta, tb, on=("o_custkey", "c_custkey"),
@@ -813,8 +816,16 @@ def _event_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted per type pair. Exercises functions/rangejoin.py's binning —
     Catalyst alone would plan this as a nested-loop join."""
     from btrblocks_spark.functions.rangejoin import range_join
+    from btrblocks_spark.functions.util import widen
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # widen: the single-row-group events file would otherwise feed both
+    # join branches from ONE scan task (bin compute + explode serial)
+    ev = widen(
+        spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "event_type", "ts"
+        ),
+        "event_id",
+    )
     lt = ev.select(
         F.col("event_id").alias("id_a"),
         F.col("event_type").alias("type_a"),

@@ -54,6 +54,11 @@ def knn_bruteforce(
     ``queries``: (query_id, query_vec). Broadcast x scan — one pass over
     the vector corpus, no shuffle beyond the final per-query top-k.
     """
+    from btrblocks_spark.functions.util import widen
+
+    # the per-row HOF cosine dominates; a single-row-group corpus file
+    # would otherwise score every vector on ONE task
+    vectors = widen(vectors.select(id_col, vec_col), id_col)
     joined = vectors.crossJoin(F.broadcast(queries))
     scored = joined.select(
         "query_id",

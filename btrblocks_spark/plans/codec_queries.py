@@ -272,9 +272,12 @@ def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # broadcast-reduce orders BEFORE the fact-fact shuffle: o ⋈ c keeps
+    # ~1/5 of orders (one segment), so the lineitem join shuffles a 5x
+    # smaller build side; inner joins commute, results identical
+    o2 = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o2, li.l_orderkey == o2.o_orderkey)
         .groupBy("l_orderkey")
         .agg(
             F.round(
