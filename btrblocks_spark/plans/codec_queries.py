@@ -300,10 +300,17 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # project both fact sides down to exactly the join/agg columns
+    # BEFORE the orderkey exchange (guide: shuffle fewer bytes) — the
+    # broadcast dim joins attach only the nationkeys the filter needs
+    o2 = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_nationkey"
+    )
+    li2 = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).select(
+        "l_orderkey", "l_extendedprice", "l_discount", "s_nationkey"
+    )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li2.join(o2, li2.l_orderkey == o2.o_orderkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)

@@ -52,6 +52,7 @@ import pyarrow as pa
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 
 from btrblocks_spark import PART_SIZE_BYTES
 from btrblocks_spark.sources import fs
@@ -822,11 +823,27 @@ class BtrTable:
         if preserve_partitioning:
             work = df
         else:
-            # round-robin fan-out; the encode kernel splits each task's
-            # rows by partition value, so hash co-location on the (few)
-            # partition columns would only collapse the fan-out to one
-            # task per value — the opposite of what a parallel write wants
-            work = df.repartition(num_files)
+            # deterministic content-hash fan-out; the encode kernel
+            # splits each task's rows by partition value, so hash
+            # co-location on the (few) partition columns would only
+            # collapse the fan-out to one task per value — the opposite
+            # of what a parallel write wants. A keyless round-robin
+            # repartition would pay sortBeforeRepartition's local sort
+            # of every full row (SPARK-23207); one row hash is cheaper,
+            # equally retry-safe (deterministic, unlike rand keys), and
+            # spreads any distinct rows uniformly. Map columns cannot
+            # be hashed — fall back to round-robin then.
+            hashable = [
+                f.name
+                for f in df.schema.fields
+                if not isinstance(f.dataType, MapType)
+            ]
+            if hashable:
+                work = df.repartition(
+                    num_files, F.xxhash64(*[F.col(c) for c in hashable])
+                )
+            else:  # pragma: no cover - all-map schema
+                work = df.repartition(num_files)
 
         ckpt_dir = fs.join(root, "_checkpoints", job_id)
         fs.mkdirs(ckpt_dir)
