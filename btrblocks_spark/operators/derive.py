@@ -79,9 +79,12 @@ def materialize_thumbnails(
     snapshot; ``refresh_thumbnails`` advances it by appends only."""
     job_id = job_id or f"thumbs-{uuid.uuid4().hex[:8]}"
     watermark = src.current_snapshot_id()
-    thumbs = src.scan(columns=["image_id", "bytes"]).mapInArrow(
-        _thumb_kernel(out_w, out_h, fmt), _OUT_SCHEMA
-    )
+    # pin the scan to the recorded watermark: a concurrent append
+    # between the watermark read and the lazy scan's execution must not
+    # be thumbnailed now AND re-processed by the next refresh
+    thumbs = src.scan(
+        columns=["image_id", "bytes"], snapshot_id=watermark
+    ).mapInArrow(_thumb_kernel(out_w, out_h, fmt), _OUT_SCHEMA)
     dst = BtrTable.create(
         src.spark, dst_root, thumbs, num_files=num_files, job_id=job_id
     )
@@ -119,10 +122,12 @@ def refresh_thumbnails(
     """Fold source INSERTS since the last refresh into the derived
     table — O(new images), parameters pinned from the create watermark.
 
-    Deleted/updated source rows are NOT propagated (a thumbnail of a
-    deleted image is storage, not correctness); run
+    Deletes are NOT propagated (a thumbnail of a deleted image is
+    storage, not correctness), and an UPDATE (delete+insert in the
+    changelog) re-thumbnails the new image while the stale row remains
+    — i.e. updates create DUPLICATE image_id rows here. Run
     ``materialize_thumbnails`` fresh, or MERGE on image_id, when the
-    derived table must track deletes exactly.
+    derived table must track deletes/updates exactly.
     """
     job_id = job_id or f"thumbs-refresh-{uuid.uuid4().hex[:8]}"
     last, (out_w, out_h, fmt) = thumbnails_watermark(dst)

@@ -89,8 +89,12 @@ def _kmv_state(n: str) -> str:
 
 def _kmv_hash(col: str):
     # deterministic 63-bit non-negative hash; nulls drop out of the
-    # sketch (collect_set ignores them)
-    return F.abs(F.xxhash64(F.col(col).cast("string")))
+    # sketch (collect_set ignores them). shiftrightunsigned, not abs:
+    # in non-ANSI mode abs(Long.MIN_VALUE) stays negative, and one such
+    # hash would permanently occupy the sketch's bottom slot and
+    # corrupt _kmv_est (the >>>1 map is guaranteed non-negative and
+    # matches the 63-bit range _kmv_est assumes)
+    return F.shiftrightunsigned(F.xxhash64(F.col(col).cast("string")), 1)
 
 
 def _kmv_collect(expr):
