@@ -819,13 +819,15 @@ def _event_copresence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from btrblocks_spark.functions.util import widen
 
     # widen: the single-row-group events file would otherwise feed both
-    # join branches from ONE scan task (bin compute + explode serial)
+    # join branches from ONE scan task (bin compute + explode serial);
+    # checkpoint so the self-joined input is scanned+exchanged ONCE
+    # instead of once per branch
     ev = widen(
         spark.read.parquet(f"{sf_dir}/events.parquet").select(
             "event_id", "event_type", "ts"
         ),
         "event_id",
-    )
+    ).localCheckpoint(eager=True)
     lt = ev.select(
         F.col("event_id").alias("id_a"),
         F.col("event_type").alias("type_a"),
