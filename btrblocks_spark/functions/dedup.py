@@ -522,14 +522,23 @@ def dedup_paragraphs(
     # trim() strips only ' ' in both Spark and DuckDB — a tab/newline-only
     # paragraph would survive it, so strip all whitespace by regex
     stripped = F.regexp_replace(F.col("para"), r"^\s+|\s+$", "")
+    # n_total (non-empty paragraphs per doc) is computable ROW-LOCALLY
+    # on the un-exploded document — counting the same stripped!=''
+    # survivors the filter below keeps — which removes what used to be
+    # a whole extra shuffle+sort (a count window partitioned by doc id
+    # over every exploded paragraph)
+    n_total_local = F.size(
+        F.filter(
+            F.split(F.col(text_col), sep),
+            lambda p: F.regexp_replace(p, r"^\s+|\s+$", "") != "",
+        )
+    ).cast("long")
     paras = df.select(
         F.col(id_col),
         *[F.col(c) for c in (keep or [])],
+        n_total_local.alias("n_total"),
         F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
     ).filter(stripped != "")
-    paras = paras.withColumn(
-        "n_total", F.count("*").over(Window.partitionBy(id_col))
-    )
     first = Window.partitionBy(F.md5(F.lower(stripped))).orderBy(
         id_col, "pos"
     )
