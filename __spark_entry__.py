@@ -518,17 +518,25 @@ def _bucket_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment"
     )
     base = tempfile.mkdtemp(prefix="btr_bj_")
-    # fan the encode out wider than the old 4/2: the write is one task
+    # fan the encode out wider than the old 4/2 (the write is one task
     # per output file, so tiny num_files serialized the fixture build
-    # on any multi-core runner (results are independent of file count)
-    ta = BtrTable.create(
-        spark, base + "/o", orders,
-        partition_by=["bucket(8, o_custkey)"], num_files=16, job_id="bj0",
-    )
-    tb = BtrTable.create(
-        spark, base + "/c", cust,
-        partition_by=["bucket(8, c_custkey)"], num_files=8, job_id="bj1",
-    )
+    # on any multi-core runner; results are independent of file count),
+    # and build the two independent tables as concurrent jobs so the
+    # small table's write back-fills the big table's task tail
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(
+            BtrTable.create, spark, base + "/o", orders,
+            partition_by=["bucket(8, o_custkey)"], num_files=16,
+            job_id="bj0",
+        )
+        fb = pool.submit(
+            BtrTable.create, spark, base + "/c", cust,
+            partition_by=["bucket(8, c_custkey)"], num_files=8,
+            job_id="bj1",
+        )
+        ta, tb = fa.result(), fb.result()
     j = bucket_join(
         ta, tb, on=("o_custkey", "c_custkey"),
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
