@@ -225,9 +225,12 @@ def minhash_signatures_fast(
         F.length("_norm") >= k
     )
     base = widen(base, "doc_id")
+    # array_distinct before hashing: repeated shingles inside one doc
+    # (boilerplate, small vocabularies) would be hashed K times each
+    # for nothing — min over the distinct set is the same 16 values
     shingle_arr = F.expr(
-        f"transform(sequence(1, length(_norm) - {k - 1}),"
-        f" i -> substring(_norm, i, {k}))"
+        f"array_distinct(transform(sequence(1, length(_norm) - {k - 1}),"
+        f" i -> substring(_norm, i, {k})))"
     )
 
     def _mh(i: int):
