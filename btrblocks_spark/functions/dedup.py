@@ -220,11 +220,16 @@ def minhash_signatures_fast(
     """
     from btrblocks_spark.functions.util import widen
 
-    norm = _norm_text(text_col)
-    base = df.select("doc_id", norm.alias("_norm")).filter(
-        F.length("_norm") >= k
-    )
-    base = widen(base, "doc_id")
+    # widen BEFORE the norm projection: Catalyst keeps projections where
+    # they are written, so norm-then-widen ran the whole regex pass on
+    # the single scan task of a one-row-group input. (The length filter
+    # is still pushed below the exchange by PushDownPredicates — one
+    # serial regex pass remains in its condition — but the projection's
+    # pass now runs post-exchange on every core.)
+    base = widen(df.select("doc_id", text_col), "doc_id")
+    base = base.select(
+        "doc_id", _norm_text(text_col).alias("_norm")
+    ).filter(F.length("_norm") >= k)
     # array_distinct before hashing: repeated shingles inside one doc
     # (boilerplate, small vocabularies) would be hashed K times each
     # for nothing — min over the distinct set is the same 16 values
