@@ -94,6 +94,12 @@ def encode_table(
         or pa.types.is_timestamp(table.schema.field(name).type)
     ]
     block_ids, tuple_counts, zones = [], [], []
+    # per-column block min/max scalars, kept to fold the FILE-level
+    # min/max below without a second full-column pass (min over block
+    # minima == min over the column; reduced through the same
+    # pc.min_max kernel so null/NaN/binary ordering semantics are
+    # byte-identical to the full scan this replaces)
+    block_mm: dict[str, list] = {name: [] for name in stat_cols}
     for b, start in enumerate(range(0, max(n, 1), rows)):
         chunk = table.slice(start, rows)
         if chunk.num_rows == 0 and n > 0:
@@ -105,10 +111,19 @@ def encode_table(
             col = chunk.column(name)
             if chunk.num_rows and col.null_count < chunk.num_rows:
                 mm = pc.min_max(col)
-                zone[name] = {
-                    "min": str(mm["min"].as_py()),
-                    "max": str(mm["max"].as_py()),
-                }
+                mn, mx = mm["min"].as_py(), mm["max"].as_py()
+                zone[name] = {"min": str(mn), "max": str(mx)}
+                # an all-NaN float block yields the inverted identity
+                # sentinel (min=inf > max=-inf): keep it in the zone
+                # (prunes correctly — NaN matches no comparison) but do
+                # NOT fold it into the file min/max, which must reflect
+                # actual values like the full-column scan it replaces
+                if not (
+                    isinstance(mn, float)
+                    and isinstance(mx, float)
+                    and mn > mx
+                ):
+                    block_mm[name].extend((mn, mx))
         zones.append(_json.dumps(zone))
         for name in names:
             col = chunk.column(name)
@@ -137,7 +152,13 @@ def encode_table(
         typ = col.type
         if typ in STAT_TYPES or pa.types.is_timestamp(typ):
             if n and col.null_count < n:
-                mm = pc.min_max(col)
+                if block_mm.get(name):
+                    mm = pc.min_max(pa.array(block_mm[name], type=typ))
+                else:
+                    # degenerate: every non-null value is NaN — fall
+                    # back to the full scan so the sentinel output
+                    # matches the pre-optimization behavior exactly
+                    mm = pc.min_max(col)
                 entry["min"] = str(mm["min"].as_py())
                 entry["max"] = str(mm["max"].as_py())
         if (

@@ -92,6 +92,37 @@ def test_minhash_signature_plan_has_no_aggregate_shuffle(spark, docs):
     assert plan.count("Exchange") <= 2  # widen repartition only
 
 
+def test_encode_file_stats_fold_from_zones():
+    """File-level min/max are folded from the per-block zone scalars
+    (no second full-column pass) and must equal a direct full-column
+    pc.min_max — including the all-NaN-block sentinel edges."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from btrblocks_spark.sources.blockfile import encode_table
+
+    nan = float("nan")
+    cases = [
+        pa.table({"a": pa.array([nan, nan, 1.0, 5.0])}),  # all-NaN block
+        pa.table({"a": pa.array([nan, nan, nan, nan])}),  # all-NaN column
+        pa.table({"a": pa.array([nan, None, 2.0, None])}),
+        pa.table({"a": pa.array([float("inf"), 1.0, -float("inf"), 2.0])}),
+        pa.table({"s": pa.array(["z", None, "a", "é"])}),
+        pa.table({"i": pa.array([7, -3, None, 40], type=pa.int64())}),
+    ]
+    for t in cases:
+        _, stats = encode_table(t, seed=42, block_rows=2)
+        for cname in t.schema.names:
+            col = t.column(cname)
+            entry = stats["columns"][cname]
+            if col.null_count == t.num_rows:
+                assert entry["min"] is None and entry["max"] is None
+                continue
+            mm = pc.min_max(col)
+            assert entry["min"] == str(mm["min"].as_py())
+            assert entry["max"] == str(mm["max"].as_py())
+
+
 def test_write_files_hash_fanout_constant_table(spark, tmp_path):
     """All-identical rows hash to ONE partition — the write must still
     produce a correct table (fan-out collapses, content round-trips)."""
