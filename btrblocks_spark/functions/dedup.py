@@ -36,6 +36,10 @@ from pyspark.sql import functions as F
 # (P ~ jaccard, not jaccard^rows_per_band) and the det banding flagged
 # ~32% of all pairs as candidates.
 MINHASH_K = 16
+# LSH band buckets holding more docs than this switch the candidate
+# self-join to the salt-split form (~threshold^2/2 = 8M single-task
+# pair combinations is where the split's replication cost pays off)
+LSH_SALT_THRESHOLD = 4096
 MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
 MINHASH_P2 = 2_147_483_629
 MINHASH_A1 = 48_271
@@ -271,12 +275,65 @@ def lsh_candidate_pairs(
     # self-join below would otherwise recompute the whole signature
     # pipeline in BOTH branches of the join
     buckets = buckets.localCheckpoint(eager=True)
+    # Hot-key skew probe (AQE-style, one bounded-output aggregate over
+    # the in-memory checkpoint): a single (band,bucket) value holding H
+    # docs emits H^2 ordered combinations through ONE join task, and
+    # AQE cannot split skew that lives inside one key. Up to the
+    # threshold (~8M single-task combinations) the plain self-join is
+    # fastest; past it, switch to the salt-split join below.
+    max_bucket = (
+        buckets.groupBy("band", "bucket")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+        or 0
+    )
+    if max_bucket <= LSH_SALT_THRESHOLD:
+        return (
+            buckets.alias("a")
+            .join(buckets.alias("b"), on=["band", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+    # Salt-split self-join: each doc gets a deterministic salt
+    # g = hash(doc) mod S; the unordered pair {x,y} is produced exactly
+    # once, in the salt combo (min(gx,gy), max(gx,gy)): the left row
+    # covers combos (g, j >= g), the right row combos (i <= g, g), and
+    # the join key is (band, bucket, i, j), splitting a hot bucket's
+    # pair enumeration across S(S+1)/2 join keys. For i == j both
+    # orientations meet, so the classic doc_a < doc_b filter dedups
+    # them; for i < j exactly one orientation meets and least/greatest
+    # restores the ordering. The result SET is provably identical to
+    # the plain join (pinned by test + measured exceptAll-equal); the
+    # cost is a ~(S+1)/2-fold replication of the (tiny) bucket table,
+    # which is why the probe gates it.
+    S = 8
+    g = F.pmod(F.xxhash64("doc_id"), F.lit(S)).cast("int")
+    salted = buckets.withColumn("_g", g)
+    a = salted.select(
+        "band",
+        "bucket",
+        F.col("doc_id").alias("_da"),
+        F.col("_g").alias("_i"),
+        F.explode(F.sequence(F.col("_g"), F.lit(S - 1))).alias("_j"),
+    )
+    b = salted.select(
+        "band",
+        "bucket",
+        F.col("doc_id").alias("_db"),
+        F.explode(F.sequence(F.lit(0), F.col("_g"))).alias("_i"),
+        F.col("_g").alias("_j"),
+    )
     return (
-        buckets.alias("a")
-        .join(buckets.alias("b"), on=["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(b, on=["band", "bucket", "_i", "_j"])
+        .filter((F.col("_i") < F.col("_j")) | (F.col("_da") < F.col("_db")))
         .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
         )
         .distinct()
     )

@@ -92,6 +92,22 @@ def test_minhash_signature_plan_has_no_aggregate_shuffle(spark, docs):
     assert plan.count("Exchange") <= 2  # widen repartition only
 
 
+def test_lsh_salt_split_pairs_identical(spark, docs, monkeypatch):
+    """The hot-bucket salt-split self-join must produce exactly the
+    plain self-join's candidate pair set. Forcing the threshold to 0
+    routes every bucket through the salted path; the default threshold
+    routes this small corpus through the plain path — both compared."""
+    import btrblocks_spark.functions.dedup as dd
+
+    sigs = dd.minhash_signatures_fast(docs)
+    plain = dd.lsh_candidate_pairs(sigs)  # default: under threshold
+    monkeypatch.setattr(dd, "LSH_SALT_THRESHOLD", 0)
+    salted = dd.lsh_candidate_pairs(sigs)
+    assert salted.columns == ["doc_a", "doc_b"]
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
 def test_encode_file_stats_fold_from_zones():
     """File-level min/max are folded from the per-block zone scalars
     (no second full-column pass) and must equal a direct full-column
